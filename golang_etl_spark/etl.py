@@ -1,0 +1,212 @@
+"""The reference's whole pipeline, Spark-first.
+
+Reference lifecycle (/root/reference/extractor.go:232-300):
+bounds discovery (SELECT MIN,MAX — :195-211) -> stride-10,000 range
+chunks (:270-287) -> concurrent fetch over pooled connections (:41-112)
+-> bounded channel (:262) -> 100k-row batched snappy parquet files
+(:114-193).
+
+Spark restatement: ``spark.read.jdbc(..., partitionColumn=pk,
+lowerBound, upperBound, numPartitions)`` generates the identical
+``pk >= ? AND pk < ?`` stride predicates server-side; the write is
+``df.write.option('maxRecordsPerFile', 100000).parquet(out)``. The
+channel, semaphores, row pool, and JSON round-trip disappear — Spark's
+task scheduler, Tungsten memory, and native parquet writer replace
+them. Unlike the reference (which silently drops rows on scan error,
+extractor.go:88-91), failures here fail the job.
+
+Pure planning helpers (stride math, JDBC options) are separated from
+execution so they unit-test without a live database.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.jobspec import JobSpec, TableJob
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# Planning (pure, unit-testable)
+# ---------------------------------------------------------------------------
+@dataclass(frozen=True)
+class RangePartitionPlan:
+    lower_bound: int  # inclusive
+    upper_bound: int  # EXCLUSIVE (maxKey+1 — the reference's half-open fixup)
+    num_partitions: int
+    stride: int
+
+
+def plan_range_partitions(
+    min_key: int, max_key: int, stride: int = 10_000, max_partitions: int = 10_000
+) -> RangePartitionPlan:
+    """Replicates the reference's chunking math
+    (/root/reference/extractor.go:270-287): half-open [start, end)
+    chunks of `stride` keys, with the final chunk end bumped to
+    max_key+1 so the max key is included.
+
+    Spark's JDBC reader computes strides from (lower, upper,
+    numPartitions); feeding upper = max_key + 1 and numPartitions =
+    ceil(span/stride) reproduces the reference's chunks. max_partitions
+    caps task-set size for huge key spans (at 100 TB you want fewer,
+    bigger partitions than key-stride math would give)."""
+    if min_key > max_key:
+        raise ValueError(f"empty key range: [{min_key}, {max_key}]")
+    span = max_key - min_key + 1
+    n = max(1, math.ceil(span / stride))
+    if n > max_partitions:
+        n = max_partitions
+        stride = math.ceil(span / n)
+    return RangePartitionPlan(
+        lower_bound=min_key, upper_bound=max_key + 1, num_partitions=n, stride=stride
+    )
+
+
+def jdbc_scan_options(
+    url: str, table: str, pk: str, plan: RangePartitionPlan, fetch_concurrency: int = 20
+) -> dict[str, str]:
+    """Options dict for a partitioned JDBC read — the declarative
+    equivalent of the reference's fetch goroutines + semaphore
+    (extractor.go:41-112, :267). numPartitions both parallelizes and
+    caps concurrent connections (the semaphore's role)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "partitionColumn": pk,
+        "lowerBound": str(plan.lower_bound),
+        "upperBound": str(plan.upper_bound),
+        "numPartitions": str(min(plan.num_partitions, fetch_concurrency)),
+        "fetchsize": "10000",
+    }
+
+
+# ---------------------------------------------------------------------------
+# Execution
+# ---------------------------------------------------------------------------
+def key_bounds(df: DataFrame, pk: str) -> tuple[int, int]:
+    """Bounds discovery — parity with getPrimaryKeyRange
+    (/root/reference/extractor.go:195-211). The only collect() in the
+    pipeline, and it moves exactly two scalars."""
+    row = df.agg(F.min(pk).alias("mn"), F.max(pk).alias("mx")).first()
+    if row is None or row["mn"] is None:
+        raise ValueError(f"table has no rows / null pk {pk!r}")
+    return int(row["mn"]), int(row["mx"])
+
+
+def read_shard_table(
+    spark: SparkSession, spec: JobSpec, job: TableJob
+) -> DataFrame:
+    """Read one shard's table. JDBC shards get a partitioned range scan;
+    parquet/file shards read directly (Spark splits files natively)."""
+    location = spec.shards[job.db]
+    if spec.source_format == "parquet":
+        return spark.read.parquet(f"{location}/{job.table}.parquet")
+    # JDBC path: bounds via a one-row pushdown query, then the
+    # partitioned scan (requires a JDBC driver jar on the classpath).
+    bounds = spark.read.format("jdbc").options(
+        url=location,
+        query=f"SELECT MIN({job.primary_key}) AS mn, MAX({job.primary_key}) AS mx "
+        f"FROM {job.table}",
+    ).load().first()
+    plan = plan_range_partitions(int(bounds["mn"]), int(bounds["mx"]), spec.stride)
+    opts = jdbc_scan_options(
+        location, job.table, job.primary_key, plan, spec.fetch_concurrency
+    )
+    return spark.read.format("jdbc").options(**opts).load()
+
+
+def extract_table(
+    spark: SparkSession, spec: JobSpec, job: TableJob, mode: str = "overwrite"
+) -> int:
+    """One table job end-to-end (scan -> snappy parquet, ≤100k rows per
+    file). Returns rows written. The write action IS the barrier the
+    reference builds manually (extractor.go:292-296)."""
+    df = read_shard_table(spark, spec, job)
+    (
+        df.write.mode(mode)
+        .option("compression", spec.compression)
+        .option("maxRecordsPerFile", str(spec.max_records_per_file))
+        .parquet(job.output)
+    )
+    return spark.read.parquet(job.output).count()
+
+
+def run_jobspec(spark: SparkSession, spec: JobSpec) -> dict[str, int]:
+    """All table jobs. The reference runs tables sequentially
+    (extractor.go:260) and its Python variant fully concurrently
+    (py_extractor.py:96-105); sequential actions are fine here since
+    each action already saturates the cluster."""
+    return {f"{j.db}.{j.table}": extract_table(spark, spec, j) for j in spec.jobs}
+
+
+# ---------------------------------------------------------------------------
+# Registered parity queries (driver-checked against DuckDB)
+# ---------------------------------------------------------------------------
+@register(
+    "etl_minmax_bounds",
+    oracle="""
+    SELECT CAST(MIN(l_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(l_orderkey) AS BIGINT) AS max_key,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    """,
+    tags=("etl-parity", "aggregation"),
+)
+def etl_minmax_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounds discovery (A1): SELECT MIN,MAX — parity with
+    /root/reference/extractor.go:195-211."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.min("l_orderkey").cast("bigint").alias("min_key"),
+        F.max("l_orderkey").cast("bigint").alias("max_key"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "etl_range_scan",
+    oracle="""
+    SELECT * FROM lineitem
+    WHERE l_orderkey >= 1000 AND l_orderkey < 3000
+    """,
+    tags=("etl-parity", "scan"),
+)
+def etl_range_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One half-open PK-range chunk (S1/P2): SELECT * WHERE pk >= lo AND
+    pk < hi — parity with /root/reference/extractor.go:63. The range
+    predicate pushes into the parquet scan (row-group pruning), exactly
+    as the reference pushes it into MySQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_orderkey") >= 1000) & (F.col("l_orderkey") < 3000))
+
+
+@register(
+    "etl_chunked_scan_reassembly",
+    oracle="""
+    SELECT CAST(FLOOR(l_orderkey / 1000) AS BIGINT) AS chunk_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(l_orderkey) AS BIGINT) AS chunk_min,
+           CAST(MAX(l_orderkey) AS BIGINT) AS chunk_max
+    FROM lineitem
+    GROUP BY 1
+    """,
+    tags=("etl-parity", "partitioning"),
+)
+def etl_chunked_scan_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stride partitioner (X1) made observable: assign every row to
+    its stride-1000 chunk and prove chunks tile the key space with no
+    loss — the property the reference's goroutine-per-chunk plan
+    (extractor.go:270-287) relies on."""
+    li = load_table(spark, sf_dir, "lineitem")
+    chunk = F.floor(F.col("l_orderkey") / 1000).cast("bigint")
+    return li.groupBy(chunk.alias("chunk_id")).agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_orderkey").cast("bigint").alias("chunk_min"),
+        F.max("l_orderkey").cast("bigint").alias("chunk_max"),
+    )

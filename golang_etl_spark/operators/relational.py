@@ -1,0 +1,730 @@
+"""Core relational surface: projection/filter, joins (all types),
+grouped aggregation (+ cube/rollup/grouping sets), scalar functions,
+pivot, subqueries.
+
+The reference has none of these (SURVEY.md §2.5 — its only predicate is
+the JDBC partition range, /root/reference/extractor.go:63); this module
+exposes the full surface Spark provides, each query paired with a
+DuckDB oracle.
+
+Scale notes (100 TB stance):
+- fact-to-fact joins (lineitem x orders) shuffle on the join key; AQE
+  handles skew. Dimension joins (customer/nation/region/supplier/part)
+  are explicitly ``F.broadcast`` so no shuffle of the fact side occurs.
+- every query is a single declarative plan: filters sit against the
+  parquet scan (PushedFilters), projections prune columns (ReadSchema).
+- float aggregates are rounded in-query (both engines) so results are
+  bit-stable across accumulation orders — required for oracle hashing,
+  and harmless semantically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1 style pricing summary: the flagship aggregation query.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4)                                        AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4)                                   AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4)                AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)  AS sum_charge,
+           ROUND(AVG(l_quantity), 4)                                        AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4)                                   AS avg_price,
+           ROUND(AVG(l_discount), 4)                                        AS avg_disc,
+           CAST(COUNT(*) AS BIGINT)                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregation", "tpch"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1: grouped 8-way aggregation with arithmetic on the fly.
+
+    Partial aggregation (map-side combine) happens automatically; the
+    shuffle carries only |groups| x 8 values per partition.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projection + filter: must push to the parquet scan.
+# ---------------------------------------------------------------------------
+@register(
+    "filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity,
+           ROUND(l_extendedprice * (1 - l_discount), 4) AS net_price
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00' AND l_quantity > 30
+    """,
+    tags=("scan", "filter", "projection"),
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter + narrow projection. Catalyst pushes both into the scan:
+    .explain shows PushedFilters [LessThan(l_shipdate,...),
+    GreaterThan(l_quantity,30)] and a 6-column ReadSchema."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_quantity") > 30)
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4).alias(
+            "net_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner join chain with broadcast dimension.
+# ---------------------------------------------------------------------------
+@register(
+    "join_revenue_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+    tags=("join", "aggregation", "broadcast"),
+)
+def join_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join (lineitem x orders, shuffled on orderkey) then a
+    broadcast dimension join (customer). At 100 TB the customer dim is
+    the only broadcast-able side; orders/lineitem co-shuffle once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_spend
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, orders.o_custkey == cust.c_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           COALESCE(c.n_customers, 0) AS n_customers,
+           COALESCE(s.n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    tags=("join",),
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of per-nation customer and supplier counts."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_customers")
+    )
+    s = supp.groupBy(F.col("s_nationkey").alias("nationkey")).agg(
+        F.count("*").alias("n_suppliers")
+    )
+    return (
+        c.join(s, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+    """,
+    tags=("join", "semi"),
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join == EXISTS: customers with at least one big order.
+    Semi joins never duplicate or widen rows — the build side only
+    carries the key, so the shuffle is minimal."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 100000)
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join", "anti"),
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join == NOT EXISTS: customers with no orders."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r.r_name, p.o_orderpriority
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT o_orderpriority FROM orders) p
+    """,
+    tags=("join", "cross"),
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS join of two tiny inputs (both broadcast-size)."""
+    region = load_table(spark, sf_dir, "region")
+    prios = load_table(spark, sf_dir, "orders").select("o_orderpriority").distinct()
+    return region.select("r_name").crossJoin(prios)
+
+
+@register(
+    "join_star_schema",
+    oracle="""
+    SELECT r.r_name, n.n_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    ORDER BY r.r_name, n.n_name
+    """,
+    tags=("join", "broadcast", "star"),
+)
+def join_star_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: the fact table joins three broadcast dimensions in a
+    row — zero shuffles of lineitem until the final aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregation variants.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 5
+    """,
+    tags=("aggregation",),
+)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING (post-aggregation filter)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("aggregation", "distinct"),
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column COUNT DISTINCT (expand + two-phase agg in Spark)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "agg_stats",
+    oracle="""
+    SELECT l_linestatus,
+           ROUND(MIN(l_extendedprice), 4)          AS min_price,
+           ROUND(MAX(l_extendedprice), 4)          AS max_price,
+           ROUND(STDDEV_SAMP(l_extendedprice), 4)  AS sd_price,
+           ROUND(VAR_SAMP(l_extendedprice), 4)     AS var_price
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("aggregation", "stats"),
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (min/max/stddev/variance)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_linestatus").agg(
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_extendedprice"), 4).alias("var_price"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "cube"),
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^k grouping combinations in one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.count("*").alias("n"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregation", "rollup"),
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP: hierarchical subtotals."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price")
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    """,
+    tags=("aggregation", "grouping_sets"),
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via SQL (same Catalyst plan as cube)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Scalar function library (string/date/math/conditional).
+# ---------------------------------------------------------------------------
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand)                         AS brand_upper,
+           LOWER(p_type)                          AS type_lower,
+           CAST(LENGTH(p_name) AS INT)            AS name_len,
+           SUBSTR(p_name, 1, 8)                   AS name_prefix,
+           CONCAT(p_brand, ':', p_type)           AS brand_type,
+           REPLACE(p_type, ' ', '_')              AS type_snake,
+           CASE WHEN p_name LIKE '%green%' THEN 1 ELSE 0 END AS has_green
+    FROM part
+    """,
+    tags=("functions", "string"),
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function battery: upper/lower/length/substr/concat/
+    replace/LIKE — all JVM-side codegen'd expressions."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.lower("p_type").alias("type_lower"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        F.when(F.col("p_name").like("%green%"), 1).otherwise(0).alias("has_green"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INT)      AS order_year,
+           CAST(MONTH(o_orderdate) AS INT)     AS order_month,
+           CAST(DAY(o_orderdate) AS INT)       AS order_day,
+           CAST(DAYOFWEEK(o_orderdate) AS INT) AS order_dow,
+           strftime(o_orderdate, '%Y-%m-%d')   AS order_date,
+           CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(o_orderdate + INTERVAL 30 DAY AS TIMESTAMP)    AS due_date
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+    """,
+    tags=("functions", "date"),
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function battery over timestamp columns.
+
+    Note: DuckDB dayofweek is 0=Sunday..6; Spark dayofweek is
+    1=Sunday..7 — normalized here to DuckDB's convention via -1.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(
+        F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp")
+    ).select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("int").alias("order_year"),
+        F.month("o_orderdate").cast("int").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("int").alias("order_day"),
+        (F.dayofweek("o_orderdate") - 1).cast("int").alias("order_dow"),
+        # string, not DATE: arrow date32 vs the oracle's timestamp dtype
+        # would mismatch in the driver's schema compare
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROUND(ABS(l_discount - 0.05), 6)          AS disc_dev,
+           CAST(CEIL(l_quantity) AS BIGINT)          AS qty_ceil,
+           CAST(FLOOR(l_extendedprice) AS BIGINT)    AS price_floor,
+           ROUND(SQRT(l_extendedprice), 6)           AS price_sqrt,
+           ROUND(LN(l_extendedprice + 1), 6)         AS price_ln,
+           ROUND(POWER(l_quantity, 2), 6)            AS qty_sq,
+           CAST(l_orderkey % 7 AS BIGINT)            AS key_mod7,
+           ROUND(GREATEST(l_discount, l_tax), 6)     AS max_rate,
+           ROUND(LEAST(l_discount, l_tax), 6)        AS min_rate
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_orderkey % 10 = 0
+    """,
+    tags=("functions", "math"),
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function battery: abs/ceil/floor/sqrt/ln/pow/mod/greatest."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_orderkey") % 10 == 0)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("disc_dev"),
+        F.ceil("l_quantity").cast("bigint").alias("qty_ceil"),
+        F.floor("l_extendedprice").cast("bigint").alias("price_floor"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("price_ln"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        (F.col("l_orderkey") % 7).cast("bigint").alias("key_mod7"),
+        F.round(F.greatest("l_discount", "l_tax"), 6).alias("max_rate"),
+        F.round(F.least("l_discount", "l_tax"), 6).alias("min_rate"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 9000 THEN 'mid'
+                ELSE 'high' END AS bal_bucket,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS seg_or_other
+    FROM customer
+    """,
+    tags=("functions", "conditional"),
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN bucketing + NULLIF/COALESCE null plumbing."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 9000, "mid")
+        .otherwise("high")
+        .alias("bal_bucket"),
+        F.coalesce(
+            F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+        ).alias("seg_or_other"),
+    )
+
+
+@register(
+    "json_extract",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_value
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+    tags=("functions", "json"),
+)
+def json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-in-string extraction (events.props), filtered on the
+    extracted value."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", "event_type", k.alias("k_value")).filter(
+        F.col("k_value") > 50
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / pivot / subqueries.
+# ---------------------------------------------------------------------------
+@register(
+    "sort_limit_topn",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC
+    LIMIT 25
+    """,
+    tags=("sort", "limit"),
+)
+def sort_limit_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark plans TakeOrderedAndProject — each partition
+    keeps its local top 25, the driver merges; no full sort at scale.
+    Tie-broken on o_orderkey for determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(25)
+    )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN o_totalprice END), 0.0), 4) AS F,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN o_totalprice END), 0.0), 4) AS O,
+           ROUND(COALESCE(SUM(CASE WHEN o_orderstatus = 'P' THEN o_totalprice END), 0.0), 4) AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("pivot",),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list (no extra pass to discover
+    pivot values — required at scale)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = (
+        orders.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4))
+    )
+    return out.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("F"),
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("O"),
+        F.coalesce(F.col("P"), F.lit(0.0)).alias("P"),
+    )
+
+
+@register(
+    "unpivot_stack",
+    oracle="""
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value
+    FROM customer
+    """,
+    tags=("unpivot",),
+)
+def unpivot_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide -> long) via stack()."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))"
+        ).alias("metric", "value"),
+    )
+
+
+@register(
+    "subquery_scalar",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+    """,
+    tags=("subquery",),
+)
+def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery in a predicate (orders > 2x average)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice
+        FROM orders
+        WHERE o_totalprice > (SELECT AVG(o_totalprice) * 2 FROM orders)
+        """
+    )
+
+
+@register(
+    "subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("subquery",),
+)
+def subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery (decorrelated to a semi join by Catalyst)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+@register(
+    "correlated_exists_agg",
+    oracle="""
+    SELECT n.n_name, CAST(COUNT(c.c_custkey) AS BIGINT) AS n_rich
+    FROM nation n
+    LEFT JOIN customer c
+      ON c.c_nationkey = n.n_nationkey AND c.c_acctbal > 7500
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+    tags=("join", "aggregation"),
+)
+def correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-preserving count with a filtered outer join."""
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 7500)
+    return (
+        nation.join(cust, cust.c_nationkey == nation.n_nationkey, "left")
+        .groupBy("n_name")
+        .agg(F.count("c_custkey").alias("n_rich"))
+        .orderBy("n_name")
+    )

@@ -1,0 +1,186 @@
+"""Window functions: ranking, analytic (lag/lead), frames
+(rows/range-between), distribution (ntile/percent_rank/cume_dist).
+
+Absent from the reference (SURVEY.md §2.5); exposed here 1:1 with
+Spark's Window API. Scale note: a window partitioned on a key shuffles
+once on that key — the same exchange a groupBy would need — and sorts
+within partitions only. Never use a global (unpartitioned) window on
+a fact table; the only global window here is over pre-aggregated data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+
+@register(
+    "window_rank_dense_rank",
+    oracle="""
+    SELECT c_custkey, c_nationkey, c_acctbal,
+           CAST(RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_rank,
+           CAST(DENSE_RANK() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS bal_dense_rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS BIGINT) AS rn
+    FROM customer
+    """,
+    tags=("window", "rank"),
+)
+def window_rank_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number over a keyed window (deterministic
+    order via c_custkey tiebreak)."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        "c_acctbal",
+        F.rank().over(w).cast("bigint").alias("bal_rank"),
+        F.dense_rank().over(w).cast("bigint").alias("bal_dense_rank"),
+        F.row_number().over(w).cast("bigint").alias("rn"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0), 4) AS value_delta
+    FROM events
+    """,
+    tags=("window", "analytic"),
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event time (the CDC/sessionization
+    building block)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.round(
+            F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)), 4
+        ).alias("value_delta"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           ROUND(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_spend,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative frame: running spend + order sequence per customer."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_spend"),
+        F.count("*").over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(AVG(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3
+    FROM orders
+    """,
+    tags=("window", "frame"),
+)
+def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 3-row frame (moving average)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.avg("o_totalprice").over(w), 4).alias("moving_avg_3"),
+    )
+
+
+@register(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER (ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile,
+           ROUND(PERCENT_RANK() OVER (ORDER BY c_acctbal, c_custkey), 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER (ORDER BY c_acctbal, c_custkey), 6) AS cume
+    FROM customer
+    """,
+    tags=("window", "distribution"),
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile/percent_rank/cume_dist. Global window is acceptable only
+    because customer is dimension-sized; for facts use a partitioned
+    variant."""
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+           ROUND(SUM(l_quantity) OVER (
+               PARTITION BY l_suppkey ORDER BY l_quantity
+               RANGE BETWEEN 5 PRECEDING AND CURRENT ROW), 4) AS qty_range_sum
+    FROM lineitem
+    WHERE l_suppkey <= 3
+    """,
+    tags=("window", "frame", "range"),
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, not row-based): sum of quantities
+    within 5 units below the current row's quantity."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, W.currentRow)
+    )
+    return li.filter(F.col("l_suppkey") <= 3).select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.sum("l_quantity").over(w), 4).alias("qty_range_sum"),
+    )

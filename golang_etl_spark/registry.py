@@ -1,0 +1,96 @@
+"""Query registry — the driver-contract backbone.
+
+Every operator module registers its runnable queries here; the repo's
+``__spark_entry__.py`` re-exports the registry as ``queries()`` /
+``oracle_sql()``. One place to see SURVEY.md §2 coverage.
+
+A query is a callable ``(spark, sf_dir) -> DataFrame`` plus (when the
+semantics are ANSI-SQL-expressible) an equivalent DuckDB SQL string
+run against the same parquet fixtures. Column names/aliases MUST match
+between the two — the driver sorts columns by name before hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None  # DuckDB SQL; None -> rows-only check
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+_REGISTRY: dict[str, QuerySpec] = {}
+
+
+def register(
+    name: str, oracle: str | None = None, tags: tuple[str, ...] = ()
+) -> Callable[[QueryFn], QueryFn]:
+    """Decorator: add a query to the registry.
+
+    >>> @register("q1", oracle="SELECT ...")
+    ... def q1(spark, sf_dir): ...
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tuple(tags), doc=fn.__doc__ or ""
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    _load_all()
+    return dict(_REGISTRY)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: spec.fn for name, spec in all_queries().items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        name: spec.oracle
+        for name, spec in all_queries().items()
+        if spec.oracle is not None
+    }
+
+
+_LOADED = False
+
+
+def _load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    # imports are side-effectful (decorators run at import time)
+    from golang_etl_spark import etl  # noqa: F401
+    from golang_etl_spark.operators import (  # noqa: F401
+        asof,
+        dedup,
+        multimodal,
+        relational,
+        sessionize,
+        setops,
+        similarity,
+        text,
+        topk,
+        windows,
+    )
+    from golang_etl_spark.streaming import jobs  # noqa: F401
+
+    _LOADED = True

@@ -1,0 +1,68 @@
+"""SparkSession factory with the engine's parity + scale defaults.
+
+The reference hand-tunes concurrency (20 fetch / 20 write semaphores,
+pool 20/10, channel cap 1000 — /root/reference/extractor.go:250-268).
+On Spark those become declarative knobs: shuffle partitions, AQE,
+maxRecordsPerFile. This module centralizes them so every entry point
+(tests, bench, driver) runs the same tuned session.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Rows per output file — parity with the reference's 100k-row sink
+# batches (/root/reference/extractor.go:119).
+DEFAULT_MAX_RECORDS_PER_FILE = 100_000
+
+# Default key stride for partitioned range scans
+# (/root/reference/extractor.go:270).
+DEFAULT_RANGE_STRIDE = 10_000
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "golang_etl_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    Local mode for CI; the same config block is what we'd ship to a
+    real cluster (AQE + skew-join handle runtime re-planning there).
+    """
+    cpus = default_parallelism()
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", f"local[{cpus}]")
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        # shuffle partitions ~ cores for local; AQE coalesces at runtime
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # deterministic timestamps vs the DuckDB oracle
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas-UDF / toPandas boundary
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        # fixture events.ts is parquet TIMESTAMP(NANOS); Spark lacks a
+        # nanos type — read as long, normalized in sources.catalog
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.sql.maxRecordsPerFile", str(DEFAULT_MAX_RECORDS_PER_FILE))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
