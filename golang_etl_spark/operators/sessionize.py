@@ -1,1 +1,162 @@
-"""Placeholder — implemented later this round."""
+"""Batch sessionization over the ``events`` table: gap-based session
+assignment (30-minute inactivity timeout) and per-session rollups.
+
+The streaming counterpart (F.session_window with watermark) lives in
+golang_etl_spark/streaming/jobs.py; this is the batch re-statement,
+oracle-checkable against DuckDB window functions.
+
+Scale notes (100 TB stance): one shuffle on user_id for the lag/
+running-sum windows, then a partial-agg'd groupBy on (user_id,
+session_idx) that reuses the same partitioning — Catalyst collapses it
+into the existing exchange, so the whole query is a single exchange
+over the fact table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, microseconds
+
+_SESSIONIZE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT) AS duration_us,
+       ROUND(SUM(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register("sessionize_events", oracle=_SESSIONIZE_ORACLE, tags=("session", "window"))
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: a new session starts after >30 min of
+    user inactivity. lag() flags session starts, a running sum numbers
+    them, then a grouped rollup per (user_id, session_idx)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "value",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    sessions = flagged.withColumn(
+        "session_idx", F.sum("is_new").over(wrun)
+    )
+    return sessions.groupBy(
+        "user_id", F.col("session_idx").cast("long").alias("session_idx")
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+_SESSION_PROFILE_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+per_session AS (
+  SELECT user_id, session_idx, COUNT(*) AS n_events
+  FROM sessions GROUP BY user_id, session_idx
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       ROUND(AVG(n_events), 4) AS avg_events_per_session,
+       CAST(MAX(n_events) AS BIGINT) AS max_session_events
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@register(
+    "sessionize_user_profile", oracle=_SESSION_PROFILE_ORACLE, tags=("session",)
+)
+def sessionize_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session profile (session count, events/session) —
+    second-level rollup of sessionize_events, still one exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > SESSION_GAP_US
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    per_session = (
+        flagged.withColumn("session_idx", F.sum("is_new").over(wrun))
+        .groupBy("user_id", "session_idx")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+        F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
+        F.max("n_events").alias("max_session_events"),
+    )

@@ -1,1 +1,270 @@
-"""Placeholder — implemented later this round."""
+"""Similarity search over the ``embeddings`` table (array<float>
+column): brute-force cosine top-k, LSH-bucketed ANN, and label
+centroid analytics.
+
+No reference counterpart (SURVEY.md §2.5) — LLM-pipeline extension.
+All vector math is built-in JVM lambdas (zip_with/aggregate), no
+Python UDFs; the DuckDB oracle replays the identical arithmetic.
+
+Scale notes (100 TB stance):
+- brute-force top-k broadcasts the (tiny) query set against the full
+  vector table: one scan, no shuffle of the big side, per-partition
+  partial top-k via the window only over |queries| x n rows.
+- the ANN variant buckets both sides with fixed random hyperplanes and
+  joins on bucket id — the big side shuffles once on a 16-value key at
+  most (broadcast of queries avoids even that); recall tuned by plane
+  count, which should grow with n.
+- centroid analytics: explode to (label, dim) and partial-aggregate —
+  the shuffle carries |labels| x dim partial sums, independent of n.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # query set: vec_id < N_QUERIES
+
+# ANN hyperplanes (seed 11 — distinct from dedup's seed-7 planes).
+ANN_PLANES = 8
+EMBED_DIM = 64
+_PLANES = np.round(
+    np.random.RandomState(11).standard_normal((ANN_PLANES, EMBED_DIM)), 4
+)
+
+_EMB_DOUBLE_SPARK = "transform(embedding, x -> cast(x AS double))"
+
+
+def _dot_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+
+
+def _plane_literal(p: np.ndarray) -> str:
+    return ", ".join(format(float(v), ".4f") for v in p)
+
+
+def _bucket_expr(dialect: str) -> str:
+    terms = []
+    for i in range(ANN_PLANES):
+        lit = _plane_literal(_PLANES[i])
+        if dialect == "spark":
+            dot = _dot_spark("emb", f"array({lit})")
+        else:
+            dot = f"list_dot_product(emb, [{lit}])"
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+# ---------------------------------------------------------------------------
+# 1. Brute-force cosine top-k (the exact baseline).
+# ---------------------------------------------------------------------------
+_BRUTE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm) AS cos
+  FROM v q JOIN v ON v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_topk_bruteforce", oracle=_BRUTE_ORACLE, tags=("ann", "llm")
+)
+def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast the query vectors (vec_id <
+    N_QUERIES) against every vector, rank per query. The big side is
+    scanned once with no shuffle; ties break on neighbor_id so the
+    ranking is deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id",
+        f"{_EMB_DOUBLE_SPARK} AS emb",
+    ).selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    q = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm"
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cos",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. LSH-bucketed ANN (the scale path).
+# ---------------------------------------------------------------------------
+_ANN_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, emb,
+         {_bucket_expr('duck')} AS bucket,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM v
+),
+scored AS (
+  SELECT q.vec_id AS query_id, v.vec_id AS neighbor_id,
+         list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm) AS cos
+  FROM sig q JOIN sig v
+    ON q.bucket = v.bucket AND v.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_ann_lsh", oracle=_ANN_ORACLE, tags=("ann", "llm"))
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: 8 fixed random hyperplanes → 256 buckets;
+    each query only scores vectors in its own bucket. ~n/256 of the
+    work of brute force per query; recall governed by plane count.
+    Deterministic (fixed planes), so the oracle replays it exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = (
+        emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb")
+        .selectExpr(
+            "vec_id",
+            "emb",
+            f"{_bucket_expr('spark')} AS bucket",
+            f"sqrt({_dot_spark('emb', 'emb')}) AS nrm",
+        )
+    )
+    q = sig.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm", "bucket AS q_bucket"
+    )
+    scored = (
+        sig.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("q_bucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .selectExpr(
+            "query_id",
+            "vec_id AS neighbor_id",
+            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cos",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. Label centroid analytics (distributed array aggregation).
+# ---------------------------------------------------------------------------
+_CENTROID_ORACLE = f"""
+WITH v AS (
+  SELECT label, embedding::DOUBLE[] AS emb FROM embeddings
+),
+dims AS (
+  SELECT label, i.i AS dim, emb[i.i] AS x
+  FROM v, (SELECT unnest(range(1, {EMBED_DIM + 1})) AS i) i
+),
+cent AS (
+  SELECT label, dim, AVG(x) AS c
+  FROM dims GROUP BY label, dim
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(a.c * b.c) AS dot,
+         sqrt(SUM(a.c * a.c)) AS na, sqrt(SUM(b.c * b.c)) AS nb
+  FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+  GROUP BY a.label, b.label
+)
+SELECT label_a, label_b, ROUND(dot / (na * nb), 6) AS centroid_cosine
+FROM pairs
+"""
+
+
+@register(
+    "similarity_label_centroids", oracle=_CENTROID_ORACLE, tags=("ann", "llm")
+)
+def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors (posexplode → partial-agg on
+    (label, dim): the shuffle carries |labels|×dim sums, independent
+    of row count), then pairwise centroid cosine across labels."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode(F.expr(_EMB_DOUBLE_SPARK)).alias("pos", "x")
+    ).select("label", (F.col("pos") + 1).alias("dim"), "x")
+    cent = dims.groupBy("label", "dim").agg(F.avg("x").alias("c"))
+    a = cent.selectExpr("label AS label_a", "dim", "c AS ca")
+    b = cent.selectExpr("label AS label_b", "dim", "c AS cb")
+    pairs = (
+        a.join(b, "dim")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return pairs.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    )

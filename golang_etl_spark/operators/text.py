@@ -1,1 +1,291 @@
-"""Placeholder — implemented later this round."""
+"""Text analysis over the ``documents`` table: language-ID heuristic,
+quality scoring, token counting, document fingerprinting.
+
+The reference has no scalar/text surface at all (SURVEY.md §2.5 — its
+only string op is the []byte→string coercion, /root/reference/
+extractor.go:100-102); this module is pure extension territory for
+LLM-training-data pipelines.
+
+Scale notes (100 TB stance):
+- everything here is a narrow per-row projection over built-in JVM
+  expressions (split/transform/filter/md5) — no shuffle at all except
+  the final aggregates, which are partial-agg'd map-side. Plans are a
+  single WholeStageCodegen span over the parquet scan.
+- no Python UDFs: lambdas run inside Catalyst (HigherOrderFunction),
+  so the hot path never leaves the JVM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+# Stopword marker sets. The fixture vocabulary is English-ish word
+# soup; the language markers are standard high-frequency function
+# words per language. Shared constants keep the Spark and DuckDB
+# expressions in lock-step.
+STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "et", "les", "est"),
+    "es": ("el", "los", "y", "una", "es"),
+    "zh": ("de", "shi", "le_zh", "zai", "he"),
+}
+
+# BPE-ish token regex: runs of letters, runs of digits, or any single
+# non-space symbol — a crude byte-pair-encoding proxy that both
+# engines' regexp_extract_all implement identically.
+TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+
+
+def _sql_list(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+def _words_expr_spark() -> str:
+    return "split(trim(text), '\\\\s+')"
+
+
+def _words_expr_duck() -> str:
+    return "string_split_regex(trim(text), '\\s+')"
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/word/stopword stats per document.
+# ---------------------------------------------------------------------------
+_QUALITY_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source,
+         length(text) AS n_chars_raw,
+         {_words_expr_duck()} AS w
+  FROM documents
+)
+SELECT doc_id, lang, source,
+       n_chars_raw,
+       CAST(len(w) AS BIGINT) AS n_words,
+       ROUND((n_chars_raw - len(w) + 1) * 1.0 / len(w), 4) AS avg_word_len,
+       ROUND(len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)}))) * 1.0
+             / len(w), 4) AS stopword_ratio,
+       ROUND(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr
+FROM toks
+WHERE len(w) > 0
+"""
+
+
+@register("text_quality_stats", oracle=_QUALITY_ORACLE, tags=("text", "llm"))
+def text_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality metrics: word count, average word length,
+    stopword ratio, type-token ratio.
+
+    avg_word_len derives from char count minus separators ((chars -
+    (n_words-1) spaces) / n_words) — exact for single-space-joined
+    fixture text and computable without a second pass.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    d = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_raw"),
+        w.alias("w"),
+    ).filter(F.size("w") > 0)
+    n_words = F.size("w").cast("long")
+    stop_hits = F.expr(
+        f"size(filter(w, x -> x IN ({_sql_list(STOPWORDS)})))"
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars_raw",
+        n_words.alias("n_words"),
+        F.round((F.col("n_chars_raw") - n_words + 1) / n_words, 4).alias(
+            "avg_word_len"
+        ),
+        F.round(stop_hits / n_words, 4).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct("w")) / n_words, 4).alias("ttr"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Aggregated quality profile per language (partial-agg friendly).
+# ---------------------------------------------------------------------------
+_QUALITY_BY_LANG_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, {_words_expr_duck()} AS w, length(text) AS n_chars_raw
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(len(w)), 4) AS avg_words,
+       ROUND(AVG(n_chars_raw), 4) AS avg_chars,
+       ROUND(AVG(len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)})))
+             * 1.0 / len(w)), 4) AS avg_stopword_ratio
+FROM toks
+WHERE len(w) > 0
+GROUP BY lang
+"""
+
+
+@register(
+    "text_quality_by_lang", oracle=_QUALITY_BY_LANG_ORACLE, tags=("text", "llm")
+)
+def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level quality profile grouped by language tag — the
+    shuffle carries |langs| rows of partial sums only."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.expr(_words_expr_spark()).alias("w"),
+        F.length("text").alias("n_chars_raw"),
+    ).filter(F.size("w") > 0)
+    stop_hits = F.expr(
+        f"size(filter(w, x -> x IN ({_sql_list(STOPWORDS)})))"
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.size("w")), 4).alias("avg_words"),
+        F.round(F.avg("n_chars_raw"), 4).alias("avg_chars"),
+        F.round(F.avg(stop_hits / F.size("w")), 4).alias("avg_stopword_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID heuristic: marker-word voting with deterministic
+# priority tie-break (en > de > fr > es > zh).
+# ---------------------------------------------------------------------------
+def _langid_scores_duck() -> str:
+    return ",\n  ".join(
+        f"len(list_filter(w, x -> x IN ({_sql_list(m)}))) AS score_{lang}"
+        for lang, m in LANG_MARKERS.items()
+    )
+
+
+def _langid_case(dialect: str) -> str:
+    langs = list(LANG_MARKERS)
+    clauses = []
+    for i, lang in enumerate(langs):
+        others = [f"score_{lang} >= score_{o}" for o in langs[i + 1 :]]
+        prior = [f"score_{lang} > score_{o}" for o in langs[:i]]
+        cond = " AND ".join(prior + others) or "TRUE"
+        clauses.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(clauses) + " ELSE 'und' END"
+
+
+_LANGID_ORACLE = f"""
+WITH scored AS (
+  SELECT lang, {_langid_scores_duck()}
+  FROM (SELECT lang, {_words_expr_duck()} AS w FROM documents)
+)
+SELECT lang, {_langid_case('duck')} AS lang_pred,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM scored
+GROUP BY lang, lang_pred
+"""
+
+
+@register("text_langid", oracle=_LANGID_ORACLE, tags=("text", "llm"))
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword language-ID heuristic → confusion-matrix counts
+    against the fixture's lang tag. Pure JVM lambda expressions; the
+    only shuffle is the tiny (lang × pred) aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("lang", F.expr(_words_expr_spark()).alias("w"))
+    for lang, markers in LANG_MARKERS.items():
+        d = d.withColumn(
+            f"score_{lang}",
+            F.expr(f"size(filter(w, x -> x IN ({_sql_list(markers)})))"),
+        )
+    d = d.withColumn("lang_pred", F.expr(_langid_case("spark")))
+    return d.groupBy("lang", "lang_pred").agg(F.count("*").alias("n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Token counting: whitespace tokens + BPE-ish regex tokens, per source.
+# ---------------------------------------------------------------------------
+_TOKEN_COUNT_ORACLE = f"""
+WITH toks AS (
+  SELECT source,
+         len({_words_expr_duck()}) AS ws_tokens,
+         len(regexp_extract_all(text, '{TOKEN_RE}')) AS bpe_tokens
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(ws_tokens) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_bpe_tokens,
+       ROUND(AVG(bpe_tokens), 4) AS avg_bpe_tokens
+FROM toks
+GROUP BY source
+"""
+
+
+@register("text_token_count", oracle=_TOKEN_COUNT_ORACLE, tags=("text", "llm"))
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish regex token counts aggregated per source —
+    the token-budget accounting query of a training-data pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source",
+        F.size(F.expr(_words_expr_spark())).alias("ws_tokens"),
+        # Spark SQL string literals process backslash escapes; DuckDB's
+        # don't — double the backslash for the Spark side only.
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)")
+        ).alias("bpe_tokens"),
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws_tokens").alias("total_ws_tokens"),
+        F.sum("bpe_tokens").alias("total_bpe_tokens"),
+        F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprinting: winnowing-lite over rolling word 5-grams.
+# ---------------------------------------------------------------------------
+_FP_ORACLE = f"""
+WITH grams AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 5 THEN
+           list_transform(range(1, len(w) - 3),
+             i -> md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+                      w[i+3] || ' ' || w[i+4]))
+         ELSE [md5(array_to_string(w, ' '))] END AS g
+  FROM (SELECT doc_id, {_words_expr_duck()} AS w FROM documents)
+)
+SELECT doc_id, list_min(g) AS fp_min, list_max(g) AS fp_max,
+       CAST(len(list_distinct(g)) AS BIGINT) AS n_grams
+FROM grams
+"""
+
+
+@register("text_fingerprint", oracle=_FP_ORACLE, tags=("text", "llm"))
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (winnowing-lite): hash every
+    word 5-gram, keep the min/max hash as the document sketch. Short
+    docs (<5 words) fall back to a whole-text hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.expr(_words_expr_spark()).alias("w")
+    )
+    grams = F.expr(
+        "CASE WHEN size(w) >= 5 THEN "
+        "transform(sequence(1, size(w) - 4), "
+        "  i -> md5(concat_ws(' ', element_at(w, i), element_at(w, i+1), "
+        "           element_at(w, i+2), element_at(w, i+3), element_at(w, i+4)))) "
+        "ELSE array(md5(concat_ws(' ', w))) END"
+    )
+    return d.select(
+        "doc_id",
+        F.array_min(grams).alias("fp_min"),
+        F.array_max(grams).alias("fp_max"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
+    )
