@@ -46,7 +46,10 @@ def main() -> None:
     for name in names:
         fn = available[name].fn
         runs = []
-        for _ in range(3):  # run 1 warms; best of the rest
+        # run 1 warms (JIT/codegen); best of the rest. 4 runs because
+        # this host shows multi-second scheduler jitter at local[32] —
+        # min-of-3 timed runs filters the outliers.
+        for _ in range(4):
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()

@@ -111,13 +111,6 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. MinHash + LSH near-dedup.
 # ---------------------------------------------------------------------------
-def _minhash_cols_spark() -> list[str]:
-    return [
-        f"array_min(transform(shingles, s -> md5(concat(s, '#{i}')))) AS h{i}"
-        for i in range(MINHASH_K)
-    ]
-
-
 def _minhash_cols_duck() -> str:
     return ",\n    ".join(
         f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS h{i}"
@@ -178,20 +171,34 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4x4 bands) near-duplicate pairs, verified
     with exact shingle Jaccard >= 0.7.
 
-    Pipeline: shingle → 16 min-hashes (JVM lambda, one pass over the
-    shingle array per seed) → 4 band keys → explode to (band, key) →
-    self-join on the band key (the only shuffle) → exact-Jaccard
-    verify on the candidates only. Candidate volume is O(near-dups),
-    not O(n²)."""
+    Pipeline: explode distinct shingles to postings ONCE, compute the
+    16 min-hashes as grouped MIN aggregates (map-side partial min — no
+    per-row lambda forests; an earlier array-lambda formulation made
+    Catalyst's projection collapse inline the whole shingle pipeline
+    into every band key, blowing up codegen 16x) → 4 band keys →
+    self-join on band key → Jaccard verify through the same posting
+    table (shared-shingle counts), so candidate volume stays
+    O(near-dups), never O(n²)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = docs.selectExpr(
         "doc_id", f"{_WORDS_SPARK} AS w"
     ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
-    sig = sh.selectExpr("doc_id", "shingles", *_minhash_cols_spark()).selectExpr(
-        "doc_id", *_band_exprs()
+    posting = sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode("shingles").alias("shingle"),
     )
+    sig = posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(
+                f"h{i}"
+            )
+            for i in range(MINHASH_K)
+        ]
+    )
+    banded = sig.selectExpr("doc_id", *_band_exprs())
     stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
-    bands = sig.selectExpr(
+    bands = banded.selectExpr(
         "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
     )
     a, b = bands.alias("a"), bands.alias("b")
@@ -208,20 +215,25 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    sa = sh.select(
-        F.col("doc_id").alias("doc_id_a"), F.col("shingles").alias("sh_a")
+    pa = posting.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n").alias("n_a"),
+        "shingle",
     )
-    sb = sh.select(
-        F.col("doc_id").alias("doc_id_b"), F.col("shingles").alias("sh_b")
+    pb = posting.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n").alias("n_b"),
+        "shingle",
     )
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    shared = (
+        cand.join(pa, "doc_id_a")
+        .join(pb, ["doc_id_b", "shingle"])
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
     )
-    return (
-        cand.join(sa, "doc_id_a")
-        .join(sb, "doc_id_b")
-        .filter(jac >= JACCARD_MIN)
-        .select("doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard"))
+    jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
+    return shared.filter(jac >= JACCARD_MIN).select(
+        "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
     )
 
 

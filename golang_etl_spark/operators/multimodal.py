@@ -1,1 +1,207 @@
-"""Placeholder — implemented later this round."""
+"""Multimodal column handling: opaque binary payloads + typed
+metadata, decode/feature-extract via Arrow-batched ``mapInPandas``,
+and frame sampling.
+
+The container has no image/audio codecs, so *real* decoding is stubbed
+behind a clearly-marked NotImplementedError (``decode_media``); the
+Spark-side plumbing — binary columns, metadata structs, pandas-UDF
+signatures, batch shapes, partitioning — is real and oracle-checked.
+Payloads are synthesized deterministically from ``documents`` (md5 →
+unhex → 16-byte binary), so the DuckDB oracle can recompute every
+derived feature from the hex digest.
+
+Scale notes (100 TB stance):
+- binary payloads stay opaque until the last step; metadata predicates
+  (media_type, byte size) are plain columns, so Catalyst prunes and
+  pushes them *before* any Python is involved.
+- the only Python crossing is mapInPandas over Arrow record batches
+  (vectorized numpy per batch, never per-row); everything else is JVM.
+- frame sampling is explode(sequence(...)) — generates rows JVM-side,
+  no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+FRAME_INTERVAL_S = 10
+
+
+def decode_media(payload: bytes, media_type: str) -> object:
+    """Real codec decode — NOT IMPLEMENTED in this container (no
+    PIL/librosa/av). The pipeline around it (schema, batching,
+    partitioning) is real; swap this stub for the codec call when the
+    libs exist."""
+    raise NotImplementedError(
+        "media codecs are unavailable in this environment; "
+        "use extract_features_fake() for the deterministic test path"
+    )
+
+
+def payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → (doc_id, media_type, payload BINARY, meta struct).
+
+    Deterministic synthesis: payload = unhex(md5(text)) (16 opaque
+    bytes standing in for encoded media); media_type cycles by doc_id;
+    width/height/duration derived from digest nibbles the same way the
+    oracle recomputes them."""
+    docs = load_table(spark, sf_dir, "documents")
+    hexd = F.md5("text")
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in MEDIA_TYPES]),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("media_type"),
+        F.unhex(hexd).alias("payload"),
+        F.struct(
+            (F.conv(F.substring(hexd, 1, 3), 16, 10).cast("long") % 1920 + 1)
+            .alias("width"),
+            (F.conv(F.substring(hexd, 4, 3), 16, 10).cast("long") % 1080 + 1)
+            .alias("height"),
+            (F.conv(F.substring(hexd, 7, 3), 16, 10).cast("long") % 600 + 1)
+            .alias("duration_s"),
+        ).alias("meta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 1. Metadata projection (oracle-checked plumbing).
+# ---------------------------------------------------------------------------
+_META_ORACLE = """
+SELECT doc_id,
+       ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+       CAST(16 AS BIGINT) AS payload_bytes,
+       ('0x' || substr(md5(text), 1, 3))::BIGINT % 1920 + 1 AS width,
+       ('0x' || substr(md5(text), 4, 3))::BIGINT % 1080 + 1 AS height,
+       ('0x' || substr(md5(text), 7, 3))::BIGINT % 600 + 1 AS duration_s
+FROM documents
+"""
+
+
+@register("multimodal_metadata", oracle=_META_ORACLE, tags=("multimodal", "llm"))
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload + typed metadata columns, flattened. Everything
+    is JVM expressions over the scan — the payload bytes are carried
+    but never opened."""
+    p = payload_df(spark, sf_dir)
+    return p.select(
+        "doc_id",
+        "media_type",
+        F.octet_length("payload").cast("long").alias("payload_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_s").alias("duration_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Feature extraction via mapInPandas (Arrow-batched Python).
+# ---------------------------------------------------------------------------
+_FEATURES_SCHEMA = (
+    "doc_id long, n_bytes long, mean_byte double, min_byte long, max_byte long"
+)
+
+_FEATURES_ORACLE = """
+WITH bytes AS (
+  SELECT doc_id,
+         list_transform(range(1, 17),
+           i -> ('0x' || substr(md5(text), 2*i - 1, 2))::BIGINT) AS b
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(b) AS BIGINT) AS n_bytes,
+       list_sum(b) / 16.0 AS mean_byte,
+       CAST(list_min(b) AS BIGINT) AS min_byte,
+       CAST(list_max(b) AS BIGINT) AS max_byte
+FROM bytes
+"""
+
+
+def _extract_features(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    """Vectorized fake feature extractor: byte statistics per payload.
+    Stands in for the codec feature step (decode_media) with identical
+    plumbing — Arrow in, numpy per batch, Arrow out."""
+    import numpy as np
+
+    for pdf in batches:
+        arrs = [np.frombuffer(p, dtype=np.uint8) for p in pdf["payload"]]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].to_numpy(),
+                "n_bytes": [len(a) for a in arrs],
+                "mean_byte": [float(a.sum()) / len(a) for a in arrs],
+                "min_byte": [int(a.min()) for a in arrs],
+                "max_byte": [int(a.max()) for a in arrs],
+            }
+        )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=_FEATURES_ORACLE,
+    tags=("multimodal", "llm", "pandas_udf"),
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction through the real multimodal path: binary
+    column → mapInPandas (Arrow record batches, numpy inside) → typed
+    feature columns. The oracle recomputes the same statistics from
+    the hex digest, proving the Python crossing is lossless."""
+    p = payload_df(spark, sf_dir).select("doc_id", "payload")
+    return p.mapInPandas(_extract_features, schema=_FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# 3. Frame sampling for video rows (explode a generated sequence).
+# ---------------------------------------------------------------------------
+_FRAMES_ORACLE = f"""
+WITH v AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 7, 3))::BIGINT % 600 + 1 AS duration_s
+  FROM documents
+  WHERE doc_id % 3 = 2  -- media_type = 'video'
+)
+SELECT doc_id, CAST(f.f AS BIGINT) AS frame_idx,
+       CAST(f.f * {FRAME_INTERVAL_S} AS BIGINT) AS frame_ts_s
+FROM v, (SELECT unnest(range(0, 61)) AS f) f
+WHERE f.f * {FRAME_INTERVAL_S} <= duration_s
+"""
+
+
+@register("multimodal_frame_sample", oracle=_FRAMES_ORACLE, tags=("multimodal",))
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: one row per 10-second frame offset of each
+    video payload, generated JVM-side via explode(sequence(...)) — the
+    row-expansion pattern for frame/segment extraction at scale (no
+    shuffle; sampling fan-out happens inside the scan stage)."""
+    p = payload_df(spark, sf_dir).filter(F.col("media_type") == "video")
+    return (
+        p.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.floor(F.col("meta.duration_s") / FRAME_INTERVAL_S).cast(
+                        "int"
+                    ),
+                )
+            ).alias("frame_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("frame_idx").cast("long").alias("frame_idx"),
+            (F.col("frame_idx") * FRAME_INTERVAL_S).cast("long").alias(
+                "frame_ts_s"
+            ),
+        )
+    )

@@ -91,6 +91,7 @@ def _load_all() -> None:
         topk,
         windows,
     )
+    from golang_etl_spark.sources import sinks  # noqa: F401
     from golang_etl_spark.streaming import jobs  # noqa: F401
 
     _LOADED = True

@@ -1,0 +1,137 @@
+"""Sink matrix: parquet (reference parity), CSV, JSON — plus the
+seeder re-expressed (S8) and shard-union mode (X7).
+
+Reference sinks: snappy parquet only, 100k-row batches with a per-row
+JSON marshal round-trip (/root/reference/extractor.go:114-193) — the
+JSON hop disappears here (Spark writes parquet natively, vectorized).
+CSV/JSON are new surface the reference lacks (SURVEY.md §2.1: "No
+CSV/JSON/ORC/Avro" sources or sinks).
+
+Scale notes (100 TB stance): every writer is a plain DataFrameWriter
+action — file-per-task, ``maxRecordsPerFile`` bounding file size, no
+driver-side materialization anywhere. Readers hand Spark a directory
+and let the file index split/parallelize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.session import DEFAULT_MAX_RECORDS_PER_FILE
+from golang_etl_spark.sources.catalog import load_table
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    max_records_per_file: int = DEFAULT_MAX_RECORDS_PER_FILE,
+    mode: str = "overwrite",
+) -> None:
+    """Parity sink (S4/S5): snappy parquet, bounded rows per file —
+    the reference's 100k-row batch files (extractor.go:119-123)
+    without the JSON round-trip (extractor.go:141, its documented
+    inefficiency)."""
+    (
+        df.write.mode(mode)
+        .option("compression", compression)
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+
+
+def write_csv(
+    df: DataFrame, path: str, header: bool = True, mode: str = "overwrite"
+) -> None:
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Explicit schema, never inferSchema — schema inference reads the
+    data twice and guesses; at 100 TB both are unacceptable."""
+    return spark.read.schema(schema).option("header", "true").csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    return spark.read.schema(schema).json(path)
+
+
+# ---------------------------------------------------------------------------
+# Seeder (S8) re-expressed: deterministic, distributed, no RNG state.
+# ---------------------------------------------------------------------------
+SEED_ROWS = 10_000
+SEED_DATA_LEN = 20
+
+
+def seed_table(spark: SparkSession, n_rows: int = SEED_ROWS) -> DataFrame:
+    """The reference seeder (/root/reference/tmp/data_seed.go:23-73)
+    generates (id AUTO_INCREMENT, 20-char random string) rows, seeded
+    from the wall clock — not reproducible. Re-expression:
+    spark.range (distributed, no driver loop) + md5-derived strings —
+    deterministic by construction, same shape. ``df.write.jdbc`` (or
+    any sink above) replaces the 1000-row INSERT batching."""
+    return spark.range(1, n_rows + 1).select(
+        F.col("id"),
+        F.substring(F.md5(F.col("id").cast("string")), 1, SEED_DATA_LEN).alias(
+            "data"
+        ),
+    )
+
+
+_SEED_ORACLE = f"""
+SELECT id,
+       substr(md5(id::VARCHAR), 1, {SEED_DATA_LEN}) AS data
+FROM range(1, {SEED_ROWS + 1}) t(id)
+"""
+
+
+@register("etl_seed_generator", oracle=_SEED_ORACLE, tags=("etl-parity", "source"))
+def etl_seed_generator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 parity: the synthetic (id, 20-char string) source table,
+    deterministic and distributed (spark.range partitions the id space
+    across executors; no RNG, no driver loop)."""
+    return seed_table(spark)
+
+
+# ---------------------------------------------------------------------------
+# Shard-union mode (X7).
+# ---------------------------------------------------------------------------
+_SHARD_UNION_ORACLE = """
+WITH both_shards AS (
+  SELECT * FROM lineitem WHERE l_orderkey % 2 = 0
+  UNION ALL
+  SELECT * FROM lineitem WHERE l_orderkey % 2 = 1
+)
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+FROM both_shards
+GROUP BY l_returnflag
+"""
+
+
+@register("etl_shard_union", oracle=_SHARD_UNION_ORACLE, tags=("etl-parity", "setops"))
+def etl_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7 parity: the prototype's shard fan-in
+    (/root/reference/tmp/df_extractor.go:187-194) — two identical-
+    schema shard scans merged with unionByName (here: even/odd
+    l_orderkey halves standing in for the jerry/pikachu shards), then
+    aggregated to prove no rows were lost or duplicated in the union.
+    Union is a zero-shuffle operator: partitions concatenate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    shard_a = li.filter(F.col("l_orderkey") % 2 == 0)
+    shard_b = li.filter(F.col("l_orderkey") % 2 == 1)
+    return (
+        shard_a.unionByName(shard_b)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+    )

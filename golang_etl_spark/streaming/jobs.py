@@ -1,1 +1,320 @@
-"""Placeholder — implemented later this round."""
+"""Structured Streaming over the ``events`` fixture: watermarked
+tumbling/sliding windows, session windows, streaming dedup, and a
+custom stateful operator (applyInPandasWithState).
+
+The reference is a batch snapshot extractor — zero streaming
+(SURVEY.md §2.5). These jobs run the file stream to completion with
+``Trigger.AvailableNow`` into a memory sink, so each registry entry
+still returns a deterministic DataFrame the DuckDB oracle can check:
+the streaming runtime (state store, window merge, watermark tracking)
+is fully exercised, while the *results* stay batch-equivalent.
+
+Scale notes (100 TB stance):
+- all aggregations are keyed (window/event_type/user_id) so state is
+  partitioned across executors by the shuffle; nothing accumulates on
+  the driver.
+- watermarks bound state for append-mode production runs; the memory
+  sink + complete mode here is test scaffolding only (documented where
+  used).
+- applyInPandasWithState keeps per-key state in the state store and
+  crosses to Python via Arrow — the same vectorized boundary as the
+  batch pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from golang_etl_spark.registry import register
+
+_COUNTER = itertools.count()
+
+# events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (set by the
+# session factory) it scans as LONG and is normalized here, matching
+# sources.catalog.load_table.
+_EVENTS_SCHEMA = (
+    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+    "value DOUBLE, props STRING"
+)
+
+
+def _stream_dir(sf_dir: str) -> str:
+    """Spark's file stream source requires a *directory* to monitor;
+    the fixture is a single read-only file. Stage a per-sf_dir temp
+    directory holding a symlink to it (no data copy)."""
+    import hashlib
+    import os
+
+    d = (
+        "/tmp/spark_graft_stream/"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + "/events"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = f"{d}/events.parquet"
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    return d
+
+
+def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(_EVENTS_SCHEMA)
+        .parquet(_stream_dir(sf_dir))
+    )
+    return raw.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+    )
+
+
+def _run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
+    """Run a streaming query to completion (AvailableNow) into a
+    memory sink; return the materialized result table."""
+    qname = f"{name}_{next(_COUNTER)}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(qname)
+
+
+# ---------------------------------------------------------------------------
+# 1. Watermarked tumbling window aggregation.
+# ---------------------------------------------------------------------------
+_TUMBLING_ORACLE = """
+SELECT time_bucket(INTERVAL '1 day', ts) AS win_start,
+       event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY win_start, event_type
+"""
+
+
+@register(
+    "streaming_tumbling_counts", oracle=_TUMBLING_ORACLE, tags=("streaming",)
+)
+def streaming_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day windows per event_type with a 1-hour watermark,
+    run through the streaming engine (AvailableNow → memory sink;
+    complete mode so the final open window emits — production would
+    use append + a real sink, where the watermark expires windows
+    incrementally)."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 day").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "tumbling_counts", "complete")
+
+
+# ---------------------------------------------------------------------------
+# 2. Sliding window average.
+# ---------------------------------------------------------------------------
+_SLIDING_ORACLE = """
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS b, value FROM events
+),
+expanded AS (
+  SELECT b AS win_start, value FROM assigned
+  UNION ALL
+  SELECT b - INTERVAL '30 minutes' AS win_start, value FROM assigned
+)
+SELECT win_start,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM expanded
+GROUP BY win_start
+"""
+
+
+@register("streaming_sliding_avg", oracle=_SLIDING_ORACLE, tags=("streaming",))
+def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour windows every 30 minutes (each event lands in 2
+    windows). The oracle expands the two bucket assignments explicitly
+    — same algebra the streaming engine applies.
+
+    SUM rather than AVG: the fixture values have 2 decimals, so sums
+    round(4) bit-stably across accumulation orders; AVG(…) divides
+    onto arbitrary reals and flipped the 4th decimal vs the oracle at
+    3/1441 rows."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("win"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(F.col("win.start").alias("win_start"), "n_events", "total_value")
+    )
+    return _run_to_table(agg, "sliding_avg", "complete")
+
+
+# ---------------------------------------------------------------------------
+# 3. Session windows (30-minute gap), streaming-native.
+# ---------------------------------------------------------------------------
+_SESSION_ORACLE = """
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM sessions
+GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "streaming_session_window", oracle=_SESSION_ORACLE, tags=("streaming",)
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F.session_window(ts, '30 minutes') per user through the
+    streaming session-merge state store. Session semantics: an event
+    at exactly start+gap opens a NEW session (window end is
+    exclusive), hence the oracle's >= gap flag — one of the two
+    half-open conventions; the batch sessionize_events operator
+    implements the other (>), both documented."""
+    ev = _stream_events(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    return _run_to_table(agg, "session_window", "complete")
+
+
+# ---------------------------------------------------------------------------
+# 4. Streaming dedup: dropDuplicates over a doubled stream.
+# ---------------------------------------------------------------------------
+_DEDUP_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("streaming_dedup", oracle=_DEDUP_ORACLE, tags=("streaming",))
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on event_id: the input stream is
+    unioned with itself (every event duplicated), the dedup state
+    store removes the copies, and per-type counts must equal the plain
+    batch counts. Production would add withWatermark so dedup state
+    expires; finite AvailableNow input keeps it bounded here."""
+    ev = _stream_events(spark, sf_dir)
+    doubled = ev.unionByName(ev)
+    agg = (
+        doubled.dropDuplicates(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return _run_to_table(agg, "dedup", "complete")
+
+
+# ---------------------------------------------------------------------------
+# 5. Custom stateful operator: applyInPandasWithState.
+# ---------------------------------------------------------------------------
+_STATEFUL_ORACLE = """
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(MAX(value), 4) AS max_value,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY user_id
+"""
+
+_STATE_SCHEMA = "n BIGINT, mx DOUBLE, total DOUBLE"
+_STATEFUL_OUT_SCHEMA = (
+    "user_id LONG, n_events LONG, max_value DOUBLE, total_value DOUBLE"
+)
+
+
+def _user_stats_with_state(key, pdfs, state: GroupState):
+    """Per-user running (count, max, sum) kept in the state store;
+    emits the updated totals each trigger."""
+    n, mx, total = state.get if state.exists else (0, float("-inf"), 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        mx = max(mx, float(pdf["value"].max()))
+        total += float(pdf["value"].sum())
+    state.update((n, mx, total))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_events": [n],
+            "max_value": [round(mx, 4)],
+            "total_value": [round(total, 4)],
+        }
+    )
+
+
+@register(
+    "streaming_stateful_user_stats",
+    oracle=_STATEFUL_ORACLE,
+    tags=("streaming", "pandas_udf"),
+)
+def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running stats held in the partitioned state store,
+    crossing to Python over Arrow. With AvailableNow the single
+    trigger emits the final state, which must equal the batch GROUP
+    BY — the same code incrementally updates on a live stream.
+
+    Rounding note: total_value sums doubles in arrival order; the
+    oracle sums in scan order — equal after round(4) because the
+    fixture values have 2 decimals."""
+    ev = _stream_events(spark, sf_dir)
+    out = ev.groupBy("user_id").applyInPandasWithState(
+        _user_stats_with_state,
+        outputStructType=_STATEFUL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    return _run_to_table(out, "stateful_user_stats", "update")
