@@ -1,0 +1,102 @@
+"""Approximate/sketch aggregations + grouped pandas (applyInPandas).
+
+Sketches are the 100 TB answer to exact distincts/percentiles: HLL and
+quantile sketches partial-aggregate map-side and merge in O(sketch)
+per partition, where exact COUNT(DISTINCT)/percentile shuffle every
+distinct value. Spark's and DuckDB's sketch implementations differ, so
+these register WITHOUT an oracle (the driver records a rows-only
+check); tests/test_sketches.py asserts accuracy bounds against the
+exact answers instead.
+
+applyInPandas (grouped-map pandas UDF) is the remaining UDF surface
+(SURVEY.md §2.5: mapInPandas and applyInPandasWithState live in
+multimodal/streaming) — demonstrated with an integer ranking whose
+results are exact, so it IS oracle-checked.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+
+@register("sketch_approx_distinct", oracle=None, tags=("sketch", "aggregation"))
+def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts per return flag (rsd=2%). The
+    shuffle carries one ~kB sketch per (flag, partition) instead of
+    every distinct key — the only distinct-count that scales to 100 TB.
+    No oracle: HLL implementations differ across engines; accuracy is
+    asserted against the exact count in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register("sketch_percentile_approx", oracle=None, tags=("sketch", "aggregation"))
+def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate p50/p95/p99 of extended price per return flag
+    (accuracy 10000 ≈ 0.01% rank error) via Spark's quantile sketch —
+    mergeable, bounded-memory, unlike exact percentile which sorts the
+    whole partition. Accuracy asserted in tests/test_sketches.py."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
+            "price_quantiles"
+        ),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# applyInPandas: per-group pandas transform with exact (integer) output.
+# ---------------------------------------------------------------------------
+_RANK_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_totalprice DESC, o_orderkey)
+            AS BIGINT) AS spend_rank
+FROM orders
+"""
+
+_RANK_SCHEMA = "o_orderkey long, o_custkey long, spend_rank long"
+
+
+def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.sort_values(
+        ["o_totalprice", "o_orderkey"], ascending=[False, True]
+    ).reset_index(drop=True)
+    return pd.DataFrame(
+        {
+            "o_orderkey": pdf["o_orderkey"],
+            "o_custkey": pdf["o_custkey"],
+            "spend_rank": range(1, len(pdf) + 1),
+        }
+    )
+
+
+@register(
+    "applyinpandas_rank_orders", oracle=_RANK_ORACLE, tags=("pandas_udf", "window")
+)
+def applyinpandas_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map pandas UDF (applyInPandas): per-customer spend rank
+    computed in pandas, one Arrow batch per customer group. Integer
+    output with a deterministic tie-break, so it hash-matches the
+    ROW_NUMBER oracle exactly.
+
+    Scale note: groups shuffle once on the key, each group must fit in
+    one executor's memory (fine for per-customer groups; NOT the tool
+    for whole-table transforms — that's mapInPandas). Prefer the
+    built-in Window for this exact query (window_rank_dense_rank);
+    this registers the API surface with a checkable result."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return orders.groupBy("o_custkey").applyInPandas(
+        _rank_group, schema=_RANK_SCHEMA
+    )

@@ -1,0 +1,86 @@
+"""spark.sql() passthrough surface: the engine accepts raw ANSI SQL
+over the registered fixture views (SURVEY.md §7 step 3 — "spark.sql()
+passthrough"). Each query here is written once in ANSI SQL and executed
+verbatim by BOTH engines (Spark and the DuckDB oracle), demonstrating
+that the SQL front-end needs no translation layer.
+
+Scale notes: identical to the DataFrame operators — these parse into
+the same Catalyst plans (broadcast dims via AQE/size estimates, partial
+aggs, pushed filters). SQL vs DataFrame API is purely syntax.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import register_views
+
+# TPC-H Q3-shaped: shipping priority.
+_Q3 = """
+SELECT l.l_orderkey,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       o.o_orderdate,
+       o.o_orderpriority
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 20
+"""
+
+# TPC-H Q5-shaped: revenue by nation through the full star join.
+_Q5 = """
+SELECT n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_items
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+GROUP BY n.n_name
+"""
+
+# TPC-H Q10-shaped: top returned-revenue customers.
+_Q10 = """
+SELECT c.c_custkey, c.c_name, n.n_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS lost_revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def _passthrough(sql: str):
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(sql)
+
+    return run
+
+
+for _name, _sql, _doc in (
+    ("sql_shipping_priority", _Q3, "TPC-H Q3 shape via raw SQL passthrough."),
+    ("sql_revenue_by_nation", _Q5, "TPC-H Q5 shape: 6-table star join via SQL."),
+    ("sql_top_returned_customers", _Q10, "TPC-H Q10 shape via SQL passthrough."),
+):
+    _fn = _passthrough(_sql)
+    _fn.__doc__ = (
+        f"{_doc} The oracle executes the IDENTICAL SQL text — the "
+        "engine's SQL front-end requires no dialect translation for "
+        "ANSI queries."
+    )
+    _fn.__name__ = _name
+    register(_name, oracle=_sql, tags=("sql", "tpch"))(_fn)

@@ -87,6 +87,8 @@ def _load_all() -> None:
         sessionize,
         setops,
         similarity,
+        sketches,
+        sql_api,
         text,
         topk,
         windows,

@@ -1,0 +1,51 @@
+"""Accuracy gates for the sketch aggregations (which have no DuckDB
+oracle — HLL/quantile implementations differ across engines): the
+approximate answers must sit within their advertised error bounds of
+the exact answers computed on the same data.
+"""
+
+from pyspark.sql import functions as F
+
+from golang_etl_spark.operators.sketches import (
+    sketch_approx_distinct,
+    sketch_percentile_approx,
+)
+from golang_etl_spark.sources.catalog import load_table
+
+
+def test_approx_distinct_within_rsd(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in sketch_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["exact"]
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("exact"))
+        .collect()
+    }
+    assert approx.keys() == exact.keys()
+    for flag, e in exact.items():
+        # rsd=2%; allow 4 sigma
+        assert abs(approx[flag] - e) <= max(1, 0.08 * e), (flag, approx[flag], e)
+
+
+def test_percentile_approx_within_rank_error(spark, sf_dir):
+    rows = sketch_percentile_approx(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    for r in rows:
+        flag = r["l_returnflag"]
+        vals = sorted(
+            x["l_extendedprice"]
+            for x in li.filter(F.col("l_returnflag") == flag)
+            .select("l_extendedprice")
+            .collect()
+        )
+        n = len(vals)
+        for q, got in zip((0.5, 0.95, 0.99), r["price_quantiles"]):
+            # rank-error bound: the approx answer must be between the
+            # values at rank (q ± 1%) of the sorted data
+            lo = vals[max(0, int((q - 0.01) * n) - 1)]
+            hi = vals[min(n - 1, int((q + 0.01) * n))]
+            assert lo <= got <= hi, (flag, q, got, lo, hi)
