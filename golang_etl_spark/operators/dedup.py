@@ -66,6 +66,49 @@ HAMMING_MAX = 3
 # docs (stop-shingles) — kills bucket skew, standard recall tradeoff.
 DF_CAP = 50
 
+
+def _pin_partitions(spark: SparkSession) -> int:
+    """Partition count for the CPU-heavy text stages.
+
+    The fixture tables are single small parquet files, so the scan is
+    one task and AQE's coalescing would shrink a plain
+    ``repartition(col)`` back to one post-shuffle partition (these
+    stages are heavy per *row*, not per byte — AQE sizes by bytes).
+    An explicit count (REPARTITION_BY_NUM) is exempt from coalescing,
+    pinning the lambda-evaluation stages at full parallelism. At
+    cluster scale the input would arrive in many splits and this
+    repartition becomes a cheap rebalance on the same key the
+    signature aggregation shuffles on anyway.
+    """
+    return spark.sparkContext.defaultParallelism
+
+
+def _shingle_posting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted shingle index: (doc_id, n_shingles, shingle), one row
+    per distinct shingle per doc. Shared by the MinHash and n-gram
+    Jaccard variants; call ``.persist()`` at the use site when the
+    posting feeds multiple plan branches.
+
+    ``explode_outer``, not ``explode``: a non-outer Generate makes
+    Catalyst infer a ``size(shingles) > 0 AND isnotnull(shingles)``
+    filter and push it below the repartition Exchange — which inlines
+    the whole interpreted shingle lambda (twice!) into the single-task
+    scan stage. The shingle array is non-empty by construction (the
+    CASE always yields >= 1 element), so outer semantics are identical
+    and the inferred filter never exists.
+    """
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _pin_partitions(spark), "doc_id"
+    )
+    sh = docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w").selectExpr(
+        "doc_id", f"{_SHINGLES_SPARK} AS shingles"
+    )
+    return sh.select(
+        "doc_id",
+        F.size("shingles").alias("n"),
+        F.explode_outer("shingles").alias("shingle"),
+    )
+
 # Embedding LSH: fixed random hyperplanes (seed 7), 4 planes → 16
 # buckets. More planes = smaller buckets, lower recall; 4 suits the
 # fixture's cosine range (max ~0.48). COSINE_MIN is the near-dup bar.
@@ -111,20 +154,34 @@ def dedup_exact_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 2. MinHash + LSH near-dedup.
 # ---------------------------------------------------------------------------
+# Each of the K hash functions is the first 15 hex digits (60 bits) of
+# md5(shingle || '#i'), cast to BIGINT. Numeric (not string) on purpose:
+# Spark's MIN over a string falls back to SortAggregate (immutable agg
+# buffers — exchange + sort per aggregation), while MIN over a long
+# stays in HashAggregate with map-side partial min. DuckDB replays the
+# identical value via its hex-literal cast, so the oracle still matches
+# bit-for-bit.
+_MINHASH_HASH_SPARK = (
+    "cast(conv(substr(md5(concat(shingle, '#{i}')), 1, 15), 16, 10) as bigint)"
+)
+_MINHASH_HASH_DUCK = "('0x' || substr(md5(s || '#{i}'), 1, 15))::BIGINT"
+
+
 def _minhash_cols_duck() -> str:
     return ",\n    ".join(
-        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS h{i}"
+        f"list_min(list_transform(shingles, s -> {_MINHASH_HASH_DUCK.format(i=i)})) AS h{i}"
         for i in range(MINHASH_K)
     )
 
 
 def _band_exprs() -> list[str]:
-    # md5 over the concatenated band slice of the signature (same text
-    # in both dialects: concat() of hash columns).
+    # Band key = '_'-joined signature slice. concat_ws renders BIGINTs
+    # identically in both dialects; no hashing needed for an equi-join
+    # key (equality on the joined string == equality on the slice).
     out = []
     for b in range(LSH_BANDS):
-        cols = " || ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
-        out.append(f"md5({cols}) AS band_{b}")
+        cols = ", ".join(f"h{b * LSH_ROWS + r}" for r in range(LSH_ROWS))
+        out.append(f"concat_ws('_', {cols}) AS band_{b}")
     return out
 
 
@@ -171,36 +228,33 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(k=16) + LSH(4x4 bands) near-duplicate pairs, verified
     with exact shingle Jaccard >= 0.7.
 
-    Pipeline: explode distinct shingles to postings ONCE, compute the
-    16 min-hashes as grouped MIN aggregates (map-side partial min — no
-    per-row lambda forests; an earlier array-lambda formulation made
-    Catalyst's projection collapse inline the whole shingle pipeline
-    into every band key, blowing up codegen 16x) → 4 band keys →
-    self-join on band key → Jaccard verify through the same posting
-    table (shared-shingle counts), so candidate volume stays
-    O(near-dups), never O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr(
-        "doc_id", f"{_WORDS_SPARK} AS w"
-    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
-    posting = sh.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("shingle"),
-    )
+    Pipeline: repartition the single-file scan on doc_id (the fixture
+    is one parquet file — without this every downstream stage is one
+    task), explode distinct shingles to postings ONCE and ``persist``
+    (the posting table feeds the signature agg AND both verify sides;
+    unpersisted, the aliased self-joins re-derive the whole
+    shingle subtree per reference — the round-1 bench showed it
+    computed 4x), take the 16 min-hashes as grouped MIN aggregates over
+    *numeric* 60-bit hashes (map-side partial min in HashAggregate —
+    string mins fall back to SortAggregate) → 4 band keys → self-join
+    on band key → Jaccard verify through the persisted posting table
+    (shared-shingle counts), so candidate volume stays O(near-dups),
+    never O(n²)."""
+    posting = _shingle_posting(spark, sf_dir).persist()
     sig = posting.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))).alias(
-                f"h{i}"
-            )
+            F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
             for i in range(MINHASH_K)
         ]
     )
     banded = sig.selectExpr("doc_id", *_band_exprs())
     stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
+    # persisted: both sides of the candidate self-join read this (4
+    # rows per doc); without the cache each side re-runs the signature
+    # aggregation from the posting table.
     bands = banded.selectExpr(
         "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -323,16 +377,23 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX}
 
 @register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm"))
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 32-bit fingerprint from token md5 nibbles
-    (frequency-weighted ±1 bit votes), candidates from 8-bit band
-    collisions, verified by Hamming distance <= 6.
+    """SimHash near-dup: 60-bit fingerprint from token md5 nibbles
+    (frequency-weighted ±1 bit votes), candidates from 15-bit band
+    collisions, verified by Hamming distance <= HAMMING_MAX (3).
 
     The bit votes are one grouped aggregation over exploded tokens
-    (map-side partial sums); the band self-join is the only other
-    shuffle."""
-    docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
-        "doc_id", f"explode({_WORDS_SPARK}) AS tok"
+    (map-side partial sums — all-integer, stays in HashAggregate); the
+    band self-join is the only other shuffle. Same stage-shape care as
+    MinHash: pinned repartition (AQE would coalesce the tiny-bytes,
+    heavy-CPU token stage to one task), ``explode_outer`` (a non-outer
+    explode's inferred filter would push the split below the
+    Exchange), and the band table persisted so the candidate
+    self-join's two sides don't each re-run the 60-sum aggregation."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _pin_partitions(spark), "doc_id"
+    )
+    toks = docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w").select(
+        "doc_id", F.explode_outer("w").alias("tok")
     ).selectExpr("doc_id", "md5(tok) AS h")
     sums = toks.groupBy("doc_id").agg(
         *[F.expr(e).alias(a) for e, a in _simhash_bit_sum_pairs("spark")]
@@ -343,7 +404,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     stack_args = ", ".join(f"{j}, band_{j}" for j in range(n_bands))
     bands = banded.selectExpr(
         "doc_id", "fp", f"stack({n_bands}, {stack_args}) AS (band_id, band_val)"
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -409,15 +470,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join postings on shingle, count shared per pair, keep pairs
     with Jaccard >= 0.7. |candidates| = Σ_shingle df² over rare
     shingles only — never O(n²)."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = docs.selectExpr(
-        "doc_id", f"{_WORDS_SPARK} AS w"
-    ).selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
-    posting = sh.select(
-        "doc_id",
-        F.size("shingles").alias("n"),
-        F.explode("shingles").alias("shingle"),
-    )
+    # persisted: the posting feeds the document-frequency filter AND
+    # both sides of the shingle self-join (3 references).
+    posting = _shingle_posting(spark, sf_dir).persist()
     rare = (
         posting.groupBy("shingle")
         .agg(F.count("*").alias("df"))
@@ -503,16 +558,22 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The bucket self-join is the only shuffle; candidate volume is
     Σ_bucket |bucket|²/2, i.e. ~n²/buckets — scale planes with n."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        _pin_partitions(spark), "vec_id"
+    )
     v = emb.selectExpr(
         "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb"
     )
+    # persisted: both self-join sides read sig; unpersisted, each side
+    # re-runs the interpreted hyperplane dot products, and the join's
+    # inferred isnotnull(bucket) filter would push the same lambdas
+    # into the single-task scan stage.
     sig = v.selectExpr(
         "vec_id",
         "emb",
         f"{_bucket_expr('spark')} AS bucket",
         "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)) AS nrm",
-    )
+    ).persist()
     a, b = sig.alias("a"), sig.alias("b")
     dot = F.expr(
         "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"

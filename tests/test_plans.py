@@ -74,6 +74,32 @@ def test_no_cartesian_or_bnlj_anywhere(spark, sf_dir, name):
     assert "BroadcastNestedLoopJoin" not in plan, f"{name} degenerated to BNLJ"
 
 
+@pytest.mark.parametrize("name", ["dedup_minhash_lsh", "dedup_simhash"])
+def test_dedup_aggregates_stay_hash_based(spark, sf_dir, name):
+    # the signature aggregations MIN over numeric 60-bit hashes / SUM
+    # over int bit-votes so Spark keeps them in HashAggregate with
+    # map-side partial aggregation. Round 1 shipped string MINs, which
+    # fall back to SortAggregate (immutable agg buffers: exchange +
+    # sort per replication) — that was 99% of the bench wall time.
+    plan = _plan(spark, sf_dir, name)
+    assert "SortAggregate" not in plan, f"{name} fell back to SortAggregate"
+    assert "HashAggregate" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
+     "dedup_embedding_cosine"],
+)
+def test_dedup_selfjoin_subtrees_cached(spark, sf_dir, name):
+    # the candidate self-join references its build subtree from both
+    # sides; without persist() each reference re-computes the whole
+    # shingle/signature pipeline (round 1: 4x recompute in MinHash).
+    # A cached subtree appears as InMemoryTableScan in the plan.
+    plan = _plan(spark, sf_dir, name)
+    assert "InMemoryTableScan" in plan, f"{name} self-join subtree not cached"
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # scalar pipelines must stay inside codegen (JVM), not fall back
     # to interpreted row-at-a-time evaluation. In compact plan strings
