@@ -17,8 +17,11 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Headline set: the flagship aggregation, the heavy joins, a window, a
-# top-k, and the LLM-pipeline operators once implemented.
+# Headline set: one-or-more entries per operator family (scan/ETL,
+# aggregation, join, window, top-k, set-op adjacent, every dedup
+# variant, similarity, text, as-of, sessionization, multimodal,
+# pandas-UDF, sketch, streaming) so the bench regression-guards the
+# whole surface, not just the relational core.
 HEADLINE = [
     "agg_pricing_summary",
     "join_revenue_by_segment",
@@ -29,8 +32,19 @@ HEADLINE = [
     "etl_chunked_scan_reassembly",
     "dedup_exact_text",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
     "text_quality_stats",
+    "text_langid",
+    "asof_join_purchase_click",
+    "sessionize_events",
+    "multimodal_decode_features",
+    "applyinpandas_rank_orders",
+    "sketch_approx_distinct",
+    "streaming_tumbling_counts",
 ]
 
 
@@ -48,8 +62,12 @@ def main() -> None:
         runs = []
         # run 1 warms (JIT/codegen); best of the rest. 4 runs because
         # this host shows multi-second scheduler jitter at local[32] —
-        # min-of-3 timed runs filters the outliers.
+        # min-of-3 timed runs filters the outliers. The cache is
+        # cleared before every run: several operators persist() their
+        # self-join subtrees, and without the clear a repeat run would
+        # time a cache read, not the query.
         for _ in range(4):
+            spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
