@@ -27,6 +27,10 @@ from golang_etl_spark.sources.catalog import load_table
 # As-of join: each purchase matched to the user's most recent prior
 # (or simultaneous) click — classic attribution.
 # ---------------------------------------------------------------------------
+# Not DuckDB's native ASOF JOIN: on right-side ties (several clicks at
+# the same ts) ASOF picks an arbitrary click, so the oracle states the
+# deterministic convention explicitly — latest click_ts, then HIGHEST
+# click_id — matching the Spark window's (ts, tag, click_id) ordering.
 _ASOF_ORACLE = """
 WITH purchases AS (
   SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
@@ -34,14 +38,20 @@ WITH purchases AS (
 clicks AS (
   SELECT event_id AS click_id, user_id, ts AS click_ts
   FROM events WHERE event_type = 'click'
+),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts, p.value, c.click_id, c.click_ts,
+         ROW_NUMBER() OVER (PARTITION BY p.event_id
+                            ORDER BY c.click_ts DESC, c.click_id DESC) AS rn
+  FROM purchases p
+  LEFT JOIN clicks c
+    ON p.user_id = c.user_id AND c.click_ts <= p.ts
 )
-SELECT p.event_id, p.user_id, p.ts,
-       ROUND(p.value, 4) AS purchase_value,
-       c.click_id,
-       CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS micros_since_click
-FROM purchases p
-ASOF LEFT JOIN clicks c
-  ON p.user_id = c.user_id AND p.ts >= c.click_ts
+SELECT event_id, user_id, ts,
+       ROUND(value, 4) AS purchase_value,
+       click_id,
+       CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS micros_since_click
+FROM j WHERE rn = 1
 """
 
 
@@ -54,8 +64,11 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan that survives 100 TB (an inequality join would be
     broadcast-nested-loop).
 
-    The tag orders a click before a purchase at identical ts, matching
-    ASOF's >= (inclusive) semantics."""
+    The tag orders a click before a purchase at identical ts (>=
+    inclusive semantics); click_id breaks ties among several clicks at
+    the same (user_id, ts) — the carried click is the HIGHEST click_id
+    at the latest eligible ts, the convention the oracle restates
+    (DuckDB's native ASOF picks an arbitrary click on such ties)."""
     ev = load_table(spark, sf_dir, "events")
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
@@ -75,7 +88,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "tag")
+        .orderBy("ts", "tag", "click_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     merged = clicks.unionByName(purchases).select(

@@ -25,7 +25,7 @@ SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 minutes, microseconds
 
 _SESSIONIZE_ORACLE = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
@@ -34,7 +34,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
@@ -60,6 +60,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         "value",
         F.when(
             F.lag("ts").over(w).isNull()
@@ -72,9 +73,12 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
+    # ordered by (ts, event_id) — the same total order as the lag
+    # window. Ordering by ts alone is tie-order-dependent with
+    # duplicate (user_id, ts) rows at a session boundary.
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     sessions = flagged.withColumn(
@@ -95,7 +99,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SESSION_PROFILE_ORACLE = f"""
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
               THEN 1 ELSE 0 END AS is_new
@@ -104,7 +108,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 ),
@@ -133,6 +137,7 @@ def sessionize_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ev.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts").over(w).isNull()
             | (
@@ -144,9 +149,12 @@ def sessionize_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("is_new"),
     )
+    # ordered by (ts, event_id) — the same total order as the lag
+    # window. Ordering by ts alone is tie-order-dependent with
+    # duplicate (user_id, ts) rows at a session boundary.
     wrun = (
         Window.partitionBy("user_id")
-        .orderBy("ts")
+        .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     per_session = (

@@ -46,19 +46,30 @@ _EVENTS_SCHEMA = (
 def _stream_dir(sf_dir: str) -> str:
     """Spark's file stream source requires a *directory* to monitor;
     the fixture is a single read-only file. Stage a per-sf_dir temp
-    directory holding a symlink to it (no data copy)."""
+    directory holding a symlink to it (no data copy).
+
+    The staging root is keyed by uid (shared /tmp across users), a
+    dangling link — detectable only with lexists, exists() follows the
+    link — is replaced, and the symlink call tolerates losing the
+    create race to a concurrent session (same target either way)."""
     import hashlib
     import os
+    import tempfile
 
-    d = (
-        "/tmp/spark_graft_stream/"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
-        + "/events"
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{os.getuid()}"
     )
+    d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12], "events")
     os.makedirs(d, exist_ok=True)
-    link = f"{d}/events.parquet"
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    link = os.path.join(d, "events.parquet")
+    target = os.path.join(sf_dir, "events.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
+        os.remove(link)
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
     return d
 
 
@@ -176,7 +187,7 @@ def streaming_sliding_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _SESSION_ORACLE = """
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
          CASE WHEN lag(ts) OVER w IS NULL
               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
               THEN 1 ELSE 0 END AS is_new
@@ -185,7 +196,7 @@ WITH flagged AS (
 ),
 sessions AS (
   SELECT user_id, ts, value,
-         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                            ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM flagged
 )
@@ -317,4 +328,15 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    return _run_to_table(out, "stateful_user_stats", "update")
+    tbl = _run_to_table(out, "stateful_user_stats", "update")
+    # The update-mode memory sink APPENDS each micro-batch's emissions;
+    # a multi-file events directory would leave several rows per user.
+    # Keep the LAST emission only: the running n_events strictly
+    # increases per emission, so the struct max picks it.
+    latest = F.max(F.struct("n_events", "max_value", "total_value"))
+    return tbl.groupBy("user_id").agg(latest.alias("s")).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.max_value").alias("max_value"),
+        F.col("s.total_value").alias("total_value"),
+    )
