@@ -126,15 +126,24 @@ def extract_table(
 ) -> int:
     """One table job end-to-end (scan -> snappy parquet, ≤100k rows per
     file). Returns rows written. The write action IS the barrier the
-    reference builds manually (extractor.go:292-296)."""
-    df = read_shard_table(spark, spec, job)
+    reference builds manually (extractor.go:292-296).
+
+    The row count comes from an ``Observation`` riding the write job
+    itself — NOT a re-read of the sink, which at 100 TB would double
+    the I/O of the whole pipeline."""
+    from pyspark.sql import Observation
+
+    obs = Observation("rows_written")
+    df = read_shard_table(spark, spec, job).observe(
+        obs, F.count(F.lit(1)).alias("n")
+    )
     (
         df.write.mode(mode)
         .option("compression", spec.compression)
         .option("maxRecordsPerFile", str(spec.max_records_per_file))
         .parquet(job.output)
     )
-    return spark.read.parquet(job.output).count()
+    return int(obs.get["n"])
 
 
 def run_jobspec(spark: SparkSession, spec: JobSpec) -> dict[str, int]:

@@ -94,6 +94,54 @@ def load_schema_yaml(path: str) -> T.StructType:
     return T.StructType(fields)
 
 
+# Inverse of _TYPE_MAP for rendering. Where several parquet-go
+# spellings map to one Spark type (TIMESTAMP_MILLIS/_MICROS), the
+# canonical micros spelling wins — documented lossy, like any
+# dialect round-trip through a coarser type system.
+_INVERSE_TYPE_MAP: dict[T.DataType, tuple[str, str | None]] = {
+    T.LongType(): ("INT64", None),
+    T.IntegerType(): ("INT32", None),
+    T.BooleanType(): ("BOOLEAN", None),
+    T.FloatType(): ("FLOAT", None),
+    T.DoubleType(): ("DOUBLE", None),
+    T.StringType(): ("BYTE_ARRAY", "UTF8"),
+    T.BinaryType(): ("BYTE_ARRAY", None),
+    T.TimestampType(): ("INT64", "TIMESTAMP_MICROS"),
+    T.DateType(): ("INT32", "DATE"),
+}
+
+
+def format_field(f: T.StructField) -> str:
+    """Render one StructField as a parquet-go tag string — the inverse
+    of ``parse_tag``/``SchemaField`` and the parity twin of the
+    reference's formatFields (/root/reference/schema/read_schema.go:
+    42-54)."""
+    if f.dataType not in _INVERSE_TYPE_MAP:
+        raise ValueError(f"unrenderable Spark type {f.dataType} for field {f.name!r}")
+    ptype, conv = _INVERSE_TYPE_MAP[f.dataType]
+    parts = [f"name={f.name}", f"type={ptype}"]
+    if conv:
+        parts.append(f"convertedtype={conv}")
+    parts.append(
+        f"repetitiontype={'OPTIONAL' if f.nullable else 'REQUIRED'}"
+    )
+    return ", ".join(parts)
+
+
+def format_schema(schema: T.StructType, root: str = "parquet_go_root") -> dict:
+    """Render a StructType back into the reference's YAML schema shape
+    (parity with FormatSchema, /root/reference/schema/read_schema.go:
+    34-40). ``load_schema_yaml`` on the dumped result returns an equal
+    StructType — the round-trip property tests/test_etl_unit.py
+    asserts."""
+    return {
+        "schema": {
+            "tag": f"name={root}",
+            "fields": [{"tag": format_field(f)} for f in schema.fields],
+        }
+    }
+
+
 @dataclass(frozen=True)
 class TableJob:
     """One extract job — parity with the reference's TableJob struct

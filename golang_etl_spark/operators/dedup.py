@@ -223,23 +223,13 @@ WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
 """
 
 
-@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "llm"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(k=16) + LSH(4x4 bands) near-duplicate pairs, verified
-    with exact shingle Jaccard >= 0.7.
-
-    Pipeline: repartition the single-file scan on doc_id (the fixture
-    is one parquet file — without this every downstream stage is one
-    task), explode distinct shingles to postings ONCE and ``persist``
-    (the posting table feeds the signature agg AND both verify sides;
-    unpersisted, the aliased self-joins re-derive the whole
-    shingle subtree per reference — the round-1 bench showed it
-    computed 4x), take the 16 min-hashes as grouped MIN aggregates over
-    *numeric* 60-bit hashes (map-side partial min in HashAggregate —
-    string mins fall back to SortAggregate) → 4 band keys → self-join
-    on band key → Jaccard verify through the persisted posting table
-    (shared-shingle counts), so candidate volume stays O(near-dups),
-    never O(n²)."""
+def minhash_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Posting table + LSH candidate pairs (pre-verification). Split
+    out of the query so tests/test_dedup_scale.py can measure candidate
+    volume directly — the quantity that must grow linearly with the
+    duplicate count for the operator to survive 100 TB."""
     posting = _shingle_posting(spark, sf_dir).persist()
     sig = posting.groupBy("doc_id").agg(
         *[
@@ -269,6 +259,27 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    return posting, cand
+
+
+@register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "llm"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(k=16) + LSH(4x4 bands) near-duplicate pairs, verified
+    with exact shingle Jaccard >= 0.7.
+
+    Pipeline: repartition the single-file scan on doc_id (the fixture
+    is one parquet file — without this every downstream stage is one
+    task), explode distinct shingles to postings ONCE and ``persist``
+    (the posting table feeds the signature agg AND both verify sides;
+    unpersisted, the aliased self-joins re-derive the whole
+    shingle subtree per reference — the round-1 bench showed it
+    computed 4x), take the 16 min-hashes as grouped MIN aggregates over
+    *numeric* 60-bit hashes (map-side partial min in HashAggregate —
+    string mins fall back to SortAggregate) → 4 band keys → self-join
+    on band key → Jaccard verify through the persisted posting table
+    (shared-shingle counts), so candidate volume stays O(near-dups),
+    never O(n²)."""
+    posting, cand = minhash_candidates(spark, sf_dir)
     pa = posting.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("n").alias("n_a"),

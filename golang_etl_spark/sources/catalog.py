@@ -33,9 +33,11 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"
 
 # Columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark's reader has
 # no nanosecond timestamp type, so they're read as long (see
-# spark.sql.legacy.parquet.nanosAsLong in session.py) and normalized to
-# microsecond timestamps here. The fixtures carry no sub-microsecond
-# values, so this is lossless (verified in tests/test_sources.py).
+# spark.sql.legacy.parquet.nanosAsLong in session.py) and truncated to
+# microsecond timestamps here. The fixture nanos carry sub-microsecond
+# digits; integer DIV truncates them exactly the way DuckDB's native
+# TIMESTAMP_NS -> microsecond read does, which is what keeps every
+# ts-bearing oracle comparable (verified in tests/test_sources.py).
 _NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 

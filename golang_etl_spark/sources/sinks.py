@@ -84,6 +84,59 @@ def seed_table(spark: SparkSession, n_rows: int = SEED_ROWS) -> DataFrame:
     )
 
 
+def seed_jdbc_options(
+    url: str,
+    table: str,
+    batch_size: int = 1_000,
+    write_concurrency: int = 20,
+) -> dict[str, str]:
+    """Options for the seeder's ``df.write.jdbc`` — the declarative
+    equivalent of the reference's 1000-row multi-value INSERT loop
+    (/root/reference/tmp/data_seed.go:51-69). ``batchsize`` replays the
+    1000-row batching; ``numPartitions`` caps concurrent connections
+    (the write-semaphore role, extractor.go:268)."""
+    return {
+        "url": url,
+        "dbtable": table,
+        "batchsize": str(batch_size),
+        "numPartitions": str(write_concurrency),
+        # bulk seed of a fresh table: no need for txn isolation overhead
+        "isolationLevel": "NONE",
+    }
+
+
+def seed_shard(
+    spark: SparkSession,
+    spec,
+    job,
+    n_rows: int = SEED_ROWS,
+    mode: str = "overwrite",
+) -> None:
+    """Seed one shard's table behind the JobSpec — the full round-trip
+    of /root/reference/tmp/data_seed.go:23-73 (which CREATEs the table
+    then bulk-INSERTs; overwrite mode reproduces the fresh-table
+    semantics). JDBC shards get ``df.write.jdbc`` (batched inserts);
+    parquet/file shards write the same frame as parquet so the fixture
+    path stays testable without a live database."""
+    df = seed_table(spark, n_rows)
+    location = spec.shards[job.db]
+    if spec.source_format == "parquet":
+        write_parquet(
+            df,
+            f"{location}/{job.table}.parquet",
+            compression=spec.compression,
+            max_records_per_file=spec.max_records_per_file,
+            mode=mode,
+        )
+        return
+    opts = seed_jdbc_options(
+        location, job.table, write_concurrency=spec.fetch_concurrency
+    )
+    df.repartition(int(opts["numPartitions"])).write.format("jdbc").options(
+        **opts
+    ).mode(mode).save()
+
+
 _SEED_ORACLE = f"""
 SELECT id,
        substr(md5(id::VARCHAR), 1, {SEED_DATA_LEN}) AS data

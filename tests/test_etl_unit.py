@@ -7,6 +7,7 @@ reference's maxKey+1 half-open fixup, /root/reference/extractor.go:
 """
 
 import pytest
+import yaml
 from pyspark.sql import types as T
 
 from golang_etl_spark.etl import (
@@ -14,7 +15,14 @@ from golang_etl_spark.etl import (
     jdbc_scan_options,
     plan_range_partitions,
 )
-from golang_etl_spark.jobspec import JobSpec, load_schema_yaml, parse_tag
+from golang_etl_spark.jobspec import (
+    JobSpec,
+    format_field,
+    format_schema,
+    load_schema_yaml,
+    parse_tag,
+)
+from golang_etl_spark.sources.sinks import seed_jdbc_options
 
 
 class TestRangePartitioning:
@@ -94,6 +102,78 @@ class TestSchemaLoader:
         p.write_text('schema:\n  fields:\n    - tag: "name=x, type=INT96"\n')
         with pytest.raises(ValueError, match="unsupported schema type"):
             load_schema_yaml(str(p))
+
+
+class TestSchemaRenderer:
+    """format_schema — parity with FormatSchema/formatFields
+    (/root/reference/schema/read_schema.go:34-54): StructType back to
+    parquet-go tag strings, with load->render->load stability."""
+
+    DB_YAML = (
+        "schema:\n"
+        '  tag: "name=parquet_go_root"\n'
+        "  fields:\n"
+        '    - tag: "name=id, type=INT64, repetitiontype=REQUIRED"\n'
+        '    - tag: "name=data, type=BYTE_ARRAY, convertedtype=UTF8, repetitiontype=REQUIRED"\n'
+    )
+
+    def test_format_field_reference_fields(self):
+        # the exact two fields of /root/reference/schema/db.yaml:3-4
+        assert (
+            format_field(T.StructField("id", T.LongType(), nullable=False))
+            == "name=id, type=INT64, repetitiontype=REQUIRED"
+        )
+        assert (
+            format_field(T.StructField("data", T.StringType(), nullable=False))
+            == "name=data, type=BYTE_ARRAY, convertedtype=UTF8, repetitiontype=REQUIRED"
+        )
+
+    def test_db_yaml_load_render_load_roundtrip(self, tmp_path):
+        p = tmp_path / "db.yaml"
+        p.write_text(self.DB_YAML)
+        st = load_schema_yaml(str(p))
+        rendered = format_schema(st)
+        p2 = tmp_path / "rendered.yaml"
+        p2.write_text(yaml.safe_dump(rendered))
+        assert load_schema_yaml(str(p2)) == st
+
+    def test_widened_types_roundtrip(self, tmp_path):
+        # every type the loader accepts (canonical spellings) survives
+        # a render->load cycle; TIMESTAMP_MILLIS canonicalizes to
+        # MICROS (documented lossy spelling, same Spark type)
+        st = T.StructType(
+            [
+                T.StructField("a", T.LongType(), False),
+                T.StructField("b", T.IntegerType(), True),
+                T.StructField("c", T.BooleanType(), True),
+                T.StructField("d", T.FloatType(), True),
+                T.StructField("e", T.DoubleType(), False),
+                T.StructField("f", T.StringType(), True),
+                T.StructField("g", T.BinaryType(), True),
+                T.StructField("h", T.TimestampType(), False),
+                T.StructField("i", T.DateType(), True),
+            ]
+        )
+        p = tmp_path / "wide.yaml"
+        p.write_text(yaml.safe_dump(format_schema(st)))
+        assert load_schema_yaml(str(p)) == st
+
+    def test_unrenderable_type_fails_loudly(self):
+        f = T.StructField("m", T.MapType(T.StringType(), T.LongType()), True)
+        with pytest.raises(ValueError, match="unrenderable"):
+            format_field(f)
+
+
+class TestSeederWritePath:
+    def test_seed_jdbc_options_reference_constants(self):
+        # batchsize replays the seeder's 1000-row INSERT batches
+        # (tmp/data_seed.go:55); numPartitions caps connections like
+        # the 20-slot write semaphore (extractor.go:268)
+        opts = seed_jdbc_options("jdbc:mysql://h:3307/jerry", "big_table_1")
+        assert opts["batchsize"] == "1000"
+        assert opts["numPartitions"] == "20"
+        assert opts["dbtable"] == "big_table_1"
+        assert opts["url"].startswith("jdbc:mysql://")
 
 
 class TestJobSpec:

@@ -87,6 +87,26 @@ def test_seed_table_deterministic_and_distributed(spark):
     assert "Range" in seed_table(spark)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_seed_shard_parquet_roundtrip(spark, tmp_path):
+    # the seeder round-trip of /root/reference/tmp/data_seed.go:23-73,
+    # jobspec-driven: seed a parquet shard, read it back through the
+    # extractor's own shard reader, verify contents
+    from golang_etl_spark.etl import read_shard_table
+    from golang_etl_spark.sources.sinks import seed_shard
+
+    shard_dir = str(tmp_path / "jerry")
+    spec = JobSpec(
+        shards={"jerry": shard_dir},
+        jobs=(TableJob("big_table_1", str(tmp_path / "out"), "id", "jerry"),),
+        source_format="parquet",
+    )
+    seed_shard(spark, spec, spec.jobs[0], n_rows=2500)
+    back = read_shard_table(spark, spec, spec.jobs[0])
+    assert back.count() == 2500
+    assert back.columns == ["id", "data"]
+    assert back.exceptAll(seed_table(spark, n_rows=2500)).count() == 0
+
+
 def test_bounds_discovery(spark, sf_dir):
     li = load_table(spark, sf_dir, "lineitem")
     mn, mx = key_bounds(li, "l_orderkey")

@@ -1,0 +1,74 @@
+"""Source-catalog tests: the nanosecond-timestamp normalization path.
+
+The fixture ``events.ts`` is parquet TIMESTAMP(NANOS); Spark has no
+nanosecond timestamp type, so the session reads it as a raw long
+(spark.sql.legacy.parquet.nanosAsLong) and sources.catalog.load_table
+converts to a microsecond timestamp with integer division. These tests
+prove that conversion is lossless for the fixtures and exact in the
+integer domain (float division of epoch-nanos would exceed double's
+53-bit mantissa and corrupt the microsecond — the bug class guarded
+here).
+"""
+
+import duckdb
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from golang_etl_spark.sources.catalog import TABLES, load_table
+
+
+def test_events_ts_is_timestamp(spark, sf_dir):
+    ev = load_table(spark, sf_dir, "events")
+    assert isinstance(ev.schema["ts"].dataType, T.TimestampType)
+
+
+def test_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir):
+    # DuckDB reads TIMESTAMP(NANOS) natively and truncates to its
+    # microsecond timestamps — the exact values Spark must reproduce
+    # (this is also what makes every ts-bearing oracle comparable)
+    got = {
+        r["event_id"]: r["us"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", F.unix_micros("ts").alias("us"))
+        .collect()
+    }
+    want = dict(
+        duckdb.sql(
+            f"SELECT event_id, epoch_us(ts) FROM read_parquet('{sf_dir}/events.parquet')"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_raw_nanos_truncate_exactly(spark, sf_dir):
+    # the integer-DIV contract: ts_us == raw_ns DIV 1000 for every row.
+    # The fixture nanos DO carry sub-microsecond digits, so this is a
+    # truncation (identical to DuckDB's TIMESTAMP_NS -> micros read),
+    # not a lossless cast — and it must be integer division: float
+    # division of epoch-nanos (~1.7e18) sits at double's 53-bit
+    # mantissa edge where floor() can land on the wrong microsecond
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", F.col("ts").alias("ns")
+    )
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.unix_micros("ts").alias("us")
+    )
+    joined = raw.join(ev, "event_id")
+    assert joined.filter(F.expr("us != ns DIV 1000")).count() == 0
+    # and the truncation is real on this data (sub-micro digits exist)
+    assert joined.filter(F.expr("ns % 1000 != 0")).count() > 0
+
+
+def test_unknown_table_rejected(spark, sf_dir):
+    try:
+        load_table(spark, sf_dir, "nope")
+        raise AssertionError("expected KeyError")
+    except KeyError:
+        pass
+
+
+def test_catalog_covers_all_fixture_tables(spark, sf_dir):
+    for t in TABLES:
+        df = load_table(spark, sf_dir, t)
+        assert len(df.columns) > 0
