@@ -37,6 +37,8 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "pipeline_corpus_curation",
     "text_quality_stats",
     "text_langid",
     "asof_join_purchase_click",

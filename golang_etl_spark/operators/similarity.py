@@ -211,7 +211,149 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3. Label centroid analytics (distributed array aggregation).
+# 3. IVF-style ANN (inverted-file index: centroid cells + probing).
+# ---------------------------------------------------------------------------
+# Training-free deterministic "coarse quantizer": the centroids are 16
+# fixed corpus vectors (every 10th vec_id from 100) — stands in for
+# k-means centroids so the DuckDB oracle can replay the index exactly
+# (k-means training is an iterative Spark job, out of oracle scope; at
+# production scale you'd train centroids on a sample and broadcast
+# them identically).
+IVF_CENTROID_IDS = tuple(range(100, 260, 10))  # 16 cells
+IVF_NPROBE = 2
+
+_IVF_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cell_id, emb AS c_emb, nrm AS c_nrm
+  FROM v WHERE vec_id IN ({", ".join(map(str, IVF_CENTROID_IDS))})
+),
+scored AS (
+  SELECT v.vec_id, v.emb, v.nrm, c.cell_id,
+         list_dot_product(v.emb, c.c_emb) / (v.nrm * c.c_nrm) AS ccos
+  FROM v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, emb, nrm, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS rn
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm) AS cos
+  FROM probes p JOIN assigned a
+    ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_ivf_topk", oracle=_IVF_ORACLE, tags=("ann", "llm"))
+def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: assign every vector to its nearest of 16
+    centroid cells (argmax centroid cosine, cell_id tie-break), then
+    score each query only against the IVF_NPROBE closest cells.
+
+    100 TB shape: the 16 centroids broadcast; cell assignment is a
+    map-side partial max-struct aggregation (the shuffle carries one
+    row per vector, not 16); the probe join broadcasts |queries| x
+    nprobe rows so the assigned table never shuffles. Work per query
+    is ~nprobe/cells of brute force — the IVF recall/cost dial."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    cent = v.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).selectExpr(
+        "vec_id AS cell_id", "emb AS c_emb", "nrm AS c_nrm"
+    )
+    scored = v.join(F.broadcast(cent)).selectExpr(
+        "vec_id",
+        "emb",
+        "nrm",
+        "cell_id",
+        f"{_dot_spark('emb', 'c_emb')} / (nrm * c_nrm) AS ccos",
+    )
+    # argmax via struct max: (ccos, -cell_id) picks highest centroid
+    # cosine, lowest cell on ties — identical to the oracle's
+    # ROW_NUMBER(ORDER BY ccos DESC, cell_id) = 1. emb/nrm ride along
+    # (never compared: cell_id is unique per vector).
+    best = F.max(
+        F.struct(
+            F.col("ccos").alias("ccos"),
+            (-F.col("cell_id")).alias("ncell"),
+            F.col("emb").alias("emb"),
+            F.col("nrm").alias("nrm"),
+        )
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(best.alias("s"))
+        .select(
+            "vec_id",
+            (-F.col("s.ncell")).alias("cell_id"),
+            F.col("s.emb").alias("emb"),
+            F.col("s.nrm").alias("nrm"),
+        )
+    )
+    wprobe = Window.partitionBy("vec_id").orderBy(
+        F.col("ccos").desc(), F.col("cell_id")
+    )
+    probes = (
+        scored.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wprobe))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .selectExpr(
+            "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm",
+            "cell_id AS probe_cell",
+        )
+    )
+    cand = assigned.join(
+        F.broadcast(probes),
+        (F.col("cell_id") == F.col("probe_cell"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cos",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Label centroid analytics (distributed array aggregation).
 # ---------------------------------------------------------------------------
 _CENTROID_ORACLE = f"""
 WITH v AS (

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
@@ -245,6 +246,105 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ws_tokens").alias("total_ws_tokens"),
         F.sum("bpe_tokens").alias("total_bpe_tokens"),
         F.round(F.avg("bpe_tokens"), 4).alias("avg_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation: the end-to-end training-data prep pipeline —
+# quality gate + exact dedup in one pass.
+# ---------------------------------------------------------------------------
+MIN_WORDS = 10
+MIN_STOPWORD_RATIO = 0.01
+MIN_TTR = 0.3
+
+_CURATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, source, text,
+         {_words_expr_duck()} AS w
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         CAST(len(w) AS BIGINT) AS n_words,
+         len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)}))) * 1.0
+           / len(w) AS stopword_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS ttr
+  FROM toks WHERE len(w) > 0
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_words >= {MIN_WORDS}
+    AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+    AND ttr >= {MIN_TTR}
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                               ORDER BY doc_id) AS copy_rank,
+         COUNT(*) OVER (PARTITION BY md5(norm)) AS n_copies
+  FROM kept
+)
+SELECT doc_id, lang, source, n_words,
+       ROUND(stopword_ratio, 4) AS stopword_ratio,
+       ROUND(ttr, 4) AS ttr,
+       CAST(n_copies AS BIGINT) AS n_copies
+FROM dedup WHERE copy_rank = 1
+"""
+
+
+@register("pipeline_corpus_curation", oracle=_CURATE_ORACLE, tags=("text", "llm", "dedup"))
+def pipeline_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical LLM-corpus curation pass, as one Spark job:
+    tokenize → quality gate (length, stopword ratio, type-token ratio)
+    → exact dedup on normalized text (keep lowest doc_id, count
+    copies). What remains is the training set.
+
+    100 TB shape: quality signals are narrow per-row JVM lambdas over
+    the scan (no shuffle); the only exchange is the dedup window on
+    the uniformly-distributed md5 key. Fuzzy dedup (MinHash et al.)
+    composes downstream of this gate — candidates shrink to the kept
+    subset."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "norm"
+        ),
+        w.alias("w"),
+    ).filter(F.size("w") > 0)
+    n_words = F.size("w").cast("long")
+    stop_hits = F.expr(f"size(filter(w, x -> x IN ({_sql_list(STOPWORDS)})))")
+    scored = quality.select(
+        "doc_id",
+        "lang",
+        "source",
+        "norm",
+        n_words.alias("n_words"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct("w")) / n_words).alias("ttr"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("ttr") >= MIN_TTR)
+    )
+    wdup = Window.partitionBy(F.md5("norm"))
+    deduped = kept.select(
+        "*",
+        F.row_number().over(wdup.orderBy("doc_id")).alias("copy_rank"),
+        F.count("*").over(wdup).alias("n_copies"),
+    )
+    return deduped.filter(F.col("copy_rank") == 1).select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_words",
+        F.round("stopword_ratio", 4).alias("stopword_ratio"),
+        F.round("ttr", 4).alias("ttr"),
+        F.col("n_copies").cast("long").alias("n_copies"),
     )
 
 

@@ -52,6 +52,22 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    compression: str = "snappy",
+    mode: str = "overwrite",
+) -> None:
+    """ORC sink — same writer surface as parquet (columnar, splittable,
+    predicate-pushdown-capable); the reference has neither (SURVEY.md
+    §2.1), added for source/sink matrix completeness."""
+    df.write.mode(mode).option("compression", compression).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_csv(spark: SparkSession, path: str, schema: str) -> DataFrame:
     """Explicit schema, never inferSchema — schema inference reads the
     data twice and guesses; at 100 TB both are unacceptable."""

@@ -87,6 +87,18 @@ def test_seed_table_deterministic_and_distributed(spark):
     assert "Range" in seed_table(spark)._jdf.queryExecution().executedPlan().toString()
 
 
+def test_orc_roundtrip(spark, sf_dir, tmp_path):
+    from golang_etl_spark.sources.sinks import read_orc, write_orc
+
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    assert back.exceptAll(src).count() == 0
+
+
 def test_seed_shard_parquet_roundtrip(spark, tmp_path):
     # the seeder round-trip of /root/reference/tmp/data_seed.go:23-73,
     # jobspec-driven: seed a parquet shard, read it back through the
