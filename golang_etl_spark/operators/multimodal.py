@@ -162,7 +162,63 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 3. Frame sampling for video rows (explode a generated sequence).
+# 3. Resize planning for image rows (aspect-preserving, metadata-only).
+# ---------------------------------------------------------------------------
+RESIZE_MAX_SIDE = 256
+
+_RESIZE_ORACLE = f"""
+WITH img AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(text), 1, 3))::BIGINT % 1920 + 1 AS width,
+         ('0x' || substr(md5(text), 4, 3))::BIGINT % 1080 + 1 AS height
+  FROM documents
+  WHERE doc_id % 3 = 0  -- media_type = 'image'
+)
+SELECT doc_id, width, height,
+       CASE WHEN width >= height
+            THEN LEAST(width, {RESIZE_MAX_SIDE})
+            ELSE CAST(FLOOR(width * LEAST(height, {RESIZE_MAX_SIDE}) * 1.0 / height) AS BIGINT)
+       END AS target_w,
+       CASE WHEN width >= height
+            THEN CAST(FLOOR(height * LEAST(width, {RESIZE_MAX_SIDE}) * 1.0 / width) AS BIGINT)
+            ELSE LEAST(height, {RESIZE_MAX_SIDE})
+       END AS target_h,
+       width > {RESIZE_MAX_SIDE} OR height > {RESIZE_MAX_SIDE} AS needs_resize
+FROM img
+"""
+
+
+@register("multimodal_resize_plan", oracle=_RESIZE_ORACLE, tags=("multimodal", "llm"))
+def multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving resize planning for image payloads: compute
+    target dimensions (long side clamped to RESIZE_MAX_SIDE, short side
+    scaled by the same integer-truncated ratio) from metadata alone.
+    The actual pixel resample belongs in the mapInPandas stage next to
+    decode_media (stubbed: no codecs here); planning from metadata
+    first means the Python stage only ever receives rows where
+    needs_resize is true — predicate pruning before the expensive
+    crossing, the same pattern as the feature extractor."""
+    p = payload_df(spark, sf_dir).filter(F.col("media_type") == "image")
+    w, h = F.col("meta.width"), F.col("meta.height")
+    mx = F.lit(RESIZE_MAX_SIDE)
+    return p.select(
+        "doc_id",
+        w.alias("width"),
+        h.alias("height"),
+        # explicit FLOOR on both engines: DuckDB's double->BIGINT cast
+        # rounds while Spark's truncates — floor first, then cast
+        F.when(w >= h, F.least(w, mx))
+        .otherwise(F.floor(w * F.least(h, mx) / h).cast("long"))
+        .alias("target_w"),
+        F.when(w >= h, F.floor(h * F.least(w, mx) / w).cast("long"))
+        .otherwise(F.least(h, mx))
+        .alias("target_h"),
+        ((w > mx) | (h > mx)).alias("needs_resize"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. Frame sampling for video rows (explode a generated sequence).
 # ---------------------------------------------------------------------------
 _FRAMES_ORACLE = f"""
 WITH v AS (

@@ -63,6 +63,36 @@ LIMIT 20
 """
 
 
+# TPC-H Q6-shaped: forecast revenue change (tight filter-aggregate —
+# the pushdown showcase: all three predicates reach the scan).
+_Q6 = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+# TPC-H Q4-shaped: priority counts over orders with late-shipping
+# lines (decorrelated EXISTS; adapted to the fixture's columns —
+# l_shipdate > o_orderdate + 60 days stands in for commit/receipt).
+_Q4 = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o.o_orderpriority
+"""
+
+
 def _passthrough(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -75,6 +105,8 @@ for _name, _sql, _doc in (
     ("sql_shipping_priority", _Q3, "TPC-H Q3 shape via raw SQL passthrough."),
     ("sql_revenue_by_nation", _Q5, "TPC-H Q5 shape: 6-table star join via SQL."),
     ("sql_top_returned_customers", _Q10, "TPC-H Q10 shape via SQL passthrough."),
+    ("sql_forecast_revenue", _Q6, "TPC-H Q6 shape: filter-agg pushdown via SQL."),
+    ("sql_priority_late_orders", _Q4, "TPC-H Q4 shape: decorrelated EXISTS via SQL."),
 ):
     _fn = _passthrough(_sql)
     _fn.__doc__ = (

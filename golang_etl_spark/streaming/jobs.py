@@ -73,12 +73,21 @@ def _stream_dir(sf_dir: str) -> str:
     return d
 
 
-def _stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stream_events(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    dir_override: str | None = None,
+) -> DataFrame:
+    """File-source events stream. ``max_files_per_trigger`` /
+    ``dir_override`` exist for tests that force multi-micro-batch
+    execution over a split copy of the fixture (AvailableNow on the
+    single-file fixture always yields one batch)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_EVENTS_SCHEMA)
-        .parquet(_stream_dir(sf_dir))
-    )
+    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    raw = reader.parquet(dir_override or _stream_dir(sf_dir))
     return raw.withColumn(
         "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
     )
@@ -320,7 +329,13 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     Rounding note: total_value sums doubles in arrival order; the
     oracle sums in scan order — equal after round(4) because the
     fixture values have 2 decimals."""
-    ev = _stream_events(spark, sf_dir)
+    return stateful_user_stats_pipeline(_stream_events(spark, sf_dir))
+
+
+def stateful_user_stats_pipeline(ev: DataFrame) -> DataFrame:
+    """The stateful pipeline on any events stream — shared by the
+    registered query and the multi-batch regression test
+    (tests/test_streaming_multibatch.py)."""
     out = ev.groupBy("user_id").applyInPandasWithState(
         _user_stats_with_state,
         outputStructType=_STATEFUL_OUT_SCHEMA,
@@ -330,9 +345,9 @@ def streaming_stateful_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     tbl = _run_to_table(out, "stateful_user_stats", "update")
     # The update-mode memory sink APPENDS each micro-batch's emissions;
-    # a multi-file events directory would leave several rows per user.
-    # Keep the LAST emission only: the running n_events strictly
-    # increases per emission, so the struct max picks it.
+    # a multi-file events directory leaves several rows per user. Keep
+    # the LAST emission only: the running n_events strictly increases
+    # per emission, so the struct max picks it.
     latest = F.max(F.struct("n_events", "max_value", "total_value"))
     return tbl.groupBy("user_id").agg(latest.alias("s")).select(
         "user_id",

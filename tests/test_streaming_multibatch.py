@@ -1,0 +1,56 @@
+"""Multi-micro-batch regression for the stateful streaming operator.
+
+The update-mode memory sink appends every micro-batch's emissions, so a
+user whose events span several batches appears several times in the raw
+sink table. streaming_stateful_user_stats must still equal the batch
+GROUP BY — the last-emission dedup inside the pipeline is what this
+file proves (the fixture's single file can't: AvailableNow processes it
+as one batch, emitting each user exactly once).
+"""
+
+from pyspark.sql import functions as F
+
+from golang_etl_spark.streaming.jobs import (
+    _stream_events,
+    stateful_user_stats_pipeline,
+)
+
+
+def test_stateful_stats_survive_multiple_batches(spark, sf_dir, tmp_path):
+    # split the fixture into 2 raw parquet files (nanos longs, the
+    # stream source schema) so maxFilesPerTrigger=1 forces 2 batches
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split_dir = str(tmp_path / "events_split")
+    raw.repartition(2).write.mode("overwrite").parquet(split_dir)
+    n_files = len(
+        [f for f in __import__("os").listdir(split_dir) if f.endswith(".parquet")]
+    )
+    assert n_files >= 2, "need >=2 files to force multiple micro-batches"
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    got = stateful_user_stats_pipeline(ev)
+
+    want = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    # row-count equality proves the per-batch duplicate emissions were
+    # deduplicated; exceptAll proves the LAST emission (full totals)
+    # won, not an intermediate one. max/total compare after round(4) —
+    # same tolerance the oracle uses (accumulation-order differences).
+    assert got.count() == want.count()
+    assert (
+        got.withColumn("total_value", F.round("total_value", 4))
+        .exceptAll(want)
+        .count()
+        == 0
+    )
