@@ -298,6 +298,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cosine, lowest cell on ties — identical to the oracle's
     # ROW_NUMBER(ORDER BY ccos DESC, cell_id) = 1. emb/nrm ride along
     # (never compared: cell_id is unique per vector).
+    #
+    # Plan note: struct agg buffers force SortAggregate (HashAggregate
+    # needs mutable primitive buffers), but partial_max still runs
+    # map-side over the bounded 16-row groups, so the exchange carries
+    # ONE row per vector — the minimal-shuffle formulation. The
+    # alternatives shuffle more: a window ships all 16n rows; a
+    # max+self-join re-shuffles the scored table. Gated in
+    # tests/test_plans.py::test_ivf_assignment_partial_aggregates.
     best = F.max(
         F.struct(
             F.col("ccos").alias("ccos"),

@@ -100,6 +100,25 @@ def test_dedup_selfjoin_subtrees_cached(spark, sf_dir, name):
     assert "InMemoryTableScan" in plan, f"{name} self-join subtree not cached"
 
 
+def test_ivf_assignment_partial_aggregates(spark, sf_dir):
+    # IVF cell assignment is a struct-max: SortAggregate is expected
+    # (struct buffers can't live in HashAggregate) and acceptable ONLY
+    # because partial_max reduces the 16 rows/vector map-side — the
+    # exchange must carry one row per vector. WindowGroupLimit proves
+    # the top-k windows also pre-reduce before their shuffles.
+    plan = _plan(spark, sf_dir, "similarity_ivf_topk")
+    assert "partial_max(struct" in plan, "map-side partial aggregation lost"
+    assert "WindowGroupLimit" in plan, "top-k window limit not pushed down"
+
+
+def test_curation_pipeline_single_exchange(spark, sf_dir):
+    # quality gate + dedup window must compile to ONE exchange (the
+    # md5 hash partitioning for the dedup window); the quality signals
+    # are narrow projections over the scan
+    plan = _plan(spark, sf_dir, "pipeline_corpus_curation")
+    assert plan.count("Exchange") == 1
+
+
 def test_whole_stage_codegen_active(spark, sf_dir):
     # scalar pipelines must stay inside codegen (JVM), not fall back
     # to interpreted row-at-a-time evaluation. In compact plan strings
