@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from golang_etl_spark.functions import vector as V
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
 
@@ -99,21 +100,20 @@ def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned once with no shuffle; ties break on neighbor_id so the
     ranking is deterministic."""
     emb = load_table(spark, sf_dir, "embeddings")
-    v = emb.selectExpr(
-        "vec_id",
-        f"{_EMB_DOUBLE_SPARK} AS emb",
-    ).selectExpr(
-        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
-    )
+    v = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    ).select("vec_id", "emb", V.l2_norm("emb").alias("nrm"))
     q = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
         "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm"
     )
     scored = (
         v.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
-        .selectExpr(
+        .select(
             "query_id",
-            "vec_id AS neighbor_id",
-            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cos",
+            F.col("vec_id").alias("neighbor_id"),
+            (V.dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
