@@ -386,9 +386,13 @@ WHERE bit_count(xor(fp_a, fp_b)) <= {HAMMING_MAX}
 """
 
 
-@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm"))
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup: 60-bit fingerprint from token md5 nibbles
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified SimHash near-dup pairs ``(doc_id_a, doc_id_b,
+    hamming)`` — the body of ``dedup_simhash``, factored out so the
+    connected-components clustering operator
+    (``operators/clustering.py``) can consume the same edge set.
+
+    SimHash near-dup: 60-bit fingerprint from token md5 nibbles
     (frequency-weighted ±1 bit votes), candidates from 15-bit band
     collisions, verified by Hamming distance <= HAMMING_MAX (3).
 
@@ -441,6 +445,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             hamming.cast("long").alias("hamming"),
         )
     )
+
+
+@register("dedup_simhash", oracle=_simhash_oracle(), tags=("dedup", "llm"))
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs (see ``simhash_pairs`` for the
+    algorithm and plan-shape notes)."""
+    return simhash_pairs(spark, sf_dir)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,148 @@
+"""Data-profiling operators: per-column table profile and exact group
+percentiles — the "look at the data before you train on it" surface
+of a training-data pipeline.
+
+No reference counterpart (SURVEY.md §2.5) — LLM-pipeline extension.
+
+Scale notes (100 TB stance):
+- the table profile is ONE full-scan aggregation producing a single
+  row of partial-aggregable stats (counts, min/max, distincts) that is
+  then unpivoted driver-free with ``stack``: no per-column scans, no
+  collect. ``count(DISTINCT)`` expands to one extra shuffle per
+  distinct column (Spark's expand-based rewrite); at 100 TB you would
+  swap those for ``approx_count_distinct`` — that exact/approx dial
+  is the ``sketch_approx_distinct`` operator; here the driver needs
+  exact values for the oracle comparison.
+- numeric min/max are emitted as doubles and timestamps as epoch
+  seconds, never stringified: string rendering of floats/timestamps is
+  engine-specific and would fail the value-hash while the data agrees.
+- exact percentiles (``percentile``) hold the group's values in the
+  agg buffer — correct for bounded group counts like this 5-value
+  priority key; for high-cardinality keys at 100 TB the scale path is
+  ``approx_percentile`` (``sketch_percentile_approx``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+# (name, kind) for every orders column; kind drives which min/max slot
+# the profile fills (num = double, ts = epoch seconds, str = lexical).
+_ORDERS_COLS = [
+    ("o_orderkey", "num"),
+    ("o_custkey", "num"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "num"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+]
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for name, kind in _ORDERS_COLS:
+        if kind == "num":
+            mn, mx = f"MIN({name})::DOUBLE", f"MAX({name})::DOUBLE"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        elif kind == "ts":
+            mn = f"epoch(MIN({name}))::DOUBLE"
+            mx = f"epoch(MAX({name}))::DOUBLE"
+            ms, xs = "NULL::VARCHAR", "NULL::VARCHAR"
+        else:
+            mn, mx = "NULL::DOUBLE", "NULL::DOUBLE"
+            ms, xs = f"MIN({name})", f"MAX({name})"
+        parts.append(
+            f"""SELECT '{name}' AS column_name,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT({name}) AS BIGINT) AS n_nulls,
+       CAST(COUNT(DISTINCT {name}) AS BIGINT) AS n_distinct,
+       ROUND({mn}, 6) AS min_num, ROUND({mx}, 6) AS max_num,
+       {ms} AS min_str, {xs} AS max_str
+FROM orders"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+@register("profile_orders", oracle=_profile_oracle(), tags=("profiling",))
+def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column profile of ``orders``: one output row per column with
+    row/null/distinct counts and typed min/max. Single scan — all
+    36 aggregates run in one pass, then ``stack`` unpivots the 1-row
+    result to the long format."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind in _ORDERS_COLS:
+        aggs += [
+            F.count("*").alias(f"{name}__rows"),
+            (F.count("*") - F.count(name)).alias(f"{name}__nulls"),
+            F.countDistinct(name).alias(f"{name}__distinct"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.round(F.min(name).cast("double"), 6).alias(f"{name}__minn"),
+                F.round(F.max(name).cast("double"), 6).alias(f"{name}__maxn"),
+                F.lit(None).cast("string").alias(f"{name}__mins"),
+                F.lit(None).cast("string").alias(f"{name}__maxs"),
+            ]
+        elif kind == "ts":
+            aggs += [
+                F.round(
+                    F.unix_micros(F.min(name).cast("timestamp")) / F.lit(1_000_000.0), 6
+                ).alias(f"{name}__minn"),
+                F.round(
+                    F.unix_micros(F.max(name).cast("timestamp")) / F.lit(1_000_000.0), 6
+                ).alias(f"{name}__maxn"),
+                F.lit(None).cast("string").alias(f"{name}__mins"),
+                F.lit(None).cast("string").alias(f"{name}__maxs"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{name}__minn"),
+                F.lit(None).cast("double").alias(f"{name}__maxn"),
+                F.min(name).alias(f"{name}__mins"),
+                F.max(name).alias(f"{name}__maxs"),
+            ]
+    wide = orders.agg(*aggs)
+    rows = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct, "
+        f"{name}__minn, {name}__maxn, {name}__mins, {name}__maxs"
+        for name, _ in _ORDERS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {rows}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, "
+        "min_num, max_num, min_str, max_str)"
+    )
+
+
+_PCT_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(o_totalprice, 0.99), 6) AS p99
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "percentile_exact_by_priority", oracle=_PCT_ORACLE, tags=("profiling",)
+)
+def percentile_exact_by_priority(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact interpolated percentiles (p50/p90/p99) of order value per
+    priority — Spark ``percentile`` and DuckDB ``quantile_cont`` share
+    linear-interpolation semantics, so the engines agree exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
+    )

@@ -1,0 +1,150 @@
+"""Time-series operators over the ``events`` table: calendar gap-fill
+and resample-with-forward-fill — the "hypertable rollup" shapes a
+metrics/training-telemetry pipeline needs.
+
+No reference counterpart (SURVEY.md §2.5) — LLM-pipeline extension.
+
+Scale notes (100 TB stance):
+- the only event-scale shuffle in either query is the initial
+  per-bucket aggregation (map-side partial counts/sums, uniform keys:
+  event_type × time bucket). Everything after it operates on the
+  aggregated grid, whose size is |types| × |buckets| — independent of
+  event count.
+- the dense calendar is built from the data's own min/max bounds with
+  ``sequence`` + ``explode`` (JVM-side), then cross-joined with the
+  distinct type set: both sides are tiny, and Spark broadcasts them.
+- forward-fill is ``last(..., ignorenulls=True)`` over an unbounded
+  preceding row frame, partitioned by type: one small-grid window, no
+  self-join. At 100 TB you would still window the *grid*, never the
+  raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+_GAPFILL_ORACLE = """
+WITH ev AS (
+  SELECT date_trunc('day', ts) AS d, event_type, value FROM events
+),
+b AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM ev),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+  FROM b
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+daily AS (
+  SELECT event_type, d AS day, COUNT(*) AS n, SUM(value) AS sv
+  FROM ev GROUP BY event_type, d
+)
+SELECT t.event_type, c.day,
+       CAST(COALESCE(dl.n, 0) AS BIGINT) AS n_events,
+       ROUND(COALESCE(dl.sv, 0.0), 6) AS sum_value
+FROM types t
+CROSS JOIN cal c
+LEFT JOIN daily dl ON dl.event_type = t.event_type AND dl.day = c.day
+"""
+
+
+@register("timeseries_gapfill", oracle=_GAPFILL_ORACLE, tags=("timeseries",))
+def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event counts and value sums per event_type over a dense
+    calendar spanning the data's own [min, max] date range — days with
+    no events appear with explicit zeros (the gap-fill contract a
+    downstream chart/model expects). The day bucket is a midnight
+    timestamp (``date_trunc``), not a DATE: Spark DATE surfaces as
+    ``datetime.date`` while DuckDB DATE surfaces as ``datetime64``,
+    which the driver's value-hash treats as different."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "value"
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.count("*").alias("n"), F.sum("value").alias("sv")
+    )
+    cal = (
+        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+            ).alias("day")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal))
+    return grid.join(daily, ["event_type", "day"], "left").select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_events"),
+        F.round(F.coalesce(F.col("sv"), F.lit(0.0)), 6).alias("sum_value"),
+    )
+
+
+_RESAMPLE_ORACLE = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, event_type, value FROM events
+),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+  FROM b
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+hourly AS (
+  SELECT event_type, h AS hour, AVG(value) AS av
+  FROM ev GROUP BY event_type, h
+),
+grid AS (
+  SELECT t.event_type, c.hour, hl.av
+  FROM types t CROSS JOIN cal c
+  LEFT JOIN hourly hl ON hl.event_type = t.event_type AND hl.hour = c.hour
+)
+SELECT event_type, hour,
+       ROUND(last_value(av IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY hour
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ), 6) AS avg_value_ffill
+FROM grid
+"""
+
+
+@register(
+    "timeseries_resample_ffill", oracle=_RESAMPLE_ORACLE, tags=("timeseries",)
+)
+def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly average of ``value`` per event_type on a dense hour
+    grid, with empty hours forward-filled from the last observed hour
+    (resample + ffill). Leading hours with no prior observation stay
+    NULL by design."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type", "value"
+    )
+    hourly = ev.groupBy("event_type", "hour").agg(F.avg("value").alias("av"))
+    cal = (
+        ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        .select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour")
+        )
+    )
+    types = ev.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal)).join(
+        hourly, ["event_type", "hour"], "left"
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "event_type",
+        "hour",
+        F.round(F.last("av", ignorenulls=True).over(w), 6).alias(
+            "avg_value_ffill"
+        ),
+    )

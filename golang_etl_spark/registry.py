@@ -81,8 +81,10 @@ def _load_all() -> None:
     from golang_etl_spark import etl  # noqa: F401
     from golang_etl_spark.operators import (  # noqa: F401
         asof,
+        clustering,
         dedup,
         multimodal,
+        profiling,
         relational,
         sessionize,
         setops,
@@ -90,6 +92,7 @@ def _load_all() -> None:
         sketches,
         sql_api,
         text,
+        timeseries,
         topk,
         windows,
     )
