@@ -93,6 +93,55 @@ GROUP BY o.o_orderpriority
 """
 
 
+# TPC-H Q12-shaped: line-status shipping reliability (the fixture has
+# no l_shipmode, so the classic ship-mode grouping becomes the
+# l_linestatus grouping; the priority-bucket CASE logic is Q12's).
+_Q12 = """
+SELECT l.l_linestatus,
+       CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l.l_linestatus
+"""
+
+# TPC-H Q14-shaped: promo revenue share for one month.
+_Q14 = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                          THEN l.l_extendedprice * (1 - l.l_discount)
+                          ELSE 0 END)
+             / SUM(l.l_extendedprice * (1 - l.l_discount)), 4)
+         AS promo_revenue_pct,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+# TPC-H Q18-shaped: large-volume customers (IN over a grouped HAVING
+# subquery on the fact table).
+_Q18 = """
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+       ROUND(o.o_totalprice, 4) AS o_totalprice,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+WHERE o.o_orderkey IN (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING SUM(l_quantity) > 150
+)
+GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+"""
+
+
 def _passthrough(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -107,6 +156,9 @@ for _name, _sql, _doc in (
     ("sql_top_returned_customers", _Q10, "TPC-H Q10 shape via SQL passthrough."),
     ("sql_forecast_revenue", _Q6, "TPC-H Q6 shape: filter-agg pushdown via SQL."),
     ("sql_priority_late_orders", _Q4, "TPC-H Q4 shape: decorrelated EXISTS via SQL."),
+    ("sql_linestatus_priority", _Q12, "TPC-H Q12 shape: priority buckets via SQL."),
+    ("sql_promo_revenue", _Q14, "TPC-H Q14 shape: promo revenue share via SQL."),
+    ("sql_large_volume_customers", _Q18, "TPC-H Q18 shape: HAVING-subquery IN via SQL."),
 ):
     _fn = _passthrough(_sql)
     _fn.__doc__ = (

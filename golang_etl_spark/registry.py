@@ -80,6 +80,7 @@ def _load_all() -> None:
     # imports are side-effectful (decorators run at import time)
     from golang_etl_spark import etl  # noqa: F401
     from golang_etl_spark.operators import (  # noqa: F401
+        arrays,
         asof,
         clustering,
         dedup,
@@ -89,6 +90,7 @@ def _load_all() -> None:
         sessionize,
         setops,
         similarity,
+        skew,
         sketches,
         sql_api,
         text,

@@ -355,3 +355,42 @@ def stateful_user_stats_pipeline(ev: DataFrame) -> DataFrame:
         F.col("s.max_value").alias("max_value"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Stream-static join.
+# ---------------------------------------------------------------------------
+_SS_JOIN_ORACLE = """
+SELECT c.c_mktsegment, e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment, e.event_type
+"""
+
+
+@register("streaming_join_static", oracle=_SS_JOIN_ORACLE, tags=("streaming",))
+def streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the events stream enriched against the
+    static customer dimension (broadcast — each micro-batch joins
+    in-memory, no stream-side shuffle for the join), then a keyed
+    streaming aggregation per (segment, event_type).
+
+    At scale the static side is re-broadcast per batch at its current
+    snapshot; for a mutable dimension you would instead feed it as a
+    second stream (stream-stream join with watermarks). Complete mode
+    + memory sink is the usual test scaffolding; production would use
+    update mode into a keyed sink."""
+    from golang_etl_spark.sources.catalog import load_table
+
+    ev = _stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    joined = ev.join(F.broadcast(cust), ev["user_id"] == cust["c_custkey"])
+    agg = joined.groupBy("c_mktsegment", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    return _run_to_table(agg, "streaming_join_static", "complete")
