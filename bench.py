@@ -35,6 +35,10 @@ HEADLINE = [
     "dedup_simhash",
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+    "timeseries_gapfill",
+    "join_skew_salted",
+    "array_funcs_per_order",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "similarity_ivf_topk",

@@ -21,12 +21,15 @@ Scale notes (100 TB stance):
 - state per round is one (doc_id, label) row per vertex in a pair —
   |vertices| <= 2·|pairs|, already the dedup-candidate scale, NOT the
   corpus scale. Each round shuffles on doc_id only.
-- each round's result is persisted and the previous round unpersisted,
-  so round N+1 reads round N's materialization instead of replaying
-  the whole lineage (the classic iterative-algorithm trap; on a real
-  cluster you would additionally ``checkpoint`` every ~10 rounds to
-  truncate lineage for fault tolerance).
-- the edge list is persisted once and reused every round.
+- each round's result is ``localCheckpoint``-ed: persist alone caches
+  *data* but leaves the logical lineage intact, and this loop
+  references the previous round's frame three times per iteration —
+  the analyzed plan grows ~3^rounds and planning time (not execution)
+  explodes within a handful of rounds. Checkpointing truncates the
+  lineage so every round plans against a flat in-memory relation. On
+  a real cluster you would use reliable ``checkpoint`` (HDFS) instead
+  of ``localCheckpoint`` for fault tolerance.
+- the edge list is checkpointed once and reused every round.
 
 The DuckDB oracle replays the same closure with a recursive CTE
 (min reachable doc_id per vertex == min-label fixpoint).
@@ -84,13 +87,13 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id_b").alias("src"), F.col("doc_id_a").alias("dst")
             )
         )
-        .persist()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
@@ -103,28 +106,25 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nbr").alias("nbr_min"))
         )
-        new_labels = (
+        # carry the previous label through the checkpoint so the
+        # convergence check is a filter-count over the (tiny, cached)
+        # result instead of an extra join stage per round
+        stepped = (
             labels.join(
                 nbr_min, labels["doc_id"] == nbr_min["src"], "left"
             )
             .select(
                 "doc_id",
+                F.col("label").alias("old_label"),
                 F.least(
                     F.col("label"),
                     F.coalesce(F.col("nbr_min"), F.col("label")),
                 ).alias("label"),
             )
-            .persist()
+            .localCheckpoint()  # truncate lineage — see module docstring
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        labels = stepped.select("doc_id", "label")
+        if stepped.filter(F.col("label") != F.col("old_label")).count() == 0:
             break
     sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return (

@@ -63,18 +63,23 @@ def timeseries_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("day", "ts").alias("day"), "event_type", "value"
     )
-    daily = ev.groupBy("event_type", "day").agg(
-        F.count("*").alias("n"), F.sum("value").alias("sv")
+    # ONE events scan: calendar bounds and the type set both derive
+    # from the persisted daily aggregate (|types| x |days| rows), not
+    # from separate re-scans of the event table.
+    daily = (
+        ev.groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .persist()
     )
     cal = (
-        ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
         .select(
             F.explode(
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
             ).alias("day")
         )
     )
-    types = ev.select("event_type").distinct()
+    types = daily.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(cal))
     return grid.join(daily, ["event_type", "day"], "left").select(
         "event_type",
@@ -123,16 +128,22 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour"), "event_type", "value"
     )
-    hourly = ev.groupBy("event_type", "hour").agg(F.avg("value").alias("av"))
+    # Same single-scan shape as the gap-fill: bounds and types come
+    # from the persisted hourly aggregate.
+    hourly = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.avg("value").alias("av"))
+        .persist()
+    )
     cal = (
-        ev.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
+        hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi"))
         .select(
             F.explode(
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
             ).alias("hour")
         )
     )
-    types = ev.select("event_type").distinct()
+    types = hourly.select("event_type").distinct()
     grid = types.crossJoin(F.broadcast(cal)).join(
         hourly, ["event_type", "hour"], "left"
     )

@@ -135,3 +135,41 @@ def test_similarity_bruteforce_broadcasts_queries(spark, sf_dir):
     # shuffle for the join
     plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_salted_join_is_shuffled_hash(spark, sf_dir):
+    # the whole point of the salt is spreading the hot key across
+    # reducers — a broadcast would silently bypass the demonstrated
+    # fix, so the shuffle_hash hint must survive into the plan
+    plan = _plan(spark, sf_dir, "join_skew_salted")
+    assert "ShuffledHashJoin" in plan, "salted join lost its shuffle plan"
+    assert "salt" in plan, "salt column missing from join keys"
+
+
+def test_gapfill_single_event_scan(spark, sf_dir):
+    # calendar bounds, the type set, and the left-join build side must
+    # all read the persisted daily aggregate — three InMemoryTableScan
+    # references, never a second full pass over events
+    plan = _plan(spark, sf_dir, "timeseries_gapfill")
+    assert plan.count("InMemoryTableScan") >= 3, (
+        "gap-fill grid re-scans the event table instead of reusing "
+        "the cached daily aggregate"
+    )
+
+
+def test_profile_single_scan(spark, sf_dir):
+    # 36 aggregates over 6 columns must compile to ONE table pass
+    # (count-distinct expand included), not per-column scans
+    plan = _plan(spark, sf_dir, "profile_orders")
+    assert plan.count("FileScan parquet") == 1
+
+
+def test_cluster_cc_truncates_lineage(spark, sf_dir):
+    # each propagation round localCheckpoints its labels: the final
+    # plan must read flat checkpointed RDDs, not replay the SimHash
+    # pair-generation + N-round join lineage (which grows ~3^rounds
+    # and once rendered a 2 GB plan string)
+    plan = _plan(spark, sf_dir, "dedup_cluster_cc")
+    assert "ExistingRDD" in plan, "labels not checkpointed"
+    assert "md5" not in plan, "SimHash subtree leaked into final plan"
+    assert len(plan) < 20_000, f"plan string blew up: {len(plan)} chars"
