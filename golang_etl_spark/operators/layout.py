@@ -1,0 +1,153 @@
+"""Physical-layout operators: partitioned parquet sinks with
+partition-pruned readback, and bucketed tables with exchange-free
+co-located joins.
+
+The reference writes flat parquet files (SURVEY.md §2.1 S4-S6); at
+100 TB layout IS the optimization — these two operators are the
+standard levers:
+
+- **Partitioning** (``partitionBy``): directory-per-value layout so a
+  filter on the partition column prunes whole directories at planning
+  time (``PartitionFilters`` in the scan, zero I/O for pruned values).
+  Choose low-cardinality columns; high-cardinality partitioning
+  creates the small-files problem.
+- **Bucketing** (``bucketBy`` + ``sortBy``): pre-shuffle the table
+  into N hash buckets on the join key at WRITE time; every future
+  join/aggregation on that key skips its Exchange (the single biggest
+  cost in a fact-fact join). The classic "pay the shuffle once"
+  trade.
+
+Both queries write to a per-uid temp dir, read back, and return an
+aggregate the DuckDB oracle replays over the original fixture —
+proving the layout round-trip is lossless.
+
+Plan gates: tests/test_plans.py asserts PartitionFilters appears in
+the pruned scan and that the bucketed join plans with NO Exchange
+under the SortMergeJoin.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
+
+N_BUCKETS = 8
+
+
+def _layout_dir(kind: str, sf_dir: str) -> str:
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_layout_{os.getuid()}"
+    )
+    d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12], kind)
+    os.makedirs(os.path.dirname(d), exist_ok=True)
+    return d
+
+
+_PARTITIONED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+WHERE event_type IN ('click', 'purchase')
+GROUP BY event_type
+"""
+
+
+@register(
+    "sink_partitioned_pruned", oracle=_PARTITIONED_ORACLE, tags=("sink", "layout")
+)
+def sink_partitioned_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events partitioned by event_type, read back with a
+    partition filter, aggregate. The readback scan must prune to the
+    two selected directories (``PartitionFilters``) — only ~2/5 of
+    the data is ever read. Oracle = the same aggregate over the
+    original un-partitioned fixture (layout round-trip is lossless)."""
+    out = _layout_dir("events_by_type", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def bucketed_join_frames(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Orders and lineitem as bucketed catalog tables (bucketBy 8 +
+    sortBy on the join key), written once per sf_dir. Split out so the
+    plan gate can inspect the join input frames directly."""
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    frames = []
+    for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = f"bkt_{tbl}_{suffix}"
+        if not spark.catalog.tableExists(name):
+            path = os.path.join(_layout_dir("bucketed", sf_dir), name)
+            # repartition by the bucket key into N_BUCKETS tasks:
+            # repartition's hashpartitioning and bucketBy use the same
+            # murmur3 hash, so each task holds exactly one bucket →
+            # ONE file per bucket, which lets the bucketed scan use
+            # the write-time sortBy order and drop per-query Sorts
+            (
+                load_table(spark, sf_dir, tbl)
+                .repartition(N_BUCKETS, F.col(key))
+                .write.mode("overwrite")
+                .bucketBy(N_BUCKETS, key)
+                .sortBy(key)
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(name)
+            )
+        frames.append(spark.table(name))
+    return frames[0], frames[1]
+
+
+_BUCKETED_ORACLE = """
+SELECT o.o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue
+FROM orders o
+JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderstatus
+"""
+
+
+@register(
+    "join_bucketed_colocated", oracle=_BUCKETED_ORACLE, tags=("join", "layout")
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on pre-bucketed tables: both sides were hashed
+    into the same 8 buckets on the join key at write time, so the
+    SortMergeJoin reads bucket i against bucket i directly — NO
+    exchange on either side (the only Exchange in the plan is the
+    final small aggregation). At 100 TB this turns the dominant
+    shuffle of every orders-lineitem query into a one-time write
+    cost."""
+    orders, lineitem = bucketed_join_frames(spark, sf_dir)
+    # merge hint: at fixture scale AQE would broadcast tiny orders and
+    # hide the very plan this operator exists to demonstrate (at 100 TB
+    # neither fact side broadcasts); with both sides bucketed the SMJ
+    # needs no exchange and no per-query sort (sortBy at write time)
+    j = orders.hint("merge").join(
+        lineitem, orders["o_orderkey"] == lineitem["l_orderkey"]
+    )
+    return j.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_lines"),
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+        ).alias("revenue"),
+    )

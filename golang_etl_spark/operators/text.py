@@ -389,3 +389,80 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(grams).alias("fp_max"),
         F.size(F.array_distinct(grams)).cast("long").alias("n_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF: top terms per document.
+# ---------------------------------------------------------------------------
+TFIDF_TOP_K = 3
+
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_words_expr_duck()}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, term) AS rank
+  FROM scored
+)
+SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
+       ROUND(score, 6) AS tfidf
+FROM ranked WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+@register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "llm"))
+def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1))). Ties break lexically so both engines
+    rank identically.
+
+    Scale shape: explode -> two partial-agg'd aggregations (doc-term
+    tf, term df) -> term-keyed equi-join -> per-doc window top-k.
+    The df table is term-cardinality (vocabulary) sized; the document
+    count N rides in via a broadcast cross join of a 1-row aggregate,
+    never a driver collect."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id", f"explode({_words_expr_spark()}) AS term"
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("score", 6).alias("tfidf"),
+        )
+    )

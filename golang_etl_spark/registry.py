@@ -84,9 +84,11 @@ def _load_all() -> None:
         asof,
         clustering,
         dedup,
+        layout,
         multimodal,
         profiling,
         relational,
+        sampling,
         sessionize,
         setops,
         similarity,

@@ -173,3 +173,21 @@ def test_cluster_cc_truncates_lineage(spark, sf_dir):
     assert "ExistingRDD" in plan, "labels not checkpointed"
     assert "md5" not in plan, "SimHash subtree leaked into final plan"
     assert len(plan) < 20_000, f"plan string blew up: {len(plan)} chars"
+
+
+def test_partitioned_sink_prunes(spark, sf_dir):
+    # the readback filter must prune partitions at planning time —
+    # whole directories skipped, not row-filtered after a full scan
+    plan = _plan(spark, sf_dir, "sink_partitioned_pruned")
+    pruned = plan.split("PartitionFilters: [")[1][:120]
+    assert "event_type" in pruned and "click" in pruned
+
+
+def test_bucketed_join_is_exchange_free(spark, sf_dir):
+    # both sides pre-bucketed on the join key: the SortMergeJoin must
+    # consume the bucketed scans directly; the ONLY exchange allowed
+    # in the whole plan is the final aggregation's
+    plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1, plan
