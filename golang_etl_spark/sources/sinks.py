@@ -204,3 +204,47 @@ def etl_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("l_orderkey").alias("n_orders"),
         )
     )
+
+
+def compact_dir(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    compression: str = "snappy",
+) -> None:
+    """Small-files compaction: rewrite a parquet directory into
+    ``target_files`` files. The operational fix for the classic
+    long-running-pipeline failure mode — thousands of tiny batch/
+    streaming output files turning every downstream scan into a
+    file-listing storm.
+
+    ``coalesce`` (not ``repartition``): compaction must not pay a
+    shuffle — it narrows existing partitions into fewer write tasks.
+    The rewrite lands in ``path + '.compact'`` then atomically swaps
+    via rename, so a concurrent reader sees either layout, never a
+    half-written mix."""
+    import os
+    import shutil
+
+    staged = path.rstrip("/") + ".compact"
+    (
+        spark.read.parquet(path)
+        .coalesce(target_files)
+        .write.mode("overwrite")
+        .option("compression", compression)
+        .parquet(staged)
+    )
+    backup = path.rstrip("/") + ".old"
+    os.rename(path, backup)
+    os.rename(staged, path)
+    shutil.rmtree(backup)
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Schema-evolution read: ``mergeSchema`` unions the schemas of
+    every file in the directory, so files written before a column was
+    added scan with NULLs in the new column instead of failing. The
+    per-file footer-merge is the Spark-native answer to additive
+    schema drift in long-lived sink directories (the reference pins
+    one YAML schema forever — SURVEY.md §1.2)."""
+    return spark.read.option("mergeSchema", "true").parquet(path)

@@ -394,3 +394,63 @@ def streaming_join_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 4).alias("total_value"),
     )
     return _run_to_table(agg, "streaming_join_static", "complete")
+
+
+# ---------------------------------------------------------------------------
+# 7. Stream-stream interval join.
+# ---------------------------------------------------------------------------
+_SS_INTERVAL_ORACLE = """
+WITH c AS (
+  SELECT user_id, ts AS click_ts FROM events WHERE event_type = 'click'
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM c JOIN p ON p.user_id = c.user_id
+ AND p.purchase_ts >= c.click_ts
+ AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+GROUP BY c.user_id
+"""
+
+
+@register(
+    "streaming_stream_stream_join",
+    oracle=_SS_INTERVAL_ORACLE,
+    tags=("streaming",),
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: clicks joined to purchases by the
+    same user within the following 10 minutes. Both sides carry
+    watermarks so the state store can evict rows once the other
+    stream's event time passes the join window — the condition that
+    makes an unbounded two-stream join run in bounded state.
+
+    The streaming part is the join itself (append mode); the per-user
+    pair count is a batch aggregation over the materialized sink,
+    keeping the streamed rows verifiable against the batch oracle."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+    )
+    tbl = _run_to_table(joined, "stream_stream_join", "append")
+    return tbl.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
