@@ -142,6 +142,66 @@ LIMIT 100
 """
 
 
+# TPC-H Q13-shaped: customer order-count distribution.
+_Q13 = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+  GROUP BY c.c_custkey
+) per_cust
+GROUP BY c_count
+"""
+
+# TPC-H Q15-shaped: top supplier by quarterly revenue (CTE + scalar
+# MAX subquery).
+_Q15 = """
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         SUM(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
+FROM supplier s
+JOIN revenue r ON s.s_suppkey = r.supplier_no
+WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+# TPC-H Q17-shaped: small-quantity-order revenue (correlated scalar
+# subquery against the fact table).
+_Q17 = """
+SELECT ROUND(SUM(l.l_extendedprice) / 7.0, 4) AS avg_yearly,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand = 'Brand#4'
+  AND l.l_quantity < (
+    SELECT 0.2 * AVG(l2.l_quantity)
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey
+  )
+"""
+
+# TPC-H Q19-shaped: disjunctive multi-range predicates (adapted to the
+# fixture: brand/size/quantity stand in for brand/container/quantity).
+_Q19 = """
+SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 1 AND 20)
+   OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 11 AND 20
+       AND l.l_quantity BETWEEN 10 AND 30)
+   OR (p.p_brand = 'Brand#19' AND p.p_size BETWEEN 21 AND 40
+       AND l.l_quantity BETWEEN 20 AND 40)
+"""
+
+
 def _passthrough(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -159,6 +219,10 @@ for _name, _sql, _doc in (
     ("sql_linestatus_priority", _Q12, "TPC-H Q12 shape: priority buckets via SQL."),
     ("sql_promo_revenue", _Q14, "TPC-H Q14 shape: promo revenue share via SQL."),
     ("sql_large_volume_customers", _Q18, "TPC-H Q18 shape: HAVING-subquery IN via SQL."),
+    ("sql_custdist", _Q13, "TPC-H Q13 shape: outer-join count distribution via SQL."),
+    ("sql_top_supplier", _Q15, "TPC-H Q15 shape: CTE + scalar MAX subquery via SQL."),
+    ("sql_small_qty_revenue", _Q17, "TPC-H Q17 shape: correlated scalar subquery via SQL."),
+    ("sql_disjunctive_pred", _Q19, "TPC-H Q19 shape: OR-of-range predicates via SQL."),
 ):
     _fn = _passthrough(_sql)
     _fn.__doc__ = (
