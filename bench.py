@@ -38,7 +38,10 @@ HEADLINE = [
     "dedup_cluster_cc",
     "timeseries_gapfill",
     "join_skew_salted",
+    "join_bucketed_colocated",
     "array_funcs_per_order",
+    "text_tfidf_top_terms",
+    "sample_split_hash",
     "similarity_topk_bruteforce",
     "similarity_ann_lsh",
     "similarity_ivf_topk",

@@ -78,6 +78,25 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the minimum doc_id in its component — deterministic) and the
     component's ``cluster_size``."""
     pairs = simhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    labels = connected_components(pairs)
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return (
+        labels.join(sizes, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """Min-label propagation over an undirected pair list
+    ``(doc_id_a, doc_id_b)`` — returns ``(doc_id, label)`` where label
+    is the minimum doc_id reachable from doc_id. The algorithmic core
+    of ``dedup_cluster_cc``, factored out so the chain/star unit tests
+    (tests/test_clustering_unit.py) can drive it on synthetic graphs
+    whose transitive closure is known."""
     edges = (
         pairs.select(
             F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -126,12 +145,4 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if stepped.filter(F.col("label") != F.col("old_label")).count() == 0:
             break
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-        )
-    )
+    return labels

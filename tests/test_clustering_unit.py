@@ -1,0 +1,47 @@
+"""Unit tests for the connected-components core on synthetic graphs
+with known transitive closures — the fixture's SimHash pair graph may
+contain only trivial (size-2) components, which would never exercise
+multi-hop propagation. These graphs do."""
+
+from __future__ import annotations
+
+from golang_etl_spark.operators.clustering import connected_components
+
+
+def _clusters(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_id_a LONG, doc_id_b LONG")
+    rows = connected_components(df).collect()
+    return {r["doc_id"]: r["label"] for r in rows}
+
+
+def test_chain_collapses_to_one_component(spark):
+    # 1-2-3-4-5-6: diameter 5, forces several propagation rounds;
+    # A~B, B~C must transitively cluster even though A never pairs C
+    got = _clusters(spark, [(i, i + 1) for i in range(1, 6)])
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_star_and_disjoint_components(spark):
+    # star centered at 10 + separate pair + separate triangle
+    pairs = [(10, 11), (10, 12), (10, 13), (20, 21), (30, 31), (31, 32), (30, 32)]
+    got = _clusters(spark, pairs)
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        30: 30, 31: 30, 32: 30,
+    }
+
+
+def test_label_is_component_minimum_regardless_of_edge_order(spark):
+    # the min id arrives via the "wrong end" of the chain: 9-8, 8-7,
+    # 7-1 — label 1 must still flood the whole component
+    got = _clusters(spark, [(9, 8), (8, 7), (7, 1)])
+    assert got == {9: 1, 8: 1, 7: 1, 1: 1}
+
+
+def test_two_chains_merged_by_bridge(spark):
+    # two chains joined by a single bridge edge form one component
+    pairs = [(1, 2), (2, 3), (101, 102), (102, 103), (3, 101)]
+    got = _clusters(spark, pairs)
+    assert set(got.values()) == {1}
+    assert len(got) == 6
