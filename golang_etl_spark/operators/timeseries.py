@@ -109,10 +109,10 @@ grid AS (
   LEFT JOIN hourly hl ON hl.event_type = t.event_type AND hl.hour = c.hour
 )
 SELECT event_type, hour,
-       ROUND(last_value(av IGNORE NULLS) OVER (
+       last_value(av IGNORE NULLS) OVER (
          PARTITION BY event_type ORDER BY hour
          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ), 6) AS avg_value_ffill
+       ) AS avg_value_ffill
 FROM grid
 """
 
@@ -124,7 +124,16 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly average of ``value`` per event_type on a dense hour
     grid, with empty hours forward-filled from the last observed hour
     (resample + ffill). Leading hours with no prior observation stay
-    NULL by design."""
+    NULL by design.
+
+    The average is emitted UNROUNDED: a fixed-decimal ROUND sits on a
+    knife edge when the exact average ends in ...5 at the cut digit —
+    at sf0.1 one hourly mean was x.4728125, and an ULP-level
+    summation-order difference between engines flipped round(...,6)
+    to 12 vs 13. Raw doubles differ only at ~1e-16, which both the
+    comparator's 1e-9 tolerance and the driver's significant-digit
+    canonical formatting absorb. (Rounded SUMs elsewhere are safe:
+    sums of 2-decimal inputs are exact multiples of 0.01.)"""
     ev = load_table(spark, sf_dir, "events").select(
         F.date_trunc("hour", "ts").alias("hour"), "event_type", "value"
     )
@@ -155,7 +164,5 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grid.select(
         "event_type",
         "hour",
-        F.round(F.last("av", ignorenulls=True).over(w), 6).alias(
-            "avg_value_ffill"
-        ),
+        F.last("av", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
