@@ -114,6 +114,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .withColumn("label", F.col("doc_id"))
         .localCheckpoint()
     )
+    converged = False
     for _ in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(
@@ -144,5 +145,16 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         labels = stepped.select("doc_id", "label")
         if stepped.filter(F.col("label") != F.col("old_label")).count() == 0:
+            converged = True
             break
+    if not converged:
+        # min-label propagation moves the minimum one hop per round: a
+        # component whose min-id vertex has eccentricity > MAX_CC_ITERS
+        # would exit here with SPLIT clusters. Failing loudly beats
+        # silently-wrong labels; raise the cap (or switch to pointer-
+        # doubling) if real data ever has chains this deep.
+        raise RuntimeError(
+            f"connected_components did not converge in {MAX_CC_ITERS} "
+            "rounds — component diameter exceeds the iteration cap"
+        )
     return labels

@@ -225,11 +225,15 @@ WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
 
 def minhash_candidates(
     spark: SparkSession, sf_dir: str
-) -> tuple[DataFrame, DataFrame]:
-    """Posting table + LSH candidate pairs (pre-verification). Split
-    out of the query so tests/test_dedup_scale.py can measure candidate
-    volume directly — the quantity that must grow linearly with the
-    duplicate count for the operator to survive 100 TB."""
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(posting, bands, candidate-pairs) for MinHash LSH — candidates
+    are pre-verification. Split out of the query so
+    tests/test_dedup_scale.py can measure candidate volume directly —
+    the quantity that must grow linearly with the duplicate count for
+    the operator to survive 100 TB. Both ``posting`` and ``bands``
+    come back persisted (the self-join reads each twice); callers that
+    run many invocations in one session should unpersist both when
+    done."""
     posting = _shingle_posting(spark, sf_dir).persist()
     sig = posting.groupBy("doc_id").agg(
         *[
@@ -259,7 +263,7 @@ def minhash_candidates(
         )
         .distinct()
     )
-    return posting, cand
+    return posting, bands, cand
 
 
 @register("dedup_minhash_lsh", oracle=_minhash_oracle(), tags=("dedup", "llm"))
@@ -279,7 +283,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     on band key → Jaccard verify through the persisted posting table
     (shared-shingle counts), so candidate volume stays O(near-dups),
     never O(n²)."""
-    posting, cand = minhash_candidates(spark, sf_dir)
+    posting, _bands, cand = minhash_candidates(spark, sf_dir)
     pa = posting.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("n").alias("n_a"),

@@ -42,8 +42,15 @@ N_BUCKETS = 8
 
 
 def _layout_dir(kind: str, sf_dir: str) -> str:
+    # keyed by uid AND pid: these dirs are rewritten with
+    # mode("overwrite"), so two concurrent sessions sharing a path
+    # would race (one session's overwrite deleting part-files under
+    # the other's in-flight scan). Per-process isolation makes every
+    # rewrite idempotent within its own session and immune to
+    # neighbors; the dirs are small and /tmp-reaped.
     root = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_layout_{os.getuid()}"
+        tempfile.gettempdir(),
+        f"spark_graft_layout_{os.getuid()}_{os.getpid()}",
     )
     d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12], kind)
     os.makedirs(os.path.dirname(d), exist_ok=True)
@@ -91,7 +98,10 @@ def bucketed_join_frames(
     """Orders and lineitem as bucketed catalog tables (bucketBy 8 +
     sortBy on the join key), written once per sf_dir. Split out so the
     plan gate can inspect the join input frames directly."""
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # pid in the table name for the same reason as _layout_dir: the
+    # catalog entry points at a per-process path, so a neighbor
+    # session can never overwrite the files under this table
+    suffix = hashlib.md5(f"{sf_dir}|{os.getpid()}".encode()).hexdigest()[:8]
     frames = []
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bkt_{tbl}_{suffix}"

@@ -287,13 +287,17 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).selectExpr(
         "vec_id AS cell_id", "emb AS c_emb", "nrm AS c_nrm"
     )
+    # persisted: `assigned` and `probes` both consume this frame —
+    # unpersisted, each branch re-runs the embeddings scan + 16-cell
+    # dot-product cross join (the same dual-consumer recompute
+    # pathology the dedup self-joins fixed with persist())
     scored = v.join(F.broadcast(cent)).selectExpr(
         "vec_id",
         "emb",
         "nrm",
         "cell_id",
         f"{_dot_spark('emb', 'c_emb')} / (nrm * c_nrm) AS ccos",
-    )
+    ).persist()
     # argmax via struct max: (ccos, -cell_id) picks highest centroid
     # cosine, lowest cell on ties — identical to the oracle's
     # ROW_NUMBER(ORDER BY ccos DESC, cell_id) = 1. emb/nrm ride along

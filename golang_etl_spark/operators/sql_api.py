@@ -154,8 +154,12 @@ FROM (
 GROUP BY c_count
 """
 
-# TPC-H Q15-shaped: top supplier by quarterly revenue (CTE + scalar
-# MAX subquery).
+# TPC-H Q15-shaped: top supplier by quarterly revenue. The classic
+# `WHERE total_revenue = (SELECT MAX(...))` is a float-equality knife
+# edge: Spark inlines the CTE into both consumers and each re-merges
+# shuffled partial double sums in arrival order, so the two
+# evaluations can differ by an ULP and match zero rows. A window rank
+# evaluates the aggregate ONCE — same result set, deterministic.
 _Q15 = """
 WITH revenue AS (
   SELECT l_suppkey AS supplier_no,
@@ -164,11 +168,16 @@ WITH revenue AS (
   WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
   GROUP BY l_suppkey
+),
+ranked AS (
+  SELECT supplier_no, total_revenue,
+         ROW_NUMBER() OVER (ORDER BY total_revenue DESC, supplier_no) AS rn
+  FROM revenue
 )
 SELECT s.s_suppkey, s.s_name, ROUND(r.total_revenue, 4) AS total_revenue
 FROM supplier s
-JOIN revenue r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+JOIN ranked r ON s.s_suppkey = r.supplier_no
+WHERE r.rn = 1
 ORDER BY s_suppkey
 """
 

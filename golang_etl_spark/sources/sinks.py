@@ -220,13 +220,26 @@ def compact_dir(
 
     ``coalesce`` (not ``repartition``): compaction must not pay a
     shuffle — it narrows existing partitions into fewer write tasks.
-    The rewrite lands in ``path + '.compact'`` then atomically swaps
-    via rename, so a concurrent reader sees either layout, never a
-    half-written mix."""
+    The rewrite lands in ``path + '.compact'`` then swaps via two
+    renames. The swap is NOT atomic: there is a brief window where
+    ``path`` is absent, and a reader racing through it fails cleanly
+    (no half-written mix is ever visible, but pause readers around
+    compaction). A leftover ``.old`` backup from a previous crashed
+    run is reclaimed on entry, so the operation is re-runnable. At
+    production scale this swap belongs to a table format with a
+    manifest (Delta/Iceberg ``rewriteDataFiles``); plain parquet
+    directories have no atomic multi-file commit."""
     import os
     import shutil
 
     staged = path.rstrip("/") + ".compact"
+    backup = path.rstrip("/") + ".old"
+    # recover from a previous run that crashed mid-swap
+    if os.path.exists(backup):
+        if not os.path.exists(path):
+            os.rename(backup, path)  # crashed between the two renames
+        else:
+            shutil.rmtree(backup)  # crashed before backup cleanup
     (
         spark.read.parquet(path)
         .coalesce(target_files)
@@ -234,7 +247,6 @@ def compact_dir(
         .option("compression", compression)
         .parquet(staged)
     )
-    backup = path.rstrip("/") + ".old"
     os.rename(path, backup)
     os.rename(staged, path)
     shutil.rmtree(backup)

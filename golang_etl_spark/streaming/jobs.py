@@ -64,7 +64,10 @@ def _stream_dir(sf_dir: str) -> str:
     link = os.path.join(d, "events.parquet")
     target = os.path.join(sf_dir, "events.parquet")
     if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(target):
-        os.remove(link)
+        try:
+            os.remove(link)
+        except FileNotFoundError:
+            pass  # concurrent session replaced the stale link first
     if not os.path.lexists(link):
         try:
             os.symlink(target, link)

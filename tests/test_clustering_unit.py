@@ -45,3 +45,15 @@ def test_two_chains_merged_by_bridge(spark):
     got = _clusters(spark, pairs)
     assert set(got.values()) == {1}
     assert len(got) == 6
+
+
+def test_raises_instead_of_silently_splitting_deep_chains(spark):
+    # a chain of diameter > MAX_CC_ITERS cannot converge within the
+    # cap; the contract is a loud failure, never silently split labels
+    import pytest
+    from golang_etl_spark.operators.clustering import MAX_CC_ITERS
+
+    deep = [(i, i + 1) for i in range(1, MAX_CC_ITERS + 4)]
+    df = spark.createDataFrame(deep, "doc_id_a LONG, doc_id_b LONG")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(df).collect()

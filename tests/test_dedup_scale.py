@@ -38,9 +38,10 @@ def test_minhash_candidates_grow_linearly_with_dups(spark, sf_dir, tmp_path):
 
     counts = {}
     for label, d in (("c0", base), ("ck", with_k), ("c2k", with_2k)):
-        posting, cand = minhash_candidates(spark, d)
+        posting, bands, cand = minhash_candidates(spark, d)
         counts[label] = cand.count()
         posting.unpersist()
+        bands.unpersist()
 
     added_k = counts["ck"] - counts["c0"]
     added_2k = counts["c2k"] - counts["c0"]
