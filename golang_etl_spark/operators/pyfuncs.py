@@ -1,0 +1,134 @@
+"""Python-boundary function surface: scalar Arrow-vectorized pandas
+UDF and a Python UDTF (table function). Completes the UDF matrix next
+to mapInPandas (multimodal.py), applyInPandas (sketches.py), and
+applyInPandasWithState (streaming/jobs.py).
+
+No reference counterpart (SURVEY.md §2.5 "UDF/UDAF/UDTF surface:
+none") — API-surface extension.
+
+Scale notes (100 TB stance):
+- the scalar pandas UDF crosses to Python in Arrow batches (~10k rows
+  per crossing), vectorized end-to-end in numpy — the acceptable
+  Python path. It exists here to prove the boundary; an expression
+  this simple (a sigmoid) would ship as built-in ``F.exp`` arithmetic
+  in a real hot path.
+- the Python UDTF is row-at-a-time by contract (eval() per input row,
+  yield per output row) — the SLOW path, kept because table functions
+  are the only way to express some expansions in user code. The
+  docstring of the query says so; at 100 TB this exact expansion
+  would be the JVM ``explode(split(...))`` (that equivalence is what
+  the DuckDB oracle checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf, udtf
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table, register_views
+
+MIN_WORD_LEN = 6
+
+
+@pandas_udf(DoubleType())
+def _sigmoid_score(value: pd.Series) -> pd.Series:
+    # numpy over the whole Arrow batch — zero per-row Python. The
+    # formula is written identically to the oracle's SQL (1/(1+exp))
+    # so both engines run the same double operations. DoubleType()
+    # (not the "double" DDL string): string types parse through the
+    # active SparkSession, which doesn't exist at import time.
+    return 1.0 / (1.0 + np.exp(-value / 100.0))
+
+
+_PANDAS_UDF_ORACLE = """
+SELECT event_id, event_type,
+       1.0 / (1.0 + exp(-value / 100.0)) AS score
+FROM events
+WHERE event_type IN ('view', 'click')
+"""
+
+
+@register(
+    "pandasudf_scalar_score", oracle=_PANDAS_UDF_ORACLE, tags=("pandas_udf",)
+)
+def pandasudf_scalar_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: a bounded activity score (sigmoid of scaled
+    value) computed in Arrow-batched numpy. Emitted unrounded — numpy
+    and DuckDB libm exp() may differ at 1 ULP, which the comparator's
+    relative tolerance absorbs but fixed-decimal rounding would
+    amplify (see timeseries_resample_ffill)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("view", "click")).select(
+        "event_id", "event_type", _sigmoid_score("value").alias("score")
+    )
+
+
+class _SplitWordsUDTF:
+    """Yield (position, word) per whitespace token of one document —
+    the UDTF contract: eval() once per input row, yield once per
+    output row. Wrapped with ``udtf(...)`` inside the query (not via
+    decorator at module scope: a DDL-string returnType parses through
+    the active SparkSession, which doesn't exist at import time)."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i, w in enumerate(text.split()):
+            yield i + 1, w
+
+
+_UDTF_SCHEMA = StructType(
+    [
+        StructField("pos", IntegerType()),
+        StructField("word", StringType()),
+    ]
+)
+
+
+_UDTF_ORACLE = f"""
+WITH posting AS (
+  SELECT doc_id, i.i AS pos, w[i.i] AS word
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+        FROM documents) v,
+       LATERAL (SELECT unnest(range(1, len(v.w) + 1)) AS i) i
+)
+SELECT word,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(MIN(pos) AS BIGINT) AS min_pos
+FROM posting
+WHERE length(word) >= {MIN_WORD_LEN}
+GROUP BY word
+"""
+
+
+@register("udtf_word_positions", oracle=_UDTF_ORACLE, tags=("udtf",))
+def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF in a LATERAL join: tokenize each document into
+    (pos, word) rows, then aggregate long words. Row-at-a-time Python
+    — the API-completeness demo, NOT the hot path: the oracle proves
+    it computes exactly what JVM ``posexplode(split(...))`` computes,
+    which is what production code should use."""
+    register_views(spark, sf_dir)
+    spark.udtf.register("split_words", udtf(_SplitWordsUDTF, returnType=_UDTF_SCHEMA))
+    return spark.sql(
+        f"""
+        SELECT s.word,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(MIN(s.pos) AS BIGINT) AS min_pos
+        FROM documents d,
+             LATERAL split_words(d.text) s
+        WHERE length(s.word) >= {MIN_WORD_LEN}
+        GROUP BY s.word
+        """
+    )

@@ -87,6 +87,7 @@ def _load_all() -> None:
         layout,
         multimodal,
         profiling,
+        pyfuncs,
         relational,
         sampling,
         sessionize,

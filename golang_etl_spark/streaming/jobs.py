@@ -457,3 +457,29 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tbl = _run_to_table(joined, "stream_stream_join", "append")
     return tbl.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+def foreachbatch_parquet_sink(
+    ev: DataFrame, out_dir: str
+) -> None:
+    """Production sink pattern: ``foreachBatch`` writing each
+    micro-batch to a batch-id-keyed parquet subdirectory with
+    overwrite semantics. A retried batch (same batch_id after a
+    failure) overwrites its own directory instead of appending
+    duplicates — per-batch idempotence, which is what exactly-once
+    file output reduces to without a transactional table format.
+    Aggregate-free passthrough: watermarking/state belong to the
+    transformation, not the sink."""
+
+    def _write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_write_batch)
+        .option("checkpointLocation", f"{out_dir}/_checkpoints")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
