@@ -728,3 +728,72 @@ def correlated_exists_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("c_custkey").alias("n_rich"))
         .orderBy("n_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Variant JSON (Spark 4 native semi-structured type).
+# ---------------------------------------------------------------------------
+_VARIANT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_total,
+       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS k_max
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("variant_json_agg", oracle=_VARIANT_ORACLE, tags=("json", "variant"))
+def variant_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` converts the JSON string column to a binary-encoded
+    variant ONCE, then ``variant_get`` extracts typed paths — the
+    shredding-friendly representation that beats per-access string
+    re-parsing (`json_extract`-style) when several fields are read
+    from the same document at 100 TB. The DuckDB oracle replays the
+    same result through its JSON functions."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k"),
+    )
+    return v.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("k").cast("bigint").alias("k_total"),
+        F.max("k").cast("bigint").alias("k_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# try_* safe-arithmetic functions (ANSI-safe data cleaning).
+# ---------------------------------------------------------------------------
+_TRY_FUNCS_ORACLE = """
+SELECT event_id,
+       TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN value = 0 THEN NULL ELSE
+         TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) / value
+       END AS k_per_value,
+       TRY_CAST(event_type AS BIGINT) AS bad_cast
+FROM events
+WHERE event_id < 1000
+"""
+
+
+@register("scalar_try_funcs", oracle=_TRY_FUNCS_ORACLE, tags=("scalar",))
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe scalar surface: ``try_cast`` / ``try_divide`` return
+    NULL instead of raising on bad input — the dirty-data posture a
+    curation pipeline wants (a single malformed row must not kill a
+    100 TB job). ``bad_cast`` exercises the guaranteed-failure path
+    (casting a word to BIGINT) and must be NULL on every row."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_id") < 1000).select(
+        "event_id",
+        F.expr("try_cast(get_json_object(props, '$.k') AS BIGINT)").alias("k"),
+        F.expr(
+            "try_divide(try_cast(get_json_object(props, '$.k') AS BIGINT), value)"
+        ).alias("k_per_value"),
+        F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
+    )
