@@ -618,3 +618,146 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cos, 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Incremental ingest dedup: new batch vs existing corpus.
+# ---------------------------------------------------------------------------
+# The daily-ingest shape of a training-data pipeline: documents with
+# doc_id < INGEST_SPLIT stand in for the already-ingested corpus,
+# doc_id >= INGEST_SPLIT for the incoming batch. Each incoming doc is
+# classified: exact_dup (normalized text hash exists in the corpus),
+# near_dup (SimHash band collision with a corpus doc verified at
+# Hamming <= HAMMING_MAX), else new.
+INGEST_SPLIT = 250
+
+
+def _ingest_oracle() -> str:
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, fp, {j} AS band_id, band_{j} AS band_val FROM banded"
+        for j in range(n_bands)
+    )
+    return f"""
+WITH norm AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, md5(tok) AS h
+  FROM (SELECT doc_id, unnest({_WORDS_DUCK}) AS tok FROM documents)
+),
+sums AS (
+  SELECT doc_id,
+    {_simhash_bit_sums('duck')}
+  FROM toks GROUP BY doc_id
+),
+fps AS (
+  SELECT doc_id, CAST({_simhash_fp()} AS BIGINT) AS fp FROM sums
+),
+banded AS (
+  SELECT doc_id, fp, {", ".join(_simhash_bands('duck'))} FROM fps
+),
+bands AS (
+    {band_union}
+),
+exact_dups AS (
+  SELECT DISTINCT i.doc_id
+  FROM norm i JOIN norm c
+    ON i.h = c.h AND i.doc_id >= {INGEST_SPLIT} AND c.doc_id < {INGEST_SPLIT}
+),
+near_dups AS (
+  SELECT DISTINCT i.doc_id
+  FROM bands i JOIN bands c
+    ON i.band_id = c.band_id AND i.band_val = c.band_val
+   AND i.doc_id >= {INGEST_SPLIT} AND c.doc_id < {INGEST_SPLIT}
+  WHERE bit_count(xor(i.fp, c.fp)) <= {HAMMING_MAX}
+)
+SELECT d.doc_id,
+       CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+            WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS verdict
+FROM (SELECT doc_id FROM documents WHERE doc_id >= {INGEST_SPLIT}) d
+LEFT JOIN exact_dups e ON e.doc_id = d.doc_id
+LEFT JOIN near_dups n ON n.doc_id = d.doc_id
+"""
+
+
+@register("dedup_incremental_ingest", oracle=_ingest_oracle(), tags=("dedup", "llm"))
+def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify an incoming document batch against the existing corpus:
+    exact_dup / near_dup / new.
+
+    100 TB shape: fingerprints and normalized hashes are computed ONCE
+    over the union (one persisted pipeline — in production the corpus
+    side's signatures would be a precomputed index table, so only the
+    incoming batch pays compute), the exact check is a hash equi-join,
+    and the near check is the SimHash band equi-join restricted to
+    incoming×corpus — candidate volume stays O(near-dups), never
+    |batch|×|corpus|."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _pin_partitions(spark), "doc_id"
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    hashes = docs.select("doc_id", F.md5(norm).alias("h")).persist()
+
+    toks = docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w").select(
+        "doc_id", F.explode_outer("w").alias("tok")
+    ).selectExpr("doc_id", "md5(tok) AS h")
+    sums = toks.groupBy("doc_id").agg(
+        *[F.expr(e).alias(a) for e, a in _simhash_bit_sum_pairs("spark")]
+    )
+    fps = sums.selectExpr("doc_id", f"CAST({_simhash_fp()} AS BIGINT) AS fp")
+    n_bands = SIMHASH_BITS // SIMHASH_BAND_BITS
+    stack_args = ", ".join(f"{j}, band_{j}" for j in range(n_bands))
+    bands = (
+        fps.selectExpr("doc_id", "fp", *_simhash_bands("spark"))
+        .selectExpr(
+            "doc_id", "fp",
+            f"stack({n_bands}, {stack_args}) AS (band_id, band_val)",
+        )
+        .persist()
+    )
+
+    is_corpus = F.col("doc_id") < INGEST_SPLIT
+    exact = (
+        hashes.filter(~is_corpus)
+        .join(
+            hashes.filter(is_corpus).select(F.col("h").alias("ch")),
+            F.col("h") == F.col("ch"),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_exact", F.lit(True))
+    )
+    inc_b = bands.filter(~is_corpus).selectExpr(
+        "doc_id", "fp", "band_id", "band_val"
+    )
+    cor_b = bands.filter(is_corpus).selectExpr(
+        "fp AS c_fp", "band_id AS c_band_id", "band_val AS c_band_val"
+    )
+    near = (
+        inc_b.join(
+            cor_b,
+            (F.col("band_id") == F.col("c_band_id"))
+            & (F.col("band_val") == F.col("c_band_val")),
+        )
+        .filter(F.expr(f"bit_count(fp ^ c_fp) <= {HAMMING_MAX}"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_near", F.lit(True))
+    )
+    incoming = docs.filter(~is_corpus).select("doc_id")
+    return (
+        incoming.join(exact, "doc_id", "left")
+        .join(near, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .otherwise("new")
+            .alias("verdict"),
+        )
+    )
