@@ -36,6 +36,8 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_embedding_cosine",
     "dedup_cluster_cc",
+    "dedup_incremental_ingest",
+    "variant_json_agg",
     "timeseries_gapfill",
     "join_skew_salted",
     "join_bucketed_colocated",
