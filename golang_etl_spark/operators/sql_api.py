@@ -211,6 +211,122 @@ WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 10
 """
 
 
+# TPC-H Q7-shaped: volume shipping between two nations by ship year
+# (nation names adapted to the fixture's NATION_n values).
+_Q7 = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(SUM(volume), 4) AS revenue,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT n1.n_name AS supp_nation,
+         n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l.l_shipdate) AS BIGINT) AS l_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume
+  FROM supplier s
+  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l.l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+# TPC-H Q8-shaped: national market share within a region for one part
+# type, by order year (p_type adapted to the fixture's flat type
+# values; the share is a ratio of two shuffled double sums — ROUND(4)
+# keeps it far from representation noise).
+_Q8 = """
+SELECT o_year,
+       ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+             / SUM(volume), 4) AS mkt_share,
+       CAST(COUNT(*) AS BIGINT) AS n_lines
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+         l.l_extendedprice * (1 - l.l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part p
+  JOIN lineitem l ON p.p_partkey = l.l_partkey
+  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+  JOIN region r ON n1.n_regionkey = r.r_regionkey
+  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+  WHERE r.r_name = 'EUROPE'
+    AND p.p_type = 'STANDARD'
+    AND o.o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+"""
+
+# TPC-H Q21-shaped: suppliers who kept finalized orders waiting. The
+# fixture has no commit/receipt dates, so "late" is the Q4 convention
+# (l_shipdate > o_orderdate + 60 days); the double-correlated
+# EXISTS / NOT EXISTS multi-supplier shape is Q21's.
+_Q21 = """
+SELECT s.s_name,
+       CAST(COUNT(*) AS BIGINT) AS numwait
+FROM supplier s
+JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+JOIN orders o ON o.o_orderkey = l1.l_orderkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE o.o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  AND n.n_name = 'NATION_1'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY s.s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+"""
+
+# TPC-H Q22-shaped: global sales opportunity — customers above the
+# average positive balance with no urgent orders. The fixture has no
+# c_phone, so the country-code prefix becomes c_nationkey % 10 over a
+# fixed code set, and every fixture customer has >= 1 order so the
+# classic "no orders at all" anti-join is vacuous — "no 1-URGENT
+# order" keeps the uncorrelated scalar subquery + NOT EXISTS shape
+# with a non-degenerate result.
+_Q22 = """
+SELECT cntrycode,
+       CAST(COUNT(*) AS BIGINT) AS numcust,
+       ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM (
+  SELECT CAST(c.c_nationkey % 10 AS BIGINT) AS cntrycode, c.c_acctbal
+  FROM customer c
+  WHERE c.c_nationkey % 10 IN (1, 2, 3, 4, 5)
+    AND c.c_acctbal > (
+      SELECT AVG(c2.c_acctbal) FROM customer c2
+      WHERE c2.c_acctbal > 0.00 AND c2.c_nationkey % 10 IN (1, 2, 3, 4, 5)
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+    )
+) custsale
+GROUP BY cntrycode
+ORDER BY cntrycode
+"""
+
+
 def _passthrough(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -232,6 +348,10 @@ for _name, _sql, _doc in (
     ("sql_top_supplier", _Q15, "TPC-H Q15 shape: CTE + scalar MAX subquery via SQL."),
     ("sql_small_qty_revenue", _Q17, "TPC-H Q17 shape: correlated scalar subquery via SQL."),
     ("sql_disjunctive_pred", _Q19, "TPC-H Q19 shape: OR-of-range predicates via SQL."),
+    ("sql_volume_shipping", _Q7, "TPC-H Q7 shape: two-nation volume by ship year."),
+    ("sql_market_share", _Q8, "TPC-H Q8 shape: national market share ratio by year."),
+    ("sql_waiting_suppliers", _Q21, "TPC-H Q21 shape: EXISTS/NOT-EXISTS multi-supplier."),
+    ("sql_sales_opportunity", _Q22, "TPC-H Q22 shape: scalar-subquery + anti-join."),
 ):
     _fn = _passthrough(_sql)
     _fn.__doc__ = (
