@@ -761,3 +761,107 @@ def dedup_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Benchmark contamination check (n-gram overlap vs a held-out set).
+# ---------------------------------------------------------------------------
+# Before training, the corpus is screened against evaluation
+# benchmarks: any training document sharing a large fraction of a
+# benchmark item's n-grams is contaminated and must be dropped. Here
+# the "benchmark" is a deterministic ~5% slice of the corpus (md5
+# bucket 0 of 20) so the operator is self-contained and replayable;
+# in production the bench side is an external (tiny) table and the
+# same plan applies verbatim.
+BENCH_BUCKETS = 20  # bucket 0 -> benchmark ~= 5% of docs
+BENCH_DF_CAP = 50  # drop shingles present in > cap benchmark docs
+CONTAMINATION_MIN = 0.1  # report pairs covering >= 10% of a bench doc
+
+_DOCBUCKET_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    f" % {BENCH_BUCKETS}"
+)
+_DOCBUCKET_DUCK = (
+    f"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {BENCH_BUCKETS}"
+)
+
+_CONTAMINATION_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_DOCBUCKET_DUCK} = 0 AS is_bench, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+bench AS (
+  SELECT doc_id AS bench_id, len(shingles) AS bench_n,
+         unnest(shingles) AS shingle
+  FROM sh WHERE is_bench
+),
+rare AS (
+  SELECT shingle FROM bench GROUP BY shingle HAVING COUNT(*) <= {BENCH_DF_CAP}
+),
+corpus AS (
+  SELECT doc_id, unnest(shingles) AS shingle FROM sh WHERE NOT is_bench
+),
+hits AS (
+  SELECT c.doc_id, b.bench_id, b.bench_n, COUNT(*) AS n_shared
+  FROM corpus c
+  JOIN rare r ON c.shingle = r.shingle
+  JOIN bench b ON c.shingle = b.shingle
+  GROUP BY c.doc_id, b.bench_id, b.bench_n
+)
+SELECT doc_id, bench_id,
+       CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(n_shared * 1.0 / bench_n, 4) AS contamination
+FROM hits
+WHERE n_shared * 1.0 / bench_n >= {CONTAMINATION_MIN}
+"""
+
+
+@register(
+    "dedup_contamination_check",
+    oracle=_CONTAMINATION_ORACLE,
+    tags=("dedup", "llm"),
+)
+def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination screen: for every (corpus doc, bench
+    doc) pair sharing word-3-gram shingles, report the fraction of the
+    bench doc's shingles found in the corpus doc; pairs covering >=
+    CONTAMINATION_MIN are flagged.
+
+    Scale shape: the bench side is tiny by construction (a benchmark
+    suite, ~per-mille of a 100 TB corpus), so the inverted-index join
+    fans each corpus shingle out to at most the bench docs containing
+    it; shingles hitting > BENCH_DF_CAP bench docs are boilerplate and
+    dropped before the join (skew control, same stance as
+    dedup_ngram_jaccard's DF_CAP). One aggregation keyed by
+    (corpus_doc, bench_doc) — partial-agg'd map-side; candidate volume
+    is O(true overlaps), never O(|corpus| x |bench|)."""
+    posting = (
+        _shingle_posting(spark, sf_dir)
+        .withColumn("is_bench", F.expr(f"({_DOCBUCKET_SPARK}) = 0"))
+        .persist()
+    )
+    bench = posting.filter(F.col("is_bench")).select(
+        F.col("doc_id").alias("bench_id"),
+        F.col("n").alias("bench_n"),
+        "shingle",
+    )
+    rare = (
+        bench.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= BENCH_DF_CAP)
+        .select("shingle")
+    )
+    corpus = posting.filter(~F.col("is_bench")).select("doc_id", "shingle")
+    hits = (
+        corpus.join(rare, "shingle")
+        .join(bench, "shingle")
+        .groupBy("doc_id", "bench_id", "bench_n")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    contamination = F.col("n_shared") / F.col("bench_n")
+    return hits.filter(contamination >= CONTAMINATION_MIN).select(
+        "doc_id",
+        "bench_id",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        F.round(contamination, 4).alias("contamination"),
+    )

@@ -67,3 +67,53 @@ def sample_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quota sampling (data mixing).
+# ---------------------------------------------------------------------------
+# Pretraining mixes rebalance a skewed corpus by taking a fixed quota
+# (or weighted quota) per language/source. Deterministic priority =
+# the same 60-bit md5 hash as the split bucket, so the selected set is
+# stable across runs, engines, and partitionings — "random" in
+# distribution, reproducible in fact.
+QUOTA_PER_LANG = 40
+
+_PRIORITY_SPARK = "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+_PRIORITY_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+
+_QUOTA_ORACLE = f"""
+WITH ranked AS (
+  SELECT doc_id, lang, n_chars,
+         ROW_NUMBER() OVER (PARTITION BY lang
+                            ORDER BY {_PRIORITY_DUCK}, doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, lang, CAST(rk AS BIGINT) AS rk, CAST(n_chars AS BIGINT) AS n_chars
+FROM ranked
+WHERE rk <= {QUOTA_PER_LANG}
+"""
+
+
+@register("sample_language_quota", oracle=_QUOTA_ORACLE, tags=("sampling", "llm"))
+def sample_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language quota sample: the {QUOTA_PER_LANG}
+    docs with the lowest hash priority per language (hash-ordered ==
+    uniform-without-replacement, but replayable).
+
+    Scale shape: one shuffle on lang to a per-key window row_number,
+    then a rank filter. Languages are few and can be huge — at real
+    scale swap the global window for a per-partition top-K
+    (rank <= K within each partition, then re-rank the K*P survivors)
+    so no single task sorts a whole language; the fixture-size window
+    keeps the demonstration plan readable."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.expr(_PRIORITY_SPARK), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= QUOTA_PER_LANG)
+        .select("doc_id", "lang", "rk", F.col("n_chars").cast("long").alias("n_chars"))
+    )

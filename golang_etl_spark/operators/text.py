@@ -466,3 +466,53 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("score", 6).alias("tfidf"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Document chunking: overlapping fixed-width character windows.
+# ---------------------------------------------------------------------------
+# Training pipelines split long documents into model-context-sized
+# pieces with overlap so no span is cut mid-thought at a hard
+# boundary. Character windows (not token windows) keep the operator a
+# pure JVM projection; the token variant is the same plan over the
+# regexp-tokenized array.
+CHUNK_CHARS = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+_CHUNK_ORACLE = f"""
+SELECT doc_id,
+       CAST(i AS BIGINT) AS chunk_id,
+       CAST(i * {CHUNK_STRIDE} AS BIGINT) AS chunk_start,
+       substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_CHARS}) AS chunk_text,
+       CAST(length(substr(text, CAST(i * {CHUNK_STRIDE} + 1 AS INT), {CHUNK_CHARS}))
+            AS BIGINT) AS chunk_len
+FROM documents,
+     UNNEST(range(0, GREATEST(CAST(ceil((length(text) - {CHUNK_CHARS})
+                                        / {CHUNK_STRIDE}.0) AS BIGINT), 0) + 1)) AS t(i)
+"""
+
+
+@register("text_chunk_documents", oracle=_CHUNK_ORACLE, tags=("text", "llm"))
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split each document into {CHUNK_CHARS}-char chunks on a
+    {CHUNK_STRIDE}-char stride (overlapping windows; every doc yields
+    >= 1 chunk, the last chunk absorbs the tail).
+
+    Scale shape: explode(sequence(...)) over a per-row arithmetic
+    bound — a narrow JVM Generate with no shuffle at all; output size
+    is ~len/stride rows per doc, exactly the blow-up the training
+    pipeline asked for. substring/length stay in WholeStageCodegen."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "text",
+        f"explode(sequence(0, greatest(cast(ceil((length(text) - {CHUNK_CHARS})"
+        f" / cast({CHUNK_STRIDE} AS double)) AS int), 0))) AS i",
+    ).selectExpr(
+        "doc_id",
+        "cast(i AS bigint) AS chunk_id",
+        f"cast(i * {CHUNK_STRIDE} AS bigint) AS chunk_start",
+        f"substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}) AS chunk_text",
+        f"cast(length(substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}))"
+        " AS bigint) AS chunk_len",
+    )

@@ -60,6 +60,7 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "dedup_simhash",
         "dedup_ngram_jaccard",
         "dedup_embedding_cosine",
+        "dedup_contamination_check",
         "similarity_ann_lsh",
         "asof_join_purchase_click",
         "sessionize_events",
@@ -89,7 +90,7 @@ def test_dedup_aggregates_stay_hash_based(spark, sf_dir, name):
 @pytest.mark.parametrize(
     "name",
     ["dedup_minhash_lsh", "dedup_simhash", "dedup_ngram_jaccard",
-     "dedup_embedding_cosine"],
+     "dedup_embedding_cosine", "dedup_contamination_check"],
 )
 def test_dedup_selfjoin_subtrees_cached(spark, sf_dir, name):
     # the candidate self-join references its build subtree from both
@@ -190,4 +191,20 @@ def test_bucketed_join_is_exchange_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_bucketed_colocated")
     assert "SortMergeJoin" in plan
     assert plan.count("Bucketed: true") == 2
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_chunking_is_shuffle_free(spark, sf_dir):
+    # chunk explosion is a pure per-row Generate: any Exchange means
+    # the operator acquired a shuffle it doesn't need (at 100 TB the
+    # chunker must stream map-side only)
+    plan = _plan(spark, sf_dir, "text_chunk_documents")
+    assert "Exchange" not in plan, plan
+    assert "Generate" in plan
+
+
+def test_language_quota_single_shuffle(spark, sf_dir):
+    # quota sampling = one hash partition on lang for the window;
+    # a second exchange would mean the rank filter re-shuffled
+    plan = _plan(spark, sf_dir, "sample_language_quota")
     assert plan.count("Exchange") == 1, plan
