@@ -151,3 +151,78 @@ def range_count_prior_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.count("*").over(w).cast("long").alias("n_prev_1h"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed interval join: all events within 1 hour AFTER an error.
+# ---------------------------------------------------------------------------
+# The general range join (b.ts in (a.ts, a.ts + W]) is an inequality
+# predicate — naively planned as BroadcastNestedLoopJoin, O(n·m).
+# The scalable formulation buckets time into W-sized epochs and
+# duplicates the LEFT side into its own and the next bucket: every
+# qualifying pair must then share (user_id, bucket), so the join is a
+# plain equi-join with a residual range filter. 2x expansion of the
+# small (error) side buys an O(matches) shuffle join — the same trick
+# behind Databricks' range-join optimization and Flink's interval
+# join, composed here from public DataFrame ops.
+RANGE_JOIN_WINDOW_US = 3_600_000_000  # 1 hour in microseconds
+
+_INTERVAL_ORACLE = f"""
+SELECT a.event_id AS err_id,
+       b.event_id AS event_id,
+       b.event_type,
+       CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS micros_after_error
+FROM events a
+JOIN events b
+  ON a.user_id = b.user_id
+ AND b.ts > a.ts
+ AND epoch_us(b.ts) - epoch_us(a.ts) <= {RANGE_JOIN_WINDOW_US}
+WHERE a.event_type = 'error'
+"""
+
+
+@register(
+    "range_join_bucketed", oracle=_INTERVAL_ORACLE, tags=("asof", "join")
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join via time bucketing: every event of the same user
+    falling in the hour after an error event, as (error, event) pairs
+    with exact micro-second lag.
+
+    The error side explodes into buckets {b, b+1} (any partner within
+    W microseconds lands in one of the two); the join is then a pure
+    equi-join on (user_id, bucket) plus a residual filter on the exact
+    interval — no cartesian, no BNLJ, candidates O(co-bucketed pairs).
+    The DuckDB oracle runs the naive inequality join, proving the
+    bucketed rewrite exact."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.unix_micros("ts") / F.lit(RANGE_JOIN_WINDOW_US))
+    err = (
+        ev.filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            "user_id",
+            F.unix_micros("ts").alias("err_us"),
+            F.explode(F.array(bucket, bucket + 1)).alias("bucket"),
+        )
+    )
+    others = ev.select(
+        "event_id",
+        "event_type",
+        "user_id",
+        F.unix_micros("ts").alias("ev_us"),
+        bucket.alias("bucket"),
+    )
+    return (
+        err.join(others, ["user_id", "bucket"])
+        .filter(
+            (F.col("ev_us") > F.col("err_us"))
+            & (F.col("ev_us") - F.col("err_us") <= RANGE_JOIN_WINDOW_US)
+        )
+        .select(
+            "err_id",
+            "event_id",
+            "event_type",
+            (F.col("ev_us") - F.col("err_us")).alias("micros_after_error"),
+        )
+    )

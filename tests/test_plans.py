@@ -63,6 +63,7 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "dedup_contamination_check",
         "similarity_ann_lsh",
         "asof_join_purchase_click",
+        "range_join_bucketed",
         "sessionize_events",
     ],
 )
@@ -208,3 +209,14 @@ def test_language_quota_single_shuffle(spark, sf_dir):
     # a second exchange would mean the rank filter re-shuffled
     plan = _plan(spark, sf_dir, "sample_language_quota")
     assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_is_bucketed_equijoin(spark, sf_dir):
+    # the inequality predicate must ride as a residual condition on a
+    # bucket equi-join — a hash/merge join keyed on (user_id, bucket),
+    # never an inequality-only join
+    plan = _plan(spark, sf_dir, "range_join_bucketed")
+    assert "bucket" in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
