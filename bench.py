@@ -37,7 +37,11 @@ HEADLINE = [
     "dedup_embedding_cosine",
     "dedup_cluster_cc",
     "dedup_incremental_ingest",
+    "dedup_contamination_check",
     "variant_json_agg",
+    "text_chunk_documents",
+    "sample_language_quota",
+    "range_join_bucketed",
     "timeseries_gapfill",
     "join_skew_salted",
     "join_bucketed_colocated",
