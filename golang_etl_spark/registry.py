@@ -57,14 +57,43 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
+def _driver_checked_names() -> set[str]:
+    """Names with a CORRECTNESS_r*.json row from any past driver round.
+
+    The driver samples a 50-query subset per round; surfacing
+    never-checked names first makes the rotation converge on full
+    coverage instead of re-checking the same prefix forever.
+    """
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    root = Path(__file__).resolve().parent.parent
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            checked.update(json.loads(path.read_text()).keys())
+        except (OSError, ValueError):
+            continue
+    return checked
+
+
+def _ordered() -> dict[str, QuerySpec]:
+    """Registry ordered never-driver-checked first (stable within groups)."""
+    specs = all_queries()
+    checked = _driver_checked_names()
+    ordered = {n: s for n, s in specs.items() if n not in checked}
+    ordered.update({n: s for n, s in specs.items() if n in checked})
+    return ordered
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in all_queries().items()}
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle
-        for name, spec in all_queries().items()
+        for name, spec in _ordered().items()
         if spec.oracle is not None
     }
 
