@@ -45,6 +45,22 @@ from golang_etl_spark.registry import register
 
 MAX_CC_ITERS = 20
 
+# Below this many (directed) edges the whole graph is union-found in a
+# single task instead of the iterative distributed loop: 5M edges is
+# ~80 MB of id pairs — one core chews through that in seconds with a
+# DSU, while the distributed loop would pay log(diameter) rounds of
+# shuffle + materialization latency for no benefit. Near-dup pair
+# graphs are candidate-scale, not corpus-scale, so even at 100 TB most
+# runs take this path; the loop is the safety net for genuinely huge
+# pair sets.
+CC_LOCAL_EDGE_THRESHOLD = 5_000_000
+
+# Pointer-jump levels per distributed round, each a join against the
+# previous round's MATERIALIZED label table (never the in-flight
+# frame, which would recompute the neighbor-min subtree per level).
+# Label reach grows ~(JUMPS+1)^round, so rounds ~ log_{JUMPS+1}(diam).
+CC_JUMPS_PER_ROUND = 2
+
 _CC_ORACLE = f"""
 WITH RECURSIVE pairs AS (
   {_simhash_oracle()}
@@ -90,13 +106,40 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame) -> DataFrame:
-    """Min-label propagation over an undirected pair list
+def connected_components(
+    pairs: DataFrame, local_threshold: int = CC_LOCAL_EDGE_THRESHOLD
+) -> DataFrame:
+    """Connected components over an undirected pair list
     ``(doc_id_a, doc_id_b)`` — returns ``(doc_id, label)`` where label
     is the minimum doc_id reachable from doc_id. The algorithmic core
     of ``dedup_cluster_cc``, factored out so the chain/star unit tests
     (tests/test_clustering_unit.py) can drive it on synthetic graphs
-    whose transitive closure is known."""
+    whose transitive closure is known.
+
+    Two execution paths, picked by a cheap edge count over the
+    already-materialized edge list:
+
+    - **small graph** (≤ ``local_threshold`` directed edges): one
+      ``mapInPandas`` task runs union-find over the whole edge list.
+      No rounds, no shuffles — a single core beats any distributed
+      loop at this size, and pair graphs are candidate-scale (bounded
+      by the near-dup rate), not corpus-scale.
+    - **large graph**: iterative min-label propagation with pointer
+      jumping. Each round takes the min label over neighbors, then
+      ``CC_JUMPS_PER_ROUND`` times resolves ``label <- label(label)``
+      against the previous round's label table, so a label's reach
+      grows ~(JUMPS+1)^round → O(log diameter) rounds. The jump joins
+      deliberately target the previous round's ``localCheckpoint``-ed
+      frame, never the in-flight one: self-joining the un-cached frame
+      recomputes the whole neighbor-min subtree once per jump level
+      (measured 6× slower at sf0.1), while the checkpointed frame is a
+      flat in-memory relation that extra references merely re-scan.
+      The convergence check is free — an ``Observation`` counting
+      changed labels rides the per-round materialization job.
+
+    Pass ``local_threshold=0`` to force the distributed loop (used by
+    the deep-chain tests) or a huge value to force union-find.
+    """
     edges = (
         pairs.select(
             F.col("doc_id_a").alias("src"), F.col("doc_id_b").alias("dst")
@@ -108,6 +151,54 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         )
         .localCheckpoint()
     )
+    if edges.count() <= local_threshold:
+        return _cc_union_find(edges)
+    return _cc_label_propagation(edges)
+
+
+def _cc_union_find(edges: DataFrame) -> DataFrame:
+    """Single-task DSU over the materialized edge list. Union-by-min
+    (larger root attaches under smaller) makes every root the minimum
+    id of its component, so ``find`` directly yields the same label
+    the distributed loop converges to."""
+
+    def dsu(batches):
+        import pandas as pd
+
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for pdf in batches:
+            for s, d in zip(
+                pdf["src"].to_numpy(), pdf["dst"].to_numpy()
+            ):
+                s, d = int(s), int(d)
+                parent.setdefault(s, s)
+                parent.setdefault(d, d)
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    parent[max(rs, rd)] = min(rs, rd)
+        ids = sorted(parent)
+        yield pd.DataFrame(
+            {"doc_id": ids, "label": [find(x) for x in ids]}
+        )
+
+    return edges.coalesce(1).mapInPandas(dsu, "doc_id long, label long")
+
+
+def _cc_label_propagation(edges: DataFrame) -> DataFrame:
+    """Distributed min-label propagation with pointer jumping — see
+    ``connected_components`` for the algorithm and why jumps resolve
+    against the previous round's materialized table."""
+    from pyspark.sql import Observation
+
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
@@ -115,7 +206,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         .localCheckpoint()
     )
     converged = False
-    for _ in range(MAX_CC_ITERS):
+    for i in range(MAX_CC_ITERS):
         nbr_min = (
             edges.join(
                 labels.select(
@@ -126,33 +217,43 @@ def connected_components(pairs: DataFrame) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nbr").alias("nbr_min"))
         )
-        # carry the previous label through the checkpoint so the
-        # convergence check is a filter-count over the (tiny, cached)
-        # result instead of an extra join stage per round
-        stepped = (
-            labels.join(
-                nbr_min, labels["doc_id"] == nbr_min["src"], "left"
-            )
-            .select(
+        cur = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.col("label").alias("old_label"),
+            F.least(
+                F.col("label"),
+                F.coalesce(F.col("nbr_min"), F.col("label")),
+            ).alias("label"),
+        )
+        prev = labels.select(
+            F.col("doc_id").alias("p_id"), F.col("label").alias("p_label")
+        )
+        for _ in range(CC_JUMPS_PER_ROUND):
+            cur = cur.join(
+                prev, cur["label"] == prev["p_id"], "left"
+            ).select(
                 "doc_id",
-                F.col("label").alias("old_label"),
+                "old_label",
                 F.least(
                     F.col("label"),
-                    F.coalesce(F.col("nbr_min"), F.col("label")),
+                    F.coalesce(F.col("p_label"), F.col("label")),
                 ).alias("label"),
             )
-            .localCheckpoint()  # truncate lineage — see module docstring
-        )
+        obs = Observation(f"cc_round_{i}")
+        stepped = cur.observe(
+            obs,
+            F.count_if(F.col("label") != F.col("old_label")).alias("changed"),
+        ).localCheckpoint()  # truncate lineage — see module docstring
         labels = stepped.select("doc_id", "label")
-        if stepped.filter(F.col("label") != F.col("old_label")).count() == 0:
+        if obs.get["changed"] == 0:
             converged = True
             break
     if not converged:
-        # min-label propagation moves the minimum one hop per round: a
-        # component whose min-id vertex has eccentricity > MAX_CC_ITERS
-        # would exit here with SPLIT clusters. Failing loudly beats
-        # silently-wrong labels; raise the cap (or switch to pointer-
-        # doubling) if real data ever has chains this deep.
+        # with jumping, rounds needed ~= log_{JUMPS+1}(diameter) + 1;
+        # a component blowing a 20-round cap would be astronomically
+        # deep. Failing loudly beats silently-wrong (split) labels.
         raise RuntimeError(
             f"connected_components did not converge in {MAX_CC_ITERS} "
             "rounds — component diameter exceeds the iteration cap"

@@ -47,13 +47,26 @@ def test_two_chains_merged_by_bridge(spark):
     assert len(got) == 6
 
 
-def test_raises_instead_of_silently_splitting_deep_chains(spark):
-    # a chain of diameter > MAX_CC_ITERS cannot converge within the
-    # cap; the contract is a loud failure, never silently split labels
-    import pytest
+def test_deep_chain_converges_within_log_rounds(spark):
+    # pointer doubling: a chain far deeper than MAX_CC_ITERS still
+    # converges because labels jump through label-of-label each round
+    # (O(log diameter) rounds, not O(diameter))
     from golang_etl_spark.operators.clustering import MAX_CC_ITERS
 
-    deep = [(i, i + 1) for i in range(1, MAX_CC_ITERS + 4)]
+    depth = MAX_CC_ITERS * 3  # one-hop propagation alone could not finish
+    got = _clusters(spark, [(i, i + 1) for i in range(1, depth + 1)])
+    assert got == {i: 1 for i in range(1, depth + 2)}
+
+
+def test_raises_instead_of_silently_splitting_when_cap_hit(spark, monkeypatch):
+    # if the cap IS hit, the contract is a loud failure, never
+    # silently split labels — force it by shrinking the cap to 1 on a
+    # chain that needs more than one doubling round
+    import pytest
+    from golang_etl_spark.operators import clustering
+
+    monkeypatch.setattr(clustering, "MAX_CC_ITERS", 1)
+    deep = [(i, i + 1) for i in range(1, 20)]
     df = spark.createDataFrame(deep, "doc_id_a LONG, doc_id_b LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(df).collect()
