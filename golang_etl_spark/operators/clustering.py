@@ -93,16 +93,22 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     document that appears in at least one pair gets a ``cluster_id``
     (the minimum doc_id in its component — deterministic) and the
     component's ``cluster_size``."""
+    from pyspark.sql import Window
+
     pairs = simhash_pairs(spark, sf_dir).select("doc_id_a", "doc_id_b")
     labels = connected_components(pairs)
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    return (
-        labels.join(sizes, "label")
-        .select(
-            "doc_id",
-            F.col("label").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
-        )
+    # cluster_size via a full-partition window count: one shuffle on
+    # label and the labels subtree evaluates ONCE — the previous
+    # groupBy+self-join recomputed the (uncached) union-find task per
+    # reference. Label cardinality is candidate-scale, so the window
+    # partition is never wide.
+    return labels.select(
+        "doc_id",
+        F.col("label").alias("cluster_id"),
+        F.count("*")
+        .over(Window.partitionBy("label"))
+        .cast("long")
+        .alias("cluster_size"),
     )
 
 

@@ -8,9 +8,9 @@ from __future__ import annotations
 from golang_etl_spark.operators.clustering import connected_components
 
 
-def _clusters(spark, pairs):
+def _clusters(spark, pairs, **kwargs):
     df = spark.createDataFrame(pairs, "doc_id_a LONG, doc_id_b LONG")
-    rows = connected_components(df).collect()
+    rows = connected_components(df, **kwargs).collect()
     return {r["doc_id"]: r["label"] for r in rows}
 
 
@@ -54,7 +54,11 @@ def test_deep_chain_converges_within_log_rounds(spark):
     from golang_etl_spark.operators.clustering import MAX_CC_ITERS
 
     depth = MAX_CC_ITERS * 3  # one-hop propagation alone could not finish
-    got = _clusters(spark, [(i, i + 1) for i in range(1, depth + 1)])
+    # local_threshold=0 forces the distributed loop — the union-find
+    # fast path would otherwise absorb a graph this small
+    got = _clusters(
+        spark, [(i, i + 1) for i in range(1, depth + 1)], local_threshold=0
+    )
     assert got == {i: 1 for i in range(1, depth + 2)}
 
 
@@ -69,4 +73,6 @@ def test_raises_instead_of_silently_splitting_when_cap_hit(spark, monkeypatch):
     deep = [(i, i + 1) for i in range(1, 20)]
     df = spark.createDataFrame(deep, "doc_id_a LONG, doc_id_b LONG")
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(df).collect()
+        # force the distributed loop: the union-find fast path has no
+        # iteration cap to hit (single-task DSU always finishes)
+        connected_components(df, local_threshold=0).collect()
