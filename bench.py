@@ -60,6 +60,8 @@ HEADLINE = [
     "applyinpandas_rank_orders",
     "sketch_approx_distinct",
     "streaming_tumbling_counts",
+    "sql_revenue_by_nation",
+    "sql_market_share",
 ]
 
 

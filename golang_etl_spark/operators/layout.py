@@ -28,8 +28,10 @@ under the SortMergeJoin.
 
 from __future__ import annotations
 
+import atexit
 import hashlib
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +42,36 @@ from golang_etl_spark.sources.catalog import load_table
 
 N_BUCKETS = 8
 
+# per-process artifacts to reap at interpreter exit: the temp root and
+# any pid-suffixed catalog tables created by bucketed_join_frames.
+# Without this every process leaves a full bucketed copy of
+# orders+lineitem in /tmp and stale table metadata behind.
+_cleanup = {"registered": False, "root": None, "tables": set()}
+
+
+def _reap_layout_artifacts() -> None:
+    spark = SparkSession.getActiveSession()
+    if spark is not None:
+        for t in sorted(_cleanup["tables"]):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass  # JVM may already be down; files go with the root
+    if _cleanup["root"]:
+        shutil.rmtree(_cleanup["root"], ignore_errors=True)
+
+
+def _layout_root() -> str:
+    root = os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_layout_{os.getuid()}_{os.getpid()}",
+    )
+    if not _cleanup["registered"]:
+        _cleanup["root"] = root
+        _cleanup["registered"] = True
+        atexit.register(_reap_layout_artifacts)
+    return root
+
 
 def _layout_dir(kind: str, sf_dir: str) -> str:
     # keyed by uid AND pid: these dirs are rewritten with
@@ -47,12 +79,10 @@ def _layout_dir(kind: str, sf_dir: str) -> str:
     # would race (one session's overwrite deleting part-files under
     # the other's in-flight scan). Per-process isolation makes every
     # rewrite idempotent within its own session and immune to
-    # neighbors; the dirs are small and /tmp-reaped.
-    root = os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_layout_{os.getuid()}_{os.getpid()}",
+    # neighbors; the dirs are reaped at process exit.
+    d = os.path.join(
+        _layout_root(), hashlib.md5(sf_dir.encode()).hexdigest()[:12], kind
     )
-    d = os.path.join(root, hashlib.md5(sf_dir.encode()).hexdigest()[:12], kind)
     os.makedirs(os.path.dirname(d), exist_ok=True)
     return d
 
@@ -105,6 +135,7 @@ def bucketed_join_frames(
     frames = []
     for tbl, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
         name = f"bkt_{tbl}_{suffix}"
+        _cleanup["tables"].add(name)
         if not spark.catalog.tableExists(name):
             path = os.path.join(_layout_dir("bucketed", sf_dir), name)
             # repartition by the bucket key into N_BUCKETS tasks:

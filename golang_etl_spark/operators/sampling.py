@@ -101,12 +101,14 @@ def sample_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs with the lowest hash priority per language (hash-ordered ==
     uniform-without-replacement, but replayable).
 
-    Scale shape: one shuffle on lang to a per-key window row_number,
-    then a rank filter. Languages are few and can be huge — at real
-    scale swap the global window for a per-partition top-K
-    (rank <= K within each partition, then re-rank the K*P survivors)
-    so no single task sorts a whole language; the fixture-size window
-    keeps the demonstration plan readable."""
+    Scale shape: Catalyst rewrites the row_number-plus-rank-filter
+    into a two-phase WindowGroupLimit: a *Partial* pass inside each
+    input partition keeps only the K lowest-priority rows per lang
+    BEFORE the lang shuffle, so the exchange carries at most K rows
+    per (lang, input-partition) and no single task ever sorts a whole
+    language — the per-partition-top-K-then-re-rank pattern, for free
+    from the declarative plan. Gated in
+    tests/test_plans.py::test_language_quota_partial_topk."""
     from pyspark.sql.window import Window
 
     docs = load_table(spark, sf_dir, "documents")

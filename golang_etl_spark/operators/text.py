@@ -420,7 +420,7 @@ ranked AS (
   FROM scored
 )
 SELECT doc_id, term, CAST(rank AS BIGINT) AS rank,
-       ROUND(score, 6) AS tfidf
+       score AS tfidf
 FROM ranked WHERE rank <= {TFIDF_TOP_K}
 """
 
@@ -463,7 +463,11 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "term",
             F.col("rank").cast("long").alias("rank"),
-            F.round("score", 6).alias("tfidf"),
+            # unrounded on purpose: ROUND(transcendental, 6) is
+            # engine-divergent when a 1-ULP ln() difference straddles
+            # a rounding boundary; the comparator's relative tolerance
+            # absorbs raw ULP noise but not a flipped 6th decimal
+            F.col("score").alias("tfidf"),
         )
     )
 

@@ -86,8 +86,29 @@ def _ordered() -> dict[str, QuerySpec]:
     return ordered
 
 
+def _fresh_cache(fn: QueryFn) -> QueryFn:
+    """Driver-surface wrapper: drop cached blocks left by the PREVIOUS
+    query before running this one.
+
+    Several operators persist() self-join subtrees (minhash postings,
+    simhash bands, IVF scored tables, ...). The terminal action happens
+    in the driver AFTER the query fn returns, so a fn cannot unpersist
+    its own frames — clearing at the start of the next query instead
+    caps a 113-query session's cache footprint at one query's working
+    set rather than the sum of all of them.
+    """
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        spark.catalog.clearCache()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, QueryFn]:
-    return {name: spec.fn for name, spec in _ordered().items()}
+    return {name: _fresh_cache(spec.fn) for name, spec in _ordered().items()}
 
 
 def oracle_sql() -> dict[str, str]:

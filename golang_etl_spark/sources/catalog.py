@@ -31,14 +31,15 @@ TABLES = (
 BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part", "customer"})
 
 
-# Columns stored as parquet INT64 TIMESTAMP(NANOS) — Spark's reader has
-# no nanosecond timestamp type, so they're read as long (see
-# spark.sql.legacy.parquet.nanosAsLong in session.py) and truncated to
-# microsecond timestamps here. The fixture nanos carry sub-microsecond
-# digits; integer DIV truncates them exactly the way DuckDB's native
-# TIMESTAMP_NS -> microsecond read does, which is what keeps every
-# ts-bearing oracle comparable (verified in tests/test_sources.py).
-_NANO_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+# Timestamp columns whose parquet physical type has varied across
+# fixture generations: INT64 TIMESTAMP(NANOS) in early drops (read as
+# long under spark.sql.legacy.parquet.nanosAsLong and truncated to
+# micros here — integer DIV, matching DuckDB's TIMESTAMP_NS read), and
+# plain TIMESTAMP(MICROS) in current drops (read as TIMESTAMP_NTZ,
+# re-typed to the session-UTC TIMESTAMP the operators expect). The
+# normalization inspects the ACTUAL read schema so either vintage
+# loads identically (verified in tests/test_sources.py).
+_TS_COLUMNS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -46,10 +47,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; valid: {TABLES}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for col in _NANO_TS_COLUMNS.get(name, ()):
-        # integer DIV, not `/`: float division of epoch-nanos (~1.7e18)
-        # exceeds double's 53-bit mantissa and rounds the microsecond
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    for col in _TS_COLUMNS.get(name, ()):
+        dt = df.schema[col].dataType.typeName()
+        if dt == "long":
+            # integer DIV, not `/`: float division of epoch-nanos
+            # (~1.7e18) exceeds double's 53-bit mantissa and rounds
+            # the microsecond
+            df = df.withColumn(
+                col, F.timestamp_micros(F.expr(f"{col} DIV 1000"))
+            )
+        elif dt == "timestamp_ntz":
+            # value-preserving under the session's pinned UTC zone;
+            # keeps one consistent TIMESTAMP type downstream (window(),
+            # unix-epoch funcs, stream watermarks all expect LTZ)
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

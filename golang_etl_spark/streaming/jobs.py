@@ -34,13 +34,29 @@ from golang_etl_spark.registry import register
 
 _COUNTER = itertools.count()
 
-# events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong (set by the
-# session factory) it scans as LONG and is normalized here, matching
-# sources.catalog.load_table.
-_EVENTS_SCHEMA = (
-    "event_id LONG, ts LONG, user_id LONG, event_type STRING, "
+# ts declared per the actual fixture vintage (see _events_ts_kind):
+# INT64 TIMESTAMP(NANOS) drops read as LONG under nanosAsLong; current
+# TIMESTAMP(MICROS) drops read as TIMESTAMP_NTZ.
+_EVENTS_SCHEMA_TMPL = (
+    "event_id LONG, ts {ts_type}, user_id LONG, event_type STRING, "
     "value DOUBLE, props STRING"
 )
+
+
+def _events_ts_kind(directory: str) -> str:
+    """'long' | 'ntz' | 'ltz' from the first parquet footer in the
+    monitored directory — the stream source needs a declared schema,
+    and declaring the wrong ts type yields nulls, not an error."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+    t = pq.read_schema(files[0]).field("ts").type
+    if str(t) == "int64":
+        return "long"
+    return "ltz" if getattr(t, "tz", None) else "ntz"
 
 
 def _stream_dir(sf_dir: str) -> str:
@@ -87,13 +103,22 @@ def _stream_events(
     execution over a split copy of the fixture (AvailableNow on the
     single-file fixture always yields one batch)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(_EVENTS_SCHEMA)
+    directory = dir_override or _stream_dir(sf_dir)
+    kind = _events_ts_kind(directory)
+    ts_type = {"long": "LONG", "ntz": "TIMESTAMP_NTZ", "ltz": "TIMESTAMP"}[kind]
+    reader = spark.readStream.schema(
+        _EVENTS_SCHEMA_TMPL.format(ts_type=ts_type)
+    )
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
-    raw = reader.parquet(dir_override or _stream_dir(sf_dir))
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
-    )
+    raw = reader.parquet(directory)
+    if kind == "long":
+        return raw.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts DIV 1000"))
+        )
+    # value-preserving under the session's pinned UTC zone; keeps the
+    # LTZ TIMESTAMP every watermark/window downstream expects
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def _run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:

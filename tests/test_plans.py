@@ -211,6 +211,20 @@ def test_language_quota_single_shuffle(spark, sf_dir):
     assert plan.count("Exchange") == 1, plan
 
 
+def test_language_quota_partial_topk(spark, sf_dir):
+    # scale gate: the rank filter must compile to a two-phase
+    # WindowGroupLimit whose Partial pass prunes to <=K rows per lang
+    # INSIDE each input partition, before the lang shuffle — at 100 TB
+    # this is what keeps a whole language out of a single sort task
+    plan = _plan(spark, sf_dir, "sample_language_quota")
+    partial, exchange = plan.find("Partial"), plan.find("Exchange")
+    assert "WindowGroupLimit" in plan, plan
+    assert partial != -1 and exchange != -1
+    # physical plans print top-down: the map-side (Partial) pass sits
+    # BELOW the exchange, i.e. appears after it in the string
+    assert partial > exchange, plan
+
+
 def test_range_join_is_bucketed_equijoin(spark, sf_dir):
     # the inequality predicate must ride as a residual condition on a
     # bucket equi-join — a hash/merge join keyed on (user_id, bucket),

@@ -1,20 +1,27 @@
-"""Source-catalog tests: the nanosecond-timestamp normalization path.
+"""Source-catalog tests: the events.ts normalization path.
 
-The fixture ``events.ts`` is parquet TIMESTAMP(NANOS); Spark has no
-nanosecond timestamp type, so the session reads it as a raw long
-(spark.sql.legacy.parquet.nanosAsLong) and sources.catalog.load_table
-converts to a microsecond timestamp with integer division. These tests
-prove that conversion is lossless for the fixtures and exact in the
-integer domain (float division of epoch-nanos would exceed double's
-53-bit mantissa and corrupt the microsecond — the bug class guarded
-here).
+The fixture ``events.ts`` physical type has varied across driver
+drops: INT64 TIMESTAMP(NANOS) (read as raw long under
+spark.sql.legacy.parquet.nanosAsLong, truncated to micros with integer
+division — float division of epoch-nanos would exceed double's 53-bit
+mantissa and corrupt the microsecond) and TIMESTAMP(MICROS) (read as
+TIMESTAMP_NTZ, cast to the session-UTC TIMESTAMP). load_table inspects
+the actual schema; these tests prove both vintages land on exactly the
+microsecond values DuckDB reads — which is what keeps every ts-bearing
+oracle comparable.
 """
 
 import duckdb
+import pyarrow.parquet as pq
+import pytest
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from golang_etl_spark.sources.catalog import TABLES, load_table
+
+
+def _fixture_ts_is_nanos_long(sf_dir) -> bool:
+    return str(pq.read_schema(f"{sf_dir}/events.parquet").field("ts").type) == "int64"
 
 
 def test_events_ts_is_timestamp(spark, sf_dir):
@@ -23,9 +30,9 @@ def test_events_ts_is_timestamp(spark, sf_dir):
 
 
 def test_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir):
-    # DuckDB reads TIMESTAMP(NANOS) natively and truncates to its
-    # microsecond timestamps — the exact values Spark must reproduce
-    # (this is also what makes every ts-bearing oracle comparable)
+    # DuckDB's native parquet timestamp read produces the reference
+    # microsecond values Spark must reproduce for either fixture
+    # vintage (this is what makes every ts-bearing oracle comparable)
     got = {
         r["event_id"]: r["us"]
         for r in load_table(spark, sf_dir, "events")
@@ -41,12 +48,15 @@ def test_events_ts_matches_duckdb_to_the_microsecond(spark, sf_dir):
 
 
 def test_raw_nanos_truncate_exactly(spark, sf_dir):
-    # the integer-DIV contract: ts_us == raw_ns DIV 1000 for every row.
-    # The fixture nanos DO carry sub-microsecond digits, so this is a
-    # truncation (identical to DuckDB's TIMESTAMP_NS -> micros read),
-    # not a lossless cast — and it must be integer division: float
-    # division of epoch-nanos (~1.7e18) sits at double's 53-bit
-    # mantissa edge where floor() can land on the wrong microsecond
+    # nanos-vintage only: the integer-DIV contract ts_us == raw_ns DIV
+    # 1000 for every row. The nanos carry sub-microsecond digits, so
+    # this is a truncation (identical to DuckDB's TIMESTAMP_NS ->
+    # micros read), not a lossless cast — and it must be integer
+    # division: float division of epoch-nanos (~1.7e18) sits at
+    # double's 53-bit mantissa edge where floor() can land on the
+    # wrong microsecond
+    if not _fixture_ts_is_nanos_long(sf_dir):
+        pytest.skip("fixture vintage stores micros; nanos path not in play")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", F.col("ts").alias("ns")

@@ -17,8 +17,9 @@ from golang_etl_spark.streaming.jobs import (
 
 
 def test_stateful_stats_survive_multiple_batches(spark, sf_dir, tmp_path):
-    # split the fixture into 2 raw parquet files (nanos longs, the
-    # stream source schema) so maxFilesPerTrigger=1 forces 2 batches
+    # split the fixture into 2 raw parquet files (preserving whatever
+    # ts physical type the fixture vintage uses — _stream_events
+    # adapts) so maxFilesPerTrigger=1 forces 2 batches
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
     split_dir = str(tmp_path / "events_split")
@@ -33,9 +34,10 @@ def test_stateful_stats_survive_multiple_batches(spark, sf_dir, tmp_path):
     )
     got = stateful_user_stats_pipeline(ev)
 
+    from golang_etl_spark.sources.catalog import load_table
+
     want = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+        load_table(spark, sf_dir, "events")
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_events"),
