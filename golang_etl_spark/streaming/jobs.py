@@ -257,7 +257,14 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     exclusive), hence the oracle's >= gap flag — one of the two
     half-open conventions; the batch sessionize_events operator
     implements the other (>), both documented."""
-    ev = _stream_events(spark, sf_dir)
+    return session_window_pipeline(_stream_events(spark, sf_dir))
+
+
+def session_window_pipeline(ev: DataFrame) -> DataFrame:
+    """Transformation body of ``streaming_session_window``, split out
+    so the multi-batch test can feed a stream whose sessions span
+    micro-batch boundaries (the session-merge state store is only
+    exercised when a user's session arrives in pieces)."""
     agg = (
         ev.withWatermark("ts", "1 hour")
         .groupBy(
@@ -296,9 +303,16 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch counts. Production would add withWatermark so dedup state
     expires; finite AvailableNow input keeps it bounded here."""
     ev = _stream_events(spark, sf_dir)
-    doubled = ev.unionByName(ev)
+    return dedup_counts_pipeline(ev.unionByName(ev))
+
+
+def dedup_counts_pipeline(ev: DataFrame) -> DataFrame:
+    """dropDuplicates + per-type counts, split out so the multi-batch
+    test can feed a stream whose duplicate copies arrive in DIFFERENT
+    micro-batches — only then is the cross-batch dedup state store
+    (not intra-batch dropDuplicates) what removes them."""
     agg = (
-        doubled.dropDuplicates(["event_id"])
+        ev.dropDuplicates(["event_id"])
         .groupBy("event_type")
         .agg(F.count("*").alias("n_events"))
     )
@@ -457,7 +471,14 @@ def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     The streaming part is the join itself (append mode); the per-user
     pair count is a batch aggregation over the materialized sink,
     keeping the streamed rows verifiable against the batch oracle."""
-    ev = _stream_events(spark, sf_dir)
+    return stream_stream_join_pipeline(_stream_events(spark, sf_dir))
+
+
+def stream_stream_join_pipeline(ev: DataFrame) -> DataFrame:
+    """Join body of ``streaming_stream_stream_join``, split out so the
+    multi-batch test can feed time-chunked batches where a click and
+    its matching purchase arrive in different micro-batches — pairs
+    then only form through the two-stream join state store."""
     clicks = (
         ev.filter(F.col("event_type") == "click")
         .select("user_id", F.col("ts").alias("click_ts"))

@@ -8,12 +8,45 @@ file proves (the fixture's single file can't: AvailableNow processes it
 as one batch, emitting each user exactly once).
 """
 
+import os
+import time
+
+import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
+from golang_etl_spark.sources.catalog import load_table
 from golang_etl_spark.streaming.jobs import (
     _stream_events,
+    dedup_counts_pipeline,
+    session_window_pipeline,
     stateful_user_stats_pipeline,
+    stream_stream_join_pipeline,
 )
+
+
+def _write_time_chunks(sf_dir, out_dir, n_chunks, copies=1):
+    """Split the events fixture into ``n_chunks`` time-ordered parquet
+    files (×``copies`` interleaved duplicates) with strictly increasing
+    mtimes, so the file stream source with maxFilesPerTrigger=1 yields
+    chronological micro-batches. Chronological order keeps watermark
+    eviction honest: state needed by a later batch is never behind the
+    watermark, exactly like a live stream."""
+    os.makedirs(out_dir, exist_ok=True)
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    tbl = tbl.sort_by("ts")
+    n = tbl.num_rows
+    bounds = [round(i * n / n_chunks) for i in range(n_chunks + 1)]
+    paths = []
+    for i in range(n_chunks):
+        chunk = tbl.slice(bounds[i], bounds[i + 1] - bounds[i])
+        for c in range(copies):
+            p = os.path.join(out_dir, f"chunk{i:03d}_copy{c}.parquet")
+            pq.write_table(chunk, p)
+            paths.append(p)
+    base = time.time() - len(paths) - 10
+    for k, p in enumerate(paths):
+        os.utime(p, (base + k, base + k))
+    return len(paths)
 
 
 def test_stateful_stats_survive_multiple_batches(spark, sf_dir, tmp_path):
@@ -92,3 +125,94 @@ def test_foreachbatch_sink_is_idempotent_per_batch(spark, sf_dir, tmp_path):
     b0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
     assert spark.read.parquet(out).count() == raw.count()
     assert spark.read.parquet(f"{out}/batch_id=0").count() == n0
+
+
+def test_dedup_state_spans_batches(spark, sf_dir, tmp_path):
+    """Duplicate copies of every event arrive in DIFFERENT micro-batches
+    (2 time chunks x 2 copies = 4 single-file batches): intra-batch
+    dropDuplicates alone cannot dedup them — only the cross-batch state
+    store can. Counts must equal the plain batch per-type counts."""
+    split_dir = str(tmp_path / "events_dup")
+    n_files = _write_time_chunks(sf_dir, split_dir, n_chunks=2, copies=2)
+    assert n_files == 4
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    got = dedup_counts_pipeline(ev)
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_session_windows_merge_across_batches(spark, sf_dir, tmp_path):
+    """3 chronological micro-batches: sessions straddling a chunk
+    boundary exist only if the session-merge state store extends a
+    session opened in an earlier batch. Result must equal the batch
+    session_window aggregation over the whole fixture."""
+    split_dir = str(tmp_path / "events_sess")
+    assert _write_time_chunks(sf_dir, split_dir, n_chunks=3) == 3
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    got = session_window_pipeline(ev)
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.session_window("ts", "30 minutes").alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+
+def test_stream_stream_join_spans_batches(spark, sf_dir, tmp_path):
+    """3 chronological micro-batches: a click near a chunk boundary
+    pairs with a purchase in the NEXT batch only through the two-stream
+    join state store. Pair counts must equal the batch interval join."""
+    split_dir = str(tmp_path / "events_ssj")
+    assert _write_time_chunks(sf_dir, split_dir, n_chunks=3) == 3
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    got = stream_stream_join_pipeline(ev)
+
+    base = load_table(spark, sf_dir, "events")
+    clicks = base.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = base.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user_id"), F.col("ts").alias("purchase_ts")
+    )
+    want = (
+        clicks.join(
+            purchases,
+            (F.col("p_user_id") == F.col("user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+            ),
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
