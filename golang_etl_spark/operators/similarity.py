@@ -287,6 +287,14 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = v.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).selectExpr(
         "vec_id AS cell_id", "emb AS c_emb", "nrm AS c_nrm"
     )
+    return _ivf_topk(v, cent)
+
+
+def _ivf_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
+    """Shared IVF query path: cell assignment + nprobe probing + in-cell
+    scoring over any centroid table ``(cell_id, c_emb, c_nrm)`` — the
+    fixed-corpus-vector quantizer (oracle-replayable) and the trained
+    k-means quantizer both run through this."""
     # persisted: `assigned` and `probes` both consume this frame —
     # unpersisted, each branch re-runs the embeddings scan + 16-cell
     # dot-product cross join (the same dual-consumer recompute
@@ -362,6 +370,82 @@ def similarity_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 3b. IVF with a TRAINED coarse quantizer (sampled spherical k-means).
+# ---------------------------------------------------------------------------
+KMEANS_K = 16
+KMEANS_ITERS = 8
+# At fixture scale every vector trains; at 100 TB the same hash-mod
+# keeps a deterministic ~1/mod sample (raise the mod with n) — unlike
+# df.sample(), membership survives re-partitioning and re-runs.
+KMEANS_SAMPLE_MOD = 1
+
+
+def train_kmeans_centroids(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    sample_mod: int = KMEANS_SAMPLE_MOD,
+) -> np.ndarray:
+    """Spherical k-means on a deterministic hash sample of the corpus,
+    trained driver-side: the sample (bounded by sample_mod, NOT by
+    corpus size) collects once, Lloyd iterations run in numpy, and the
+    k x dim result broadcasts back as literals. This is the standard
+    IVF recipe — the quantizer trains on thousands of vectors even
+    when the index holds billions, so driver training is not a scale
+    bottleneck. Deterministic: hash-mod sample + first-k-by-vec_id
+    init + argmax/mean arithmetic, no RNG."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb
+    if sample_mod > 1:
+        sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
+    pdf = (
+        sample.select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    cent = X[:k].copy()  # deterministic init: k lowest-vec_id vectors
+    for _ in range(iters):
+        sims = X @ cent.T  # cosine == dot on unit vectors
+        assign = np.argmax(sims, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                m = members.mean(axis=0)
+                cent[j] = m / np.linalg.norm(m)
+    return np.round(cent, 6)
+
+
+@register("similarity_ivf_kmeans", oracle=None, tags=("ann", "llm"))
+def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer: sampled spherical
+    k-means centroids instead of similarity_ivf_topk's fixed corpus
+    vectors. Trained cells track the data distribution, so recall at
+    equal nprobe is higher (asserted vs brute force in
+    tests/test_vector_functions.py). Rows-only check by design:
+    iterative k-means is not oracle-SQL-expressible; the fixed-ID IVF
+    keeps the hash-checked variant."""
+    cent_np = train_kmeans_centroids(spark, sf_dir)
+    rows = [
+        (int(i), [float(x) for x in cent_np[i]])
+        for i in range(cent_np.shape[0])
+    ]
+    cent = (
+        spark.createDataFrame(rows, "cell_id LONG, c_emb ARRAY<DOUBLE>")
+        .selectExpr(
+            "cell_id", "c_emb", f"sqrt({_dot_spark('c_emb', 'c_emb')}) AS c_nrm"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    return _ivf_topk(v, cent)
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,50 @@
+"""Recall accuracy bounds for the approximate similarity operators —
+the ANN analogue of the sketch accuracy tests: algorithms that
+legitimately differ from an exact oracle get quantitative quality
+gates instead of hash equality.
+
+Measured on the fixtures: trained-k-means IVF ~0.82 recall@10 at
+nprobe=2 vs ~0.24-0.28 for the training-free fixed-corpus-vector
+quantizer — the gap IS the point of training the coarse quantizer, so
+the test asserts both a floor and the ordering.
+"""
+
+from collections import defaultdict
+
+from golang_etl_spark.registry import all_queries
+
+
+def _recall(got_rows, want_rows):
+    want, got = defaultdict(set), defaultdict(set)
+    for r in want_rows:
+        want[r["query_id"]].add(r["neighbor_id"])
+    for r in got_rows:
+        got[r["query_id"]].add(r["neighbor_id"])
+    return sum(len(got[q] & want[q]) / len(want[q]) for q in want) / len(want)
+
+
+def test_ivf_kmeans_recall_beats_fixed_quantizer(spark, sf_dir):
+    q = all_queries()
+    brute = q["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    kmeans = q["similarity_ivf_kmeans"].fn(spark, sf_dir).collect()
+    fixed = q["similarity_ivf_topk"].fn(spark, sf_dir).collect()
+
+    r_kmeans, r_fixed = _recall(kmeans, brute), _recall(fixed, brute)
+    # floor well under the measured 0.82 but far above chance
+    # (nprobe/cells = 2/16 ~ 0.125 of the corpus scored per query)
+    assert r_kmeans >= 0.6, f"trained-IVF recall collapsed: {r_kmeans}"
+    assert r_kmeans > r_fixed, (
+        f"training stopped paying for itself: kmeans={r_kmeans} fixed={r_fixed}"
+    )
+
+
+def test_ivf_kmeans_output_shape(spark, sf_dir):
+    rows = all_queries()["similarity_ivf_kmeans"].fn(spark, sf_dir).collect()
+    assert rows, "no neighbors returned"
+    by_q = defaultdict(list)
+    for r in rows:
+        by_q[r["query_id"]].append(r)
+    for qid, rs in by_q.items():
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1)), f"rank gap for {qid}"
+        assert all(r["neighbor_id"] != qid for r in rs), "self-match leaked"
