@@ -109,12 +109,18 @@ def read_shard_table(
         return spark.read.parquet(f"{location}/{job.table}.parquet")
     # JDBC path: bounds via a one-row pushdown query, then the
     # partitioned scan (requires a JDBC driver jar on the classpath).
+    # The pk is quoted with the engine's own dialect rules: Spark's
+    # JDBC writer quotes column identifiers at CREATE time, so
+    # case-folding databases (Derby, Postgres) store the exact-case
+    # name and an unquoted reference would fold away from it. Bounds
+    # read positionally — the engine controls the result's alias case.
+    dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(location)
+    qpk = dialect.quoteIdentifier(job.primary_key)
     bounds = spark.read.format("jdbc").options(
         url=location,
-        query=f"SELECT MIN({job.primary_key}) AS mn, MAX({job.primary_key}) AS mx "
-        f"FROM {job.table}",
+        query=f"SELECT MIN({qpk}) AS mn, MAX({qpk}) AS mx FROM {job.table}",
     ).load().first()
-    plan = plan_range_partitions(int(bounds["mn"]), int(bounds["mx"]), spec.stride)
+    plan = plan_range_partitions(int(bounds[0]), int(bounds[1]), spec.stride)
     opts = jdbc_scan_options(
         location, job.table, job.primary_key, plan, spec.fetch_concurrency
     )

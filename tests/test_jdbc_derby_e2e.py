@@ -1,0 +1,86 @@
+"""Live JDBC end-to-end over embedded Derby.
+
+The JDBC seam (seed_shard batched write -> bounds discovery ->
+read_shard_table partitioned range scan -> extract_table parquet sink)
+was previously unit-tested only: no MySQL server or client jar in the
+sandbox. Derby DOES ship with the Spark distribution (it backs the
+Hive metastore), and its embedded driver runs inside the Spark JVM —
+an in-memory database every local executor thread can reach. That
+makes the real code path drivable: actual INSERTs, actual stride
+predicates pushed to a SQL engine, actual round-trip.
+
+MySQL-specific behavior (dialect quoting, server-side cursors) stays a
+documented seam; what this proves is the partitioned-JDBC plumbing the
+reference implements by hand (/root/reference/extractor.go:41-112).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from golang_etl_spark.etl import extract_table, read_shard_table
+from golang_etl_spark.jobspec import JobSpec, TableJob
+from golang_etl_spark.sources.sinks import seed_shard, seed_table
+
+N_ROWS = 5_000
+URL = "jdbc:derby:memory:etl_e2e;create=true"
+
+
+def _spec(tmp_path, stride=1_000):
+    job = TableJob(
+        table="seed_data",
+        output=str(tmp_path / "extracted"),
+        primary_key="id",
+        db="derby0",
+    )
+    return (
+        JobSpec(
+            shards={"derby0": URL},
+            jobs=(job,),
+            stride=stride,
+            source_format="jdbc",
+            # Derby's embedded engine serializes heavily; a handful of
+            # connections is plenty for the semantics under test
+            fetch_concurrency=4,
+        ),
+        job,
+    )
+
+
+@pytest.fixture(scope="module")
+def seeded(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("jdbc_e2e")
+    spec, job = _spec(tmp)
+    seed_shard(spark, spec, job, n_rows=N_ROWS)
+    return spec, job
+
+
+def test_jdbc_roundtrip_values_exact(spark, seeded):
+    spec, job = seeded
+    got = read_shard_table(spark, spec, job)
+    want = seed_table(spark, N_ROWS)
+    assert got.count() == N_ROWS
+    # exact content equality both directions (data column may come
+    # back as CLOB -> string; cast normalizes)
+    g = got.select(F.col("id").cast("long"), F.col("data").cast("string"))
+    assert g.exceptAll(want).count() == 0
+    assert want.exceptAll(g).count() == 0
+
+
+def test_jdbc_scan_is_partitioned_range(spark, seeded):
+    spec, job = seeded
+    got = read_shard_table(spark, spec, job)
+    # stride math: ceil(5000/1000) = 5 partitions, capped at
+    # fetch_concurrency=4 by jdbc_scan_options
+    assert 1 < got.rdd.getNumPartitions() <= 4
+    # every partition non-empty — the bounds really fed the stride
+    sizes = got.rdd.mapPartitions(lambda it: [sum(1 for _ in it)]).collect()
+    assert all(s > 0 for s in sizes), sizes
+
+
+def test_extract_table_lands_parquet(spark, seeded, tmp_path):
+    spec, job = seeded
+    n = extract_table(spark, spec, job)
+    assert n == N_ROWS
+    back = spark.read.parquet(job.output)
+    assert back.count() == N_ROWS
+    assert back.select(F.countDistinct("id")).first()[0] == N_ROWS
