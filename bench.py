@@ -62,6 +62,8 @@ HEADLINE = [
     "streaming_tumbling_counts",
     "sql_revenue_by_nation",
     "sql_market_share",
+    "text_repetition_filter",
+    "text_pack_sequences",
 ]
 
 

@@ -520,3 +520,162 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"cast(length(substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_CHARS}))"
         " AS bigint) AS chunk_len",
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition-based quality filter (Gopher/C4-style rules).
+# ---------------------------------------------------------------------------
+# Thresholds calibrated on the fixture so both verdicts occur: docs
+# whose single most frequent word exceeds TOP_WORD_MAX of all words,
+# or whose repeated word-bigram fraction exceeds DUP_2GRAM_MAX, are
+# flagged for drop — the classic repetition heuristics used to purge
+# boilerplate and degenerate generations from pretraining corpora.
+TOP_WORD_MAX = 0.12
+DUP_2GRAM_MAX = 0.05
+
+_REPETITION_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_words_expr_duck()} AS w FROM documents
+),
+m AS (
+  SELECT doc_id, lang,
+    CAST(len(w) AS BIGINT) AS n_words,
+    list_max(list_transform(list_distinct(w),
+                            x -> len(list_filter(w, y -> y = x))))
+      * 1.0 / len(w) AS top_word_ratio,
+    CASE WHEN len(w) >= 2 THEN
+      1.0 - len(list_distinct(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1]))) * 1.0 / (len(w) - 1)
+    ELSE 0.0 END AS dup_2gram_ratio
+  FROM toks WHERE len(w) > 0
+)
+SELECT doc_id, lang, n_words, top_word_ratio, dup_2gram_ratio,
+       (top_word_ratio <= {TOP_WORD_MAX}
+        AND dup_2gram_ratio <= {DUP_2GRAM_MAX}) AS keep
+FROM m
+"""
+
+
+@register(
+    "text_repetition_filter", oracle=_REPETITION_ORACLE, tags=("text", "llm")
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality gate: per document, the fraction of
+    words taken by the single most frequent word and the fraction of
+    repeated word bigrams; ``keep`` applies the Gopher-style
+    thresholds. Degenerate/boilerplate text fails one of the two.
+
+    Scale shape: pure per-row JVM array lambdas (transform / filter /
+    array_distinct) — no explode, no shuffle, no Python; the whole
+    operator is a narrow projection that runs inside WholeStageCodegen
+    at corpus scan speed. The per-doc mode computation is
+    O(distinct_words x words) on arrays already in memory — document-
+    bounded, not corpus-bounded."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.expr(_words_expr_spark()).alias("w")
+    ).filter(F.expr("size(w) > 0"))
+    top_ratio = (
+        "array_max(transform(array_distinct(w), "
+        "x -> size(filter(w, y -> y = x)))) / cast(size(w) AS double)"
+    )
+    dup2 = (
+        "CASE WHEN size(w) >= 2 THEN "
+        "1.0 - size(array_distinct(transform(sequence(1, size(w) - 1), "
+        "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1))))) "
+        "/ cast(size(w) - 1 AS double) ELSE 0.0D END"
+    )
+    return d.selectExpr(
+        "doc_id",
+        "lang",
+        "cast(size(w) AS bigint) AS n_words",
+        f"{top_ratio} AS top_word_ratio",
+        f"{dup2} AS dup_2gram_ratio",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "n_words",
+        "top_word_ratio",
+        "dup_2gram_ratio",
+        f"(top_word_ratio <= {TOP_WORD_MAX} "
+        f"AND dup_2gram_ratio <= {DUP_2GRAM_MAX}) AS keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (concat-and-chunk into fixed token budgets).
+# ---------------------------------------------------------------------------
+# Pretraining consumes fixed-length sequences; packing concatenates
+# documents and slices every SEQ_LEN tokens. A single global
+# concatenation order would serialize the corpus through one task, so
+# packing runs independently per hash bucket (the per-shard packing
+# every large-scale pipeline uses): deterministic md5 bucket, windows
+# per bucket, bucket count scales with the cluster.
+SEQ_LEN = 512
+PACK_BUCKETS = 16
+
+_PACK_BUCKET_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    f" % {PACK_BUCKETS}"
+)
+_PACK_BUCKET_DUCK = (
+    f"('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % {PACK_BUCKETS}"
+)
+
+_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_PACK_BUCKET_DUCK} AS bucket,
+         len({_words_expr_duck()}) AS n_tokens
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before
+  FROM toks
+)
+SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(FLOOR(cum_before / {SEQ_LEN}) AS BIGINT) AS pack_id,
+       CAST(cum_before % {SEQ_LEN} AS BIGINT) AS pack_offset
+FROM packed
+"""
+
+
+@register("text_pack_sequences", oracle=_PACK_ORACLE, tags=("text", "llm"))
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: assign every document a
+    (bucket, pack_id, pack_offset) placing its tokens in a stream of
+    {SEQ_LEN}-token training sequences, packed independently per
+    deterministic hash bucket.
+
+    Scale shape: one shuffle on bucket for the running-sum window;
+    within a bucket the window is a streaming frame (ROWS UNBOUNDED
+    PRECEDING needs no buffering of the whole partition). Bucket
+    count is the parallelism dial — at 100 TB you run thousands of
+    buckets, each packing its shard independently, which is exactly
+    how epoch-shuffled pretraining shards are packed in practice."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.selectExpr(
+        "doc_id",
+        f"{_PACK_BUCKET_SPARK} AS bucket",
+        f"size({_words_expr_spark()}) AS n_tokens",
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        toks.withColumn(
+            "cum_before",
+            F.sum("n_tokens").over(w) - F.col("n_tokens"),
+        )
+        .selectExpr(
+            "doc_id",
+            "cast(bucket AS bigint) AS bucket",
+            "cast(n_tokens AS bigint) AS n_tokens",
+            f"cast(floor(cum_before / {SEQ_LEN}) AS bigint) AS pack_id",
+            f"cast(cum_before % {SEQ_LEN} AS bigint) AS pack_offset",
+        )
+    )

@@ -234,3 +234,20 @@ def test_range_join_is_bucketed_equijoin(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_repetition_filter_is_shuffle_free(spark, sf_dir):
+    # per-doc repetition metrics are pure array lambdas: the operator
+    # must be a narrow projection over the scan — zero exchanges
+    plan = _plan(spark, sf_dir, "text_repetition_filter")
+    assert "Exchange" not in plan, plan
+
+
+def test_pack_sequences_single_bucket_shuffle(spark, sf_dir):
+    # packing = ONE hash partition on bucket for the running-sum
+    # window; the running frame streams (no WindowGroupLimit/sort
+    # beyond the per-bucket order), so the only exchange is the bucket
+    # shuffle
+    plan = _plan(spark, sf_dir, "text_pack_sequences")
+    assert plan.count("Exchange") == 1, plan
+    assert "RunningWindowFunction" in plan or "Window" in plan

@@ -216,3 +216,44 @@ def test_stream_stream_join_spans_batches(spark, sf_dir, tmp_path):
     )
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
+
+
+def test_foreachbatch_sink_at_bench_scale(spark, tmp_path):
+    """VERDICT stretch: the foreachBatch parquet sink over the sf0.1
+    events fixture (~100k rows), multi-batch, with a forced batch-0
+    retry — per-batch overwrite idempotence must hold at bench scale,
+    not just on the 1k-row smoke fixture."""
+    import os
+
+    from golang_etl_spark.streaming.jobs import foreachbatch_parquet_sink
+
+    sf_big = "/root/testdata/sf0.1"
+    if not os.path.exists(f"{sf_big}/events.parquet"):
+        import pytest
+
+        pytest.skip("sf0.1 fixture absent")
+
+    split_dir = str(tmp_path / "events_big")
+    assert _write_time_chunks(sf_big, split_dir, n_chunks=3) == 3
+    n_src = load_table(spark, sf_big, "events").count()
+
+    ev = _stream_events(
+        spark, sf_big, max_files_per_trigger=1, dir_override=split_dir
+    )
+    out = str(tmp_path / "sunk_big")
+    foreachbatch_parquet_sink(ev, out)
+
+    batch_dirs = [d for d in os.listdir(out) if d.startswith("batch_id=")]
+    assert len(batch_dirs) == 3
+    assert spark.read.parquet(out).count() == n_src
+
+    # forced retry: replay batch 0's write over its own directory
+    b0_rows = spark.read.parquet(f"{out}/batch_id=0")
+    b0 = spark.createDataFrame(b0_rows.collect(), b0_rows.schema)
+    n0 = b0.count()
+    b0.write.mode("overwrite").parquet(f"{out}/batch_id=0")
+    assert spark.read.parquet(out).count() == n_src
+    assert spark.read.parquet(f"{out}/batch_id=0").count() == n0
+    assert (
+        spark.read.parquet(out).select("event_id").distinct().count() == n_src
+    )
