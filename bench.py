@@ -64,6 +64,8 @@ HEADLINE = [
     "sql_market_share",
     "text_repetition_filter",
     "text_pack_sequences",
+    "similarity_quantize_int8",
+    "sample_temperature_mix",
 ]
 
 

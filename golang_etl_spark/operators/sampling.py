@@ -119,3 +119,97 @@ def sample_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= QUOTA_PER_LANG)
         .select("doc_id", "lang", "rk", F.col("n_chars").cast("long").alias("n_chars"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-weighted mixture sampling (data mixing with alpha).
+# ---------------------------------------------------------------------------
+# The standard multilingual rebalance: sample language l with
+# probability proportional to n_l^alpha (alpha < 1 upsamples the tail
+# relative to its natural share). Deterministic membership: a doc is
+# kept iff its 60-bit md5 hash fraction falls below its language's
+# computed keep-rate — reproducible across runs, engines, and
+# partitionings, like every sampler here.
+MIX_ALPHA = 0.5
+MIX_TARGET = 200  # total docs the mixture aims for
+
+_HASH_FRAC_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    " / 1152921504606846976.0"
+)
+_HASH_FRAC_DUCK = (
+    "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT"
+    " / 1152921504606846976.0"
+)
+
+_MIX_ORACLE = f"""
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_source FROM documents GROUP BY lang
+),
+weights AS (
+  SELECT lang, n_source,
+         pow(n_source, {MIX_ALPHA})
+           / SUM(pow(n_source, {MIX_ALPHA})) OVER () AS w
+  FROM counts
+),
+rates AS (
+  SELECT lang, n_source, w,
+         LEAST({MIX_TARGET} * w / n_source, 1.0) AS keep_rate
+  FROM weights
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN {_HASH_FRAC_DUCK} < r.keep_rate THEN 1 ELSE 0 END AS k
+  FROM documents d JOIN rates r ON d.lang = r.lang
+)
+SELECT r.lang, CAST(r.n_source AS BIGINT) AS n_source,
+       r.w AS weight, r.keep_rate,
+       CAST(SUM(k.k) AS BIGINT) AS n_sampled
+FROM rates r JOIN kept k ON k.lang = r.lang
+GROUP BY r.lang, r.n_source, r.w, r.keep_rate
+"""
+
+
+@register("sample_temperature_mix", oracle=_MIX_ORACLE, tags=("sampling", "llm"))
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixture: per-language keep-rates
+    from n_l^{MIX_ALPHA} weights targeting ~{MIX_TARGET} docs total,
+    membership decided by deterministic hash fraction. Returns the
+    per-language mixing table (source count, weight, keep rate,
+    sampled count).
+
+    Scale shape: the language histogram is a tiny partial-agg'd
+    aggregate; weights/rates derive from it (|langs| rows, broadcast
+    back for the membership join); membership itself is a stateless
+    per-row projection. Nothing here scales with corpus size except
+    the one scan."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_source"))
+    weights = counts.withColumn(
+        "w",
+        F.pow("n_source", F.lit(MIX_ALPHA))
+        / F.sum(F.pow("n_source", F.lit(MIX_ALPHA))).over(
+            W.partitionBy(F.lit(1))
+        ),
+    )
+    rates = weights.withColumn(
+        "keep_rate", F.least(F.lit(MIX_TARGET) * F.col("w") / F.col("n_source"), F.lit(1.0))
+    )
+    kept = (
+        docs.join(F.broadcast(rates), "lang")
+        .selectExpr(
+            "lang",
+            f"CASE WHEN {_HASH_FRAC_SPARK} < keep_rate THEN 1 ELSE 0 END AS k",
+        )
+        .groupBy("lang")
+        .agg(F.sum("k").alias("n_sampled"))
+    )
+    return rates.join(kept, "lang").select(
+        "lang",
+        F.col("n_source").cast("long").alias("n_source"),
+        F.col("w").alias("weight"),
+        "keep_rate",
+        F.col("n_sampled").cast("long").alias("n_sampled"),
+    )

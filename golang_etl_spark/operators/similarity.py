@@ -506,3 +506,75 @@ def similarity_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "centroid_cosine"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Scalar quantization (int8) — the memory side of vector search.
+# ---------------------------------------------------------------------------
+# ANN at 100 TB is memory-bound before it is compute-bound: float32
+# embeddings quantized to int8 cut the index footprint 4x. Symmetric
+# per-vector quantization: scale = max|x| / 127, code = round(x/scale)
+# clamped to [-127, 127]. The operator emits per-vector quality
+# metrics (reconstruction RMS error and the cosine between the
+# original and the dequantized vector) — the numbers that decide
+# whether the quantized index keeps recall.
+_QUANT_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM v
+),
+q AS (
+  SELECT vec_id, emb, scale,
+         list_transform(emb,
+           x -> least(greatest(round(x / scale), -127.0), 127.0) * scale
+         ) AS deq
+  FROM s WHERE scale > 0
+)
+SELECT vec_id, scale,
+       sqrt(list_sum(list_transform(range(1, len(emb) + 1),
+            i -> (emb[i] - deq[i]) * (emb[i] - deq[i]))) / len(emb))
+         AS rms_err,
+       list_dot_product(emb, deq)
+         / (sqrt(list_dot_product(emb, emb))
+            * sqrt(list_dot_product(deq, deq))) AS cos_orig_deq
+FROM q
+"""
+
+
+@register(
+    "similarity_quantize_int8", oracle=_QUANT_ORACLE, tags=("ann", "llm")
+)
+def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    per-vector quality metrics (RMS reconstruction error, original-vs-
+    dequantized cosine).
+
+    Scale shape: a narrow per-row projection of JVM array lambdas —
+    no shuffle, no Python; at 100 TB this runs at scan speed, and the
+    codes it derives are what the real index would store."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb")
+    s = v.selectExpr(
+        "vec_id",
+        "emb",
+        "aggregate(emb, 0D, (acc, x) -> greatest(acc, abs(x))) / 127.0 AS scale",
+    ).filter(F.col("scale") > 0)
+    q = s.selectExpr(
+        "vec_id",
+        "emb",
+        "scale",
+        "transform(emb, x -> least(greatest(round(x / scale), -127.0), 127.0)"
+        " * scale) AS deq",
+    )
+    return q.selectExpr(
+        "vec_id",
+        "scale",
+        "sqrt(aggregate(zip_with(emb, deq, (x, y) -> (x - y) * (x - y)),"
+        " 0D, (acc, e) -> acc + e) / size(emb)) AS rms_err",
+        f"{_dot_spark('emb', 'deq')} / (sqrt({_dot_spark('emb', 'emb')})"
+        f" * sqrt({_dot_spark('deq', 'deq')})) AS cos_orig_deq",
+    )

@@ -251,3 +251,18 @@ def test_pack_sequences_single_bucket_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_pack_sequences")
     assert plan.count("Exchange") == 1, plan
     assert "RunningWindowFunction" in plan or "Window" in plan
+
+
+def test_quantize_int8_is_shuffle_free(spark, sf_dir):
+    # symmetric per-vector quantization is a pure array-lambda
+    # projection: zero exchanges, runs at scan speed
+    plan = _plan(spark, sf_dir, "similarity_quantize_int8")
+    assert "Exchange" not in plan, plan
+
+
+def test_temperature_mix_broadcasts_rates(spark, sf_dir):
+    # the |langs|-row rate table must broadcast back onto the corpus
+    # scan; a shuffled membership join would move the whole corpus for
+    # a 5-row dimension
+    plan = _plan(spark, sf_dir, "sample_temperature_mix")
+    assert "BroadcastHashJoin" in plan, plan
