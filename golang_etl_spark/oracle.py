@@ -151,6 +151,10 @@ def run_all(spark: SparkSession, sf_dir: str, names: list[str] | None = None):
         for qname, spec in sorted(all_queries().items()):
             if names and qname not in names:
                 continue
+            # mirror the driver surface: registry.queries() clears the
+            # cache before each query so persisted subtrees from the
+            # previous one don't accumulate across a 100+-query session
+            spark.catalog.clearCache()
             if spec.oracle is None:
                 df = spec.fn(spark, sf_dir)
                 n = df.count()
