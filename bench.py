@@ -66,6 +66,7 @@ HEADLINE = [
     "text_pack_sequences",
     "similarity_quantize_int8",
     "sample_temperature_mix",
+    "etl_merge_upsert",
 ]
 
 

@@ -225,3 +225,84 @@ def etl_chunked_scan_reassembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_orderkey").cast("bigint").alias("chunk_min"),
         F.max("l_orderkey").cast("bigint").alias("chunk_max"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental refresh: key-based upsert merge (CDC-lite).
+# ---------------------------------------------------------------------------
+# The reference is a full-snapshot extractor; the natural next run of
+# any such pipeline is incremental: merge a batch of changed rows into
+# the previous snapshot by primary key. MERGE INTO belongs to table
+# formats (Delta/Iceberg); on plain tables the upsert is an anti-join
+# + union — updates win, untouched base rows survive, new keys append.
+# The "changes" here are derived deterministically from the fixture so
+# the DuckDB oracle replays the same merge bit-for-bit.
+_MERGE_ORACLE = """
+WITH updates AS (
+  SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+         ROUND(o_totalprice * 1.1, 4) AS o_totalprice
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 100000000 AS o_orderkey, o_custkey,
+         'N' AS o_orderstatus, ROUND(o_totalprice, 4) AS o_totalprice
+  FROM orders WHERE o_orderkey % 97 = 0
+),
+merged AS (
+  SELECT b.o_orderkey, b.o_custkey, b.o_orderstatus,
+         ROUND(b.o_totalprice, 4) AS o_totalprice
+  FROM orders b
+  WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM updates)
+  UNION ALL
+  SELECT * FROM updates
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM merged
+GROUP BY o_orderstatus
+"""
+
+
+@register("etl_merge_upsert", oracle=_MERGE_ORACLE, tags=("etl-parity", "sink"))
+def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-based upsert merge of a derived change batch into the
+    orders snapshot: updated rows replace their base rows, new keys
+    append, untouched rows survive — summarized per status so the
+    hash gate proves no row was lost, duplicated, or left stale.
+
+    Scale shape: left_anti(base, updates) + union — one shuffle on
+    the merge key for the anti join (updates side is change-batch
+    sized and broadcasts when small); union is shuffle-free. At 100 TB
+    the base would be bucketed on the key so even that shuffle
+    disappears, and a table format (Delta/Iceberg MERGE) would make
+    the rewrite transactional — the join shape is identical."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+    updates = (
+        base.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.lit("U").alias("o_orderstatus"),
+            F.round(F.col("o_totalprice") * 1.1, 4).alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 97 == 0).select(
+                (F.col("o_orderkey") + 100_000_000).alias("o_orderkey"),
+                "o_custkey",
+                F.lit("N").alias("o_orderstatus"),
+                F.round("o_totalprice", 4).alias("o_totalprice"),
+            )
+        )
+    )
+    survivors = base.withColumn(
+        "o_totalprice", F.round("o_totalprice", 4)
+    ).join(updates.select("o_orderkey"), "o_orderkey", "left_anti")
+    merged = survivors.unionByName(updates)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("o_orderkey").alias("n_keys"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
