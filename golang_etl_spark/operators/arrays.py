@@ -68,3 +68,75 @@ def array_funcs_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_big_lines"),
         "gross",
     )
+
+
+# ---------------------------------------------------------------------------
+# Map (key-value) function surface.
+# ---------------------------------------------------------------------------
+# Map columns built JVM-side (map_from_arrays over a per-order
+# rollup), consumed via element_at / map_keys / cardinality, and
+# RENDERED to scalars before output: map columns round-trip
+# differently through the two engines' pandas paths (dict vs list of
+# pairs, nondeterministic key order), so — like the arrays above —
+# the hash-stable output is scalars derived FROM the map, proving the
+# construction and lookup semantics without hashing the container.
+_MAP_ORACLE = """
+WITH per_status AS (
+  SELECT o_custkey, o_orderstatus, COUNT(*) AS n
+  FROM orders GROUP BY o_custkey, o_orderstatus
+),
+m AS (
+  SELECT o_custkey,
+         map_from_entries(list({'k': o_orderstatus, 'v': n}
+                               ORDER BY o_orderstatus)) AS status_map
+  FROM per_status GROUP BY o_custkey
+)
+SELECT o_custkey,
+       CAST(len(map_keys(status_map)) AS BIGINT) AS n_statuses,
+       array_to_string(list_sort(map_keys(status_map)), ',') AS statuses,
+       CAST(COALESCE(status_map['O'][1], 0) AS BIGINT) AS n_open,
+       CAST(COALESCE(status_map['F'][1], 0) AS BIGINT) AS n_filled
+FROM m
+"""
+
+
+@register("map_funcs_per_customer", oracle=_MAP_ORACLE, tags=("arrays",))
+def map_funcs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer order-status map: build map<status, count> with
+    map_from_arrays, read it back with element_at / map_keys /
+    size — the map-type counterpart of array_funcs_per_order. Same
+    one-shuffle scale shape (groupBy on customer key; maps are
+    per-customer sized, bounded by the status domain)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_status = orders.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count("*").alias("n")
+    )
+    m = (
+        per_status.groupBy("o_custkey")
+        .agg(
+            F.map_from_arrays(
+                F.array_sort(F.collect_list("o_orderstatus")),
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("o_orderstatus", F.col("n"))
+                        )
+                    ),
+                    lambda s: s["n"],
+                ),
+            ).alias("status_map")
+        )
+    )
+    return m.select(
+        "o_custkey",
+        F.size(F.map_keys(F.col("status_map"))).cast("long").alias("n_statuses"),
+        F.concat_ws(",", F.array_sort(F.map_keys("status_map"))).alias(
+            "statuses"
+        ),
+        F.coalesce(F.element_at("status_map", F.lit("O")), F.lit(0))
+        .cast("long")
+        .alias("n_open"),
+        F.coalesce(F.element_at("status_map", F.lit("F")), F.lit(0))
+        .cast("long")
+        .alias("n_filled"),
+    )
