@@ -67,6 +67,7 @@ HEADLINE = [
     "similarity_quantize_int8",
     "sample_temperature_mix",
     "etl_merge_upsert",
+    "similarity_pq_topk",
 ]
 
 

@@ -578,3 +578,176 @@ def similarity_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_dot_spark('emb', 'deq')} / (sqrt({_dot_spark('emb', 'emb')})"
         f" * sqrt({_dot_spark('deq', 'deq')})) AS cos_orig_deq",
     )
+
+
+# ---------------------------------------------------------------------------
+# 6. Product quantization (PQ) ANN — the compression tier past int8.
+# ---------------------------------------------------------------------------
+# PQ splits each vector into M subspaces and quantizes each against
+# its own K-centroid codebook: 64 dims -> M=8 bytes per vector (32x
+# smaller than float32). Queries score candidates with asymmetric
+# distance (ADC): a per-query (M x K) lookup table of subspace dot
+# products, summed over the stored codes — no decompression.
+# Codebooks train like the IVF quantizer (sampled k-means, driver
+# numpy, deterministic); encoding + ADC run in ONE Arrow-batched
+# mapInPandas pass that emits only each partition's top-K candidates
+# per query, so the shuffle after the scan carries |queries| x K x
+# |partitions| rows. This is the genuinely-hard-to-express-in-SQL
+# operator the Pandas-UDF boundary exists for.
+PQ_M = 8           # subspaces
+PQ_K = 256         # centroids per subspace (8-bit codes, FAISS default)
+PQ_ITERS = 8
+PQ_RERANK_C = 50   # ADC candidates per query refined with exact cosine
+
+
+def train_pq_codebooks(
+    spark: SparkSession, sf_dir: str, sample_mod: int = KMEANS_SAMPLE_MOD
+) -> np.ndarray:
+    """(PQ_M, PQ_K, dim/PQ_M) codebooks via per-subspace k-means on
+    the same deterministic hash sample the IVF quantizer trains on.
+    Vectors are L2-normalized first so ADC inner products approximate
+    cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb
+    if sample_mod > 1:
+        sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
+    pdf = sample.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    d = X.shape[1]
+    sub = d // PQ_M
+    books = np.empty((PQ_M, PQ_K, sub))
+    for m in range(PQ_M):
+        Xs = X[:, m * sub : (m + 1) * sub]
+        cent = Xs[:PQ_K].copy()  # deterministic init, as in IVF
+        for _ in range(PQ_ITERS):
+            d2 = ((Xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for j in range(PQ_K):
+                members = Xs[assign == j]
+                if len(members):
+                    cent[j] = members.mean(axis=0)
+        books[m] = cent
+    return np.round(books, 6)
+
+
+@register("similarity_pq_topk", oracle=None, tags=("ann", "llm"))
+def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ approximate top-k with exact re-ranking: encode the corpus
+    to PQ_M-byte codes, score via ADC lookup tables (the memory-bound
+    regime's exact-scan replacement — 32x smaller index, table lookups
+    instead of float dot products), then refine each query's top
+    PQ_RERANK_C ADC candidates with exact cosine — the standard
+    retrieve-then-rerank pipeline (the exact pass touches C rows per
+    query, not the corpus). Rows-only check (iterative k-means);
+    recall floor asserted vs brute force in
+    tests/test_similarity_recall.py.
+
+    Scale shape: codebooks + query LUTs broadcast (a few KB); one
+    Arrow-batched mapInPandas pass over the corpus encodes AND scores,
+    emitting only per-partition top-C candidates per query; the
+    exchange after the scan carries |queries| x C x |partitions| rows;
+    the rerank joins the tiny candidate set back to the vector table
+    by id (broadcast). No shuffle of the corpus, no Python per-row
+    calls."""
+    books = train_pq_codebooks(spark, sf_dir)  # (M, K, sub)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    qids = qpdf["vec_id"].to_numpy()
+    sub = Q.shape[1] // PQ_M
+    # per-query ADC lookup tables: luts[q, m, k] = <q_sub_m, books[m,k]>
+    luts = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+    sc = spark.sparkContext
+    b_books, b_luts, b_qids = (
+        sc.broadcast(books), sc.broadcast(luts), sc.broadcast(qids),
+    )
+    top_k = PQ_RERANK_C
+
+    def score(batches):
+        import pandas as pd
+
+        bk, lt, qi = b_books.value, b_luts.value, b_qids.value
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            n, d = X.shape
+            Xs = X.reshape(n, PQ_M, sub)
+            # encode: nearest centroid per subspace (argmin L2)
+            codes = np.empty((n, PQ_M), dtype=np.int64)
+            for m in range(PQ_M):
+                d2 = (
+                    (Xs[:, m, None, :] - bk[m][None, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)
+            out = []
+            # ADC: score[q, n] = sum_m luts[q, m, codes[n, m]]
+            for q in range(len(qi)):
+                s = lt[q][np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                mask = ids != qi[q]
+                cand_ids, cand_s = ids[mask], s[mask]
+                keep = np.argsort(-cand_s)[:top_k]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[q],
+                            "neighbor_id": cand_ids[keep],
+                            "adc_score": cand_s[keep],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc_score": []}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        score, "query_id LONG, neighbor_id LONG, adc_score DOUBLE"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        partial.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= PQ_RERANK_C)
+        .select("query_id", "neighbor_id")
+    )
+    # exact rerank: candidates (|queries| x C rows) broadcast onto the
+    # vector table to fetch neighbor embeddings; query vectors join as
+    # a |queries|-row frame. All dot products JVM-side.
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm"
+    )
+    scored = (
+        v.join(
+            F.broadcast(cands), v["vec_id"] == cands["neighbor_id"]
+        )
+        .join(F.broadcast(qv), "query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
