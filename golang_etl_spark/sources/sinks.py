@@ -260,3 +260,66 @@ def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
     schema drift in long-lived sink directories (the reference pins
     one YAML schema forever — SURVEY.md §1.2)."""
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+# ---------------------------------------------------------------------------
+# Format-matrix round-trip (CSV / JSON / ORC), driver-checkable.
+# ---------------------------------------------------------------------------
+_FMT_ORACLE = """
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+         ROUND(SUM(l_quantity), 4) AS sum_qty,
+         ROUND(SUM(l_extendedprice), 2) AS sum_price
+  FROM lineitem WHERE l_orderkey < 1000
+)
+SELECT fmt, n_rows, n_orders, sum_qty, sum_price
+FROM agg, (VALUES ('csv'), ('json'), ('orc')) t(fmt)
+"""
+
+
+@register(
+    "sink_format_matrix_roundtrip", oracle=_FMT_ORACLE, tags=("sink",)
+)
+def sink_format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write a lineitem slice through every non-parquet sink (CSV with
+    explicit schema, JSON, ORC), read each back, and aggregate — one
+    row per format, all three required to equal the original table's
+    aggregate (the oracle emits the same row 3x). Proves the format
+    matrix round-trips values, not just that the writers run.
+
+    Scale shape: three file-per-task writes of a pruned slice; the
+    readbacks are independent scans unioned shuffle-free; one tiny
+    final aggregate."""
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    cols = "l_orderkey LONG, l_quantity DOUBLE, l_extendedprice DOUBLE"
+    slice_ = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 1000)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+    )
+    frames = []
+    for fmt in ("csv", "json", "orc"):
+        out = _layout_dir(f"fmt_{fmt}", sf_dir)
+        if fmt == "csv":
+            write_csv(slice_, out)
+            back = read_csv(spark, out, cols)
+        elif fmt == "json":
+            write_json(slice_, out)
+            back = read_json(spark, out, cols)
+        else:
+            write_orc(slice_, out)
+            back = read_orc(spark, out)
+        frames.append(
+            back.groupBy(F.lit(fmt).alias("fmt")).agg(
+                F.count("*").alias("n_rows"),
+                F.countDistinct("l_orderkey").alias("n_orders"),
+                F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+                F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
