@@ -132,3 +132,77 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY s.word
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Cogroup: the two-frame Arrow boundary (applyInPandas over cogroup).
+# ---------------------------------------------------------------------------
+# The last cell of the Python-boundary matrix: two DataFrames grouped
+# on the same key, each group pair handed to pandas TOGETHER. The
+# demonstration reconciles orders against their lineitems per order
+# key — the "does the header total match the sum of the lines"
+# audit every ETL pipeline runs — which needs both sides at once and
+# so can't be a single-frame applyInPandas.
+_COGROUP_ORACLE = """
+SELECT o.o_orderkey,
+       CAST(COUNT(l.l_orderkey) AS BIGINT) AS n_lines,
+       ROUND(o.o_totalprice, 2) AS header_total,
+       ROUND(COALESCE(SUM(l.l_extendedprice * (1 - l.l_discount)
+                          * (1 + l.l_tax)), 0.0), 2) AS lines_total
+FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE o.o_orderkey < 500
+GROUP BY o.o_orderkey, o.o_totalprice
+"""
+
+
+@register(
+    "cogroup_order_reconciliation", oracle=_COGROUP_ORACLE, tags=("udf",)
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-order header-vs-lines reconciliation through
+    ``cogroup(...).applyInPandas``: each order's header rows and line
+    rows arrive as one pandas pair, the function emits line count and
+    both totals.
+
+    Scale shape: both sides shuffle once on the shared key (the same
+    exchange a join would pay); groups are order-sized. Arrow-batched,
+    never per-row. The key-slice filter pushes into both scans."""
+    import pandas as pd
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select("o_orderkey", "o_totalprice")
+    )
+    lines = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 500)
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+    )
+
+    def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        if odf.empty:  # orphan lines (no header) — mirror the LEFT JOIN
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "header_total", "lines_total"]
+            )
+        total = (
+            ldf["l_extendedprice"] * (1 - ldf["l_discount"]) * (1 + ldf["l_tax"])
+        ).sum()
+        return pd.DataFrame(
+            {
+                "o_orderkey": [int(key[0])],
+                "n_lines": [len(ldf)],
+                "header_total": [round(float(odf["o_totalprice"].iloc[0]), 2)],
+                "lines_total": [round(float(total), 2)],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(lines.groupBy("l_orderkey"))
+        .applyInPandas(
+            reconcile,
+            "o_orderkey LONG, n_lines LONG, header_total DOUBLE, "
+            "lines_total DOUBLE",
+        )
+    )
