@@ -319,6 +319,41 @@ def dedup_counts_pipeline(ev: DataFrame) -> DataFrame:
     return _run_to_table(agg, "dedup", "complete")
 
 
+_DEDUP_TTL_ORACLE = """
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type
+"""
+
+
+@register(
+    "streaming_dedup_watermarked", oracle=_DEDUP_TTL_ORACLE, tags=("streaming",)
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-grade streaming dedup: ``dropDuplicatesWithinWatermark``
+    on event_id over a doubled stream. Unlike plain dropDuplicates
+    (whose key state grows forever), within-watermark dedup EXPIRES a
+    key's state once the watermark passes its event time — the only
+    formulation whose state is bounded on an unbounded stream. The
+    duplicate copies here share their original's timestamp, so they
+    always fall inside the 1-hour window and per-type counts still
+    equal the batch counts."""
+    ev = _stream_events(spark, sf_dir)
+    return dedup_ttl_counts_pipeline(ev.unionByName(ev))
+
+
+def dedup_ttl_counts_pipeline(ev: DataFrame) -> DataFrame:
+    """Transformation body of ``streaming_dedup_watermarked`` (split
+    for the multi-batch test, like the plain-dedup pipeline)."""
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    return _run_to_table(agg, "dedup_ttl", "complete")
+
+
 # ---------------------------------------------------------------------------
 # 5. Custom stateful operator: applyInPandasWithState.
 # ---------------------------------------------------------------------------

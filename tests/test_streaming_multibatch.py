@@ -257,3 +257,28 @@ def test_foreachbatch_sink_at_bench_scale(spark, tmp_path):
     assert (
         spark.read.parquet(out).select("event_id").distinct().count() == n_src
     )
+
+
+def test_watermarked_dedup_state_spans_batches(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark with duplicate copies in different
+    micro-batches: chronological chunks keep each copy inside the
+    1-hour watermark window of its original, so the bounded-state
+    dedup must still remove every copy."""
+    from golang_etl_spark.streaming.jobs import dedup_ttl_counts_pipeline
+
+    split_dir = str(tmp_path / "events_ttl")
+    n_files = _write_time_chunks(sf_dir, split_dir, n_chunks=2, copies=2)
+    assert n_files == 4
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    got = dedup_ttl_counts_pipeline(ev)
+
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_events"))
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
