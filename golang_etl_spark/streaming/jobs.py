@@ -564,3 +564,105 @@ def foreachbatch_parquet_sink(
         .start()
     )
     q.awaitTermination()
+
+
+# ---------------------------------------------------------------------------
+# 5b. transformWithStateInPandas — the Spark 4 arbitrary-state API.
+# ---------------------------------------------------------------------------
+# Same per-user running-stats semantics as the applyInPandasWithState
+# query above, on the successor API: a StatefulProcessor class with
+# typed state handles (ValueState here; the API adds ListState /
+# MapState / timers / TTL that GroupState never had). Registering both
+# keeps the old surface covered while proving the engine tracks the
+# current one.
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs Spark >= 4.0 AND the protobuf
+    python package (its state-server wire protocol). This container
+    ships neither pip nor protobuf, so the query registers only where
+    the dependency exists — gate-behind-import, not a fake."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+try:  # Spark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _UserStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self._stats.exists():
+                n, mx, total = self._stats.get()
+            else:
+                n, mx, total = 0, float("-inf"), 0.0
+            for pdf in rows:
+                n += len(pdf)
+                mx = max(mx, float(pdf["value"].max()))
+                total += float(pdf["value"].sum())
+            self._stats.update((n, mx, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "max_value": [round(mx, 4)],
+                    "total_value": [round(total, 4)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    _HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    _HAS_TWS = False
+
+
+def streaming_tws_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running stats via ``transformWithStateInPandas`` —
+    the arbitrary-stateful successor to applyInPandasWithState (typed
+    state handles, timers, TTL). Must equal the batch GROUP BY, same
+    as the GroupState variant. Registered only where the protobuf
+    dependency exists (see _tws_available)."""
+    if not (_HAS_TWS and _tws_available()):
+        raise NotImplementedError(
+            "transformWithStateInPandas needs Spark >= 4.0 and protobuf"
+        )
+    return tws_user_stats_pipeline(_stream_events(spark, sf_dir))
+
+
+if _HAS_TWS and _tws_available():  # pragma: no cover - env-dependent
+    register(
+        "streaming_tws_user_stats",
+        oracle=_STATEFUL_ORACLE,
+        tags=("streaming", "pandas_udf"),
+    )(streaming_tws_user_stats)
+
+
+def tws_user_stats_pipeline(ev: DataFrame) -> DataFrame:
+    """The transformWithStateInPandas pipeline on any events stream —
+    shared by the registered query and the multi-batch test."""
+    out = ev.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_UserStatsProcessor(),
+        outputStructType=_STATEFUL_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    tbl = _run_to_table(out, "tws_user_stats", "update")
+    # same last-emission dedup as the GroupState variant: the memory
+    # sink appends per-batch emissions; running n_events is strictly
+    # increasing so the struct max keeps the final one
+    latest = F.max(F.struct("n_events", "max_value", "total_value"))
+    return tbl.groupBy("user_id").agg(latest.alias("s")).select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.max_value").alias("max_value"),
+        F.col("s.total_value").alias("total_value"),
+    )

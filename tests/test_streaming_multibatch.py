@@ -282,3 +282,26 @@ def test_watermarked_dedup_state_spans_batches(spark, sf_dir, tmp_path):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_tws_pipeline_if_available(spark, sf_dir):
+    """transformWithStateInPandas variant — runs only where Spark 4's
+    state-server dependency (protobuf) exists; elsewhere the query is
+    unregistered (gated, not stubbed)."""
+    import pytest
+
+    from golang_etl_spark.streaming import jobs
+
+    if not (jobs._HAS_TWS and jobs._tws_available()):
+        pytest.skip("transformWithStateInPandas deps absent (protobuf)")
+    got = jobs.streaming_tws_user_stats(spark, sf_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.max("value"), 4).alias("max_value"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+    )
+    assert got.count() == want.count()
