@@ -1,0 +1,52 @@
+"""Driver-contract behavior of the registry itself: the
+never-checked-first ordering that converges the driver's 50-query
+rotation, and the per-query cache clearing that bounds a long
+session's memory."""
+
+from golang_etl_spark import registry
+
+
+def test_never_checked_names_order_first():
+    checked = registry._driver_checked_names()
+    assert checked, "CORRECTNESS_r*.json fixtures missing from repo root"
+    names = list(registry.queries())
+    # every never-checked name must come before every checked name
+    seen_checked = False
+    for n in names:
+        if n in checked:
+            seen_checked = True
+        else:
+            assert not seen_checked, (
+                f"never-checked {n!r} ordered after a checked name"
+            )
+
+
+def test_ordering_preserves_full_registry():
+    assert set(registry.queries()) == set(registry.all_queries())
+    # every oracle key is a registered query
+    assert set(registry.oracle_sql()) <= set(registry.all_queries())
+
+
+def test_queries_wrapper_clears_cache(spark, sf_dir):
+    from golang_etl_spark.sources.catalog import load_table
+
+    # persist something, then invoke any wrapped query: the wrapper
+    # must drop the cached relation before running. Checked via the
+    # frame's own storage level (localCheckpoint RDDs from unrelated
+    # tests legitimately survive clearCache, so don't assert global
+    # emptiness).
+    df = load_table(spark, sf_dir, "region").persist()
+    df.count()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    fn = registry.queries()["filter_project"]
+    fn(spark, sf_dir).count()
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk), (
+        "wrapped query did not clear the previous query's cache"
+    )
+
+
+def test_unwrapped_fn_identity_for_bench():
+    # bench times all_queries()[name].fn directly — the wrapper must
+    # not leak into the raw registry entries
+    spec = registry.all_queries()["filter_project"]
+    assert spec.fn.__name__ == "filter_project"
