@@ -172,6 +172,37 @@ def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "join_right_outer",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o.o_totalprice), 0.0), 4) AS total_spend
+    FROM orders o
+    RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+    tags=("join",),
+)
+def join_right_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join — the mirror of join_left_outer written from
+    the orders side, preserving customers with zero orders. Same
+    result by construction; registered so the join-type matrix is
+    explicit rather than implied."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "right")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
     "join_full_outer",
     oracle="""
     WITH c AS (SELECT c_nationkey AS nationkey, CAST(COUNT(*) AS BIGINT) AS n_customers

@@ -679,3 +679,46 @@ def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"cast(cum_before % {SEQ_LEN} AS bigint) AS pack_offset",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical text normalization (the dedup pre-step).
+# ---------------------------------------------------------------------------
+# Every dedup pipeline hashes NORMALIZED text: lowercase, punctuation
+# stripped, whitespace collapsed — otherwise trivial formatting
+# variants defeat exact dedup. Emitted as the canonical form plus its
+# md5, so downstream exact dedup can key on norm_hash directly. The
+# regex classes used ([a-z0-9] complement, space runs) behave
+# identically in Java regex and RE2, keeping both engines bit-equal.
+_NORMALIZE_ORACLE = """
+WITH n AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text),
+              '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS norm_text
+  FROM documents
+)
+SELECT doc_id, lang,
+       CAST(length(norm_text) AS BIGINT) AS norm_len,
+       md5(norm_text) AS norm_hash
+FROM n
+"""
+
+
+@register("text_normalize", oracle=_NORMALIZE_ORACLE, tags=("text", "llm"))
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical normalization: lowercase, non-alphanumerics to
+    spaces, space runs collapsed, trimmed — then md5 of the canonical
+    form (the key exact dedup should group on). Pure JVM regexp
+    projection; shuffle-free at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        "lang",
+        "trim(regexp_replace(regexp_replace(lower(text),"
+        " '[^a-z0-9 ]', ' '), ' +', ' ')) AS norm_text",
+    ).selectExpr(
+        "doc_id",
+        "lang",
+        "cast(length(norm_text) AS bigint) AS norm_len",
+        "md5(norm_text) AS norm_hash",
+    )
