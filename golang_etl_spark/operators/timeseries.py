@@ -166,3 +166,79 @@ def timeseries_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hour",
         F.last("av", ignorenulls=True).over(w).alias("avg_value_ffill"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly flags (monitoring over the event stream).
+# ---------------------------------------------------------------------------
+# Per-type hourly volumes scored against their own trailing window:
+# z = (x - trailing_mean) / trailing_stddev over the 24 preceding
+# hours (current excluded — the point of reference is the PAST). The
+# standard volume-anomaly monitor; emitted for every hour with a full
+# lookback so both engines window identically.
+ZSCORE_LOOKBACK = 24
+ZSCORE_FLAG = 2.0
+
+_ZSCORE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+scored AS (
+  SELECT event_type, hour, n,
+         AVG(n)        OVER w AS mu,
+         STDDEV_SAMP(n) OVER w AS sigma,
+         COUNT(*)      OVER w AS n_lookback
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, n,
+       (n - mu) / sigma AS zscore,
+       (abs((n - mu) / sigma) > {ZSCORE_FLAG}) AS is_anomaly
+FROM scored
+WHERE n_lookback = {ZSCORE_LOOKBACK} AND sigma > 0
+"""
+
+
+@register("timeseries_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries",))
+def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags on per-type hourly event volume
+    (trailing {ZSCORE_LOOKBACK}-hour mean/stddev, current hour
+    excluded; rows with a full lookback only, so the frame contents
+    are identical across engines).
+
+    Scale shape: the hourly pre-aggregation collapses the corpus to
+    |types| x |hours| rows BEFORE the window — the window input is
+    calendar-sized, not event-sized; one shuffle for the groupBy, one
+    partition-local window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-ZSCORE_LOOKBACK, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_lookback"),
+    ).filter(
+        (F.col("n_lookback") == ZSCORE_LOOKBACK) & (F.col("sigma") > 0)
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return scored.select(
+        "event_type",
+        "hour",
+        "n",
+        # unrounded: fixed-decimal round of a sqrt-derived value is
+        # engine-divergent on knife-edge values; tolerance absorbs ULPs
+        z.alias("zscore"),
+        (F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
+    )
