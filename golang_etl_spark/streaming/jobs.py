@@ -1,6 +1,9 @@
 """Structured Streaming over the ``events`` fixture: watermarked
-tumbling/sliding windows, session windows, streaming dedup, and a
-custom stateful operator (applyInPandasWithState).
+tumbling/sliding windows, session windows, streaming dedup (unbounded
+dropDuplicates AND watermark-bounded dropDuplicatesWithinWatermark),
+stream-static + stream-stream interval joins, custom stateful
+operators (applyInPandasWithState; transformWithStateInPandas where
+its protobuf dependency exists), and an idempotent foreachBatch sink.
 
 The reference is a batch snapshot extractor — zero streaming
 (SURVEY.md §2.5). These jobs run the file stream to completion with
