@@ -68,6 +68,9 @@ HEADLINE = [
     "sample_temperature_mix",
     "etl_merge_upsert",
     "similarity_pq_topk",
+    "map_funcs_per_customer",
+    "text_normalize",
+    "timeseries_anomaly_zscore",
 ]
 
 
