@@ -206,3 +206,55 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lines_total DOUBLE",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF — the UDAF cell of the matrix.
+# ---------------------------------------------------------------------------
+_UDAF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4)
+         AS wavg_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "pandasudaf_weighted_avg", oracle=_UDAF_ORACLE, tags=("udf", "aggregation")
+)
+def pandasudaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted average price per return flag through a
+    GROUPED_AGG pandas UDF — the custom-aggregator cell of the Python
+    boundary (scalar / grouped-map / map-iter / cogroup / UDTF are
+    covered elsewhere). The UDF receives each group's columns as
+    pandas Series over Arrow and reduces to one scalar.
+
+    Scale note: unlike JVM aggregates, grouped-agg pandas UDFs do NOT
+    partial-aggregate map-side — the whole group's rows cross to
+    Python after the shuffle. Acceptable for bounded groups (6 flags
+    here); for unbounded groups prefer the equivalent built-in
+    expression, which this oracle deliberately mirrors so the
+    trade-off is visible."""
+    @pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        return float((price * qty).sum() / qty.sum())
+
+    # a grouped-agg pandas UDF cannot share agg() with built-in
+    # aggregates (INVALID_PANDAS_UDF_PLACEMENT) — so the row count is
+    # a pandas aggregate too
+    @pandas_udf("long")
+    def n_rows(qty: pd.Series) -> int:
+        return int(len(qty))
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            n_rows(F.col("l_quantity")).alias("n_lines"),
+            F.round(
+                wavg(F.col("l_extendedprice"), F.col("l_quantity")), 4
+            ).alias("wavg_price"),
+        )
+    )
