@@ -120,6 +120,11 @@ def read_shard_table(
         url=location,
         query=f"SELECT MIN({qpk}) AS mn, MAX({qpk}) AS mx FROM {job.table}",
     ).load().first()
+    if bounds is None or bounds[0] is None:
+        # same contract as key_bounds() on the parquet path
+        raise ValueError(
+            f"table {job.table!r} has no rows / null pk {job.primary_key!r}"
+        )
     plan = plan_range_partitions(int(bounds[0]), int(bounds[1]), spec.stride)
     opts = jdbc_scan_options(
         location, job.table, job.primary_key, plan, spec.fetch_concurrency

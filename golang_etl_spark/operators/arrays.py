@@ -103,29 +103,24 @@ FROM m
 @register("map_funcs_per_customer", oracle=_MAP_ORACLE, tags=("arrays",))
 def map_funcs_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer order-status map: build map<status, count> with
-    map_from_arrays, read it back with element_at / map_keys /
-    size — the map-type counterpart of array_funcs_per_order. Same
-    one-shuffle scale shape (groupBy on customer key; maps are
-    per-customer sized, bounded by the status domain)."""
+    map_from_entries over sorted (k, v) structs, read it back with
+    element_at / map_keys / size — the map-type counterpart of
+    array_funcs_per_order. Same one-shuffle scale shape (groupBy on
+    customer key; maps are per-customer sized, bounded by the status
+    domain)."""
     orders = load_table(spark, sf_dir, "orders")
     per_status = orders.groupBy("o_custkey", "o_orderstatus").agg(
         F.count("*").alias("n")
     )
-    m = (
-        per_status.groupBy("o_custkey")
-        .agg(
-            F.map_from_arrays(
-                F.array_sort(F.collect_list("o_orderstatus")),
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.struct("o_orderstatus", F.col("n"))
-                        )
-                    ),
-                    lambda s: s["n"],
-                ),
-            ).alias("status_map")
-        )
+    # one aggregate, one sort: map_from_entries over sorted (k, v)
+    # structs — no cross-array alignment invariant to maintain (and
+    # the exact construction the DuckDB oracle uses)
+    m = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.array_sort(
+                F.collect_list(F.struct("o_orderstatus", F.col("n")))
+            )
+        ).alias("status_map")
     )
     return m.select(
         "o_custkey",

@@ -97,7 +97,7 @@ WHERE rk <= {QUOTA_PER_LANG}
 
 @register("sample_language_quota", oracle=_QUOTA_ORACLE, tags=("sampling", "llm"))
 def sample_language_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-language quota sample: the {QUOTA_PER_LANG}
+    """Deterministic per-language quota sample: the QUOTA_PER_LANG(=40)
     docs with the lowest hash priority per language (hash-ordered ==
     uniform-without-replacement, but replayable).
 
@@ -173,7 +173,7 @@ GROUP BY r.lang, r.n_source, r.w, r.keep_rate
 @register("sample_temperature_mix", oracle=_MIX_ORACLE, tags=("sampling", "llm"))
 def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-weighted language mixture: per-language keep-rates
-    from n_l^{MIX_ALPHA} weights targeting ~{MIX_TARGET} docs total,
+    from n_l^0.5 weights targeting ~200 docs total (MIX_ALPHA, MIX_TARGET),
     membership decided by deterministic hash fraction. Returns the
     per-language mixing table (source count, weight, keep rate,
     sampled count).

@@ -382,6 +382,9 @@ KMEANS_ITERS = 8
 # df.sample(), membership survives re-partitioning and re-runs.
 KMEANS_SAMPLE_MOD = 1
 
+# memoized trained centroids, same rationale as _PQ_BOOK_CACHE below
+_IVF_CENT_CACHE: dict[str, np.ndarray] = {}
+
 
 def train_kmeans_centroids(
     spark: SparkSession,
@@ -397,18 +400,14 @@ def train_kmeans_centroids(
     IVF recipe — the quantizer trains on thousands of vectors even
     when the index holds billions, so driver training is not a scale
     bottleneck. Deterministic: hash-mod sample + first-k-by-vec_id
-    init + argmax/mean arithmetic, no RNG."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    sample = emb
-    if sample_mod > 1:
-        sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
-    pdf = (
-        sample.select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .toPandas()
-    )
-    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    init + argmax/mean arithmetic, no RNG. Memoized per
+    (sf_dir, k, iters, sample_mod) — a real IVF index trains once at
+    build time, like the PQ codebooks."""
+    key = f"{sf_dir}|{k}|{iters}|{sample_mod}"
+    if key in _IVF_CENT_CACHE:
+        return _IVF_CENT_CACHE[key]
+    X = _collect_normalized_sample(spark, sf_dir, sample_mod)
+    k = min(k, X.shape[0])  # small samples train a smaller quantizer
     cent = X[:k].copy()  # deterministic init: k lowest-vec_id vectors
     for _ in range(iters):
         sims = X @ cent.T  # cosine == dot on unit vectors
@@ -418,7 +417,9 @@ def train_kmeans_centroids(
             if len(members):
                 m = members.mean(axis=0)
                 cent[j] = m / np.linalg.norm(m)
-    return np.round(cent, 6)
+    out = np.round(cent, 6)
+    _IVF_CENT_CACHE[key] = out
+    return out
 
 
 @register("similarity_ivf_kmeans", oracle=None, tags=("ann", "llm"))
@@ -607,6 +608,22 @@ PQ_RERANK_C = 50   # ADC candidates per query refined with exact cosine
 _PQ_BOOK_CACHE: dict[str, np.ndarray] = {}
 
 
+def _collect_normalized_sample(
+    spark: SparkSession, sf_dir: str, sample_mod: int
+) -> np.ndarray:
+    """Deterministic hash-mod sample of the embeddings, collected once
+    and L2-normalized — the shared training input of the IVF and PQ
+    quantizers."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sample = emb
+    if sample_mod > 1:
+        sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
+    pdf = sample.select("vec_id", "embedding").orderBy("vec_id").toPandas()
+    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    return X
+
+
 def train_pq_codebooks(
     spark: SparkSession, sf_dir: str, sample_mod: int = KMEANS_SAMPLE_MOD
 ) -> np.ndarray:
@@ -617,25 +634,24 @@ def train_pq_codebooks(
     key = f"{sf_dir}|{sample_mod}"
     if key in _PQ_BOOK_CACHE:
         return _PQ_BOOK_CACHE[key]
-    emb = load_table(spark, sf_dir, "embeddings")
-    sample = emb
-    if sample_mod > 1:
-        sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
-    pdf = sample.select("vec_id", "embedding").orderBy("vec_id").toPandas()
-    X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    X = _collect_normalized_sample(spark, sf_dir, sample_mod)
     d = X.shape[1]
     sub = d // PQ_M
-    books = np.empty((PQ_M, PQ_K, sub))
+    # a sample smaller than PQ_K trains a smaller codebook (every
+    # subspace shares one k so the ADC LUT stays rectangular) — the
+    # preallocated (M, K, sub) array would otherwise raise on the
+    # truncated deterministic init
+    k = min(PQ_K, X.shape[0])
+    books = np.empty((PQ_M, k, sub))
     for m in range(PQ_M):
         Xs = X[:, m * sub : (m + 1) * sub]
-        cent = Xs[:PQ_K].copy()  # deterministic init, as in IVF
+        cent = Xs[:k].copy()  # deterministic init, as in IVF
         x2 = (Xs**2).sum(axis=1, keepdims=True)
         for _ in range(PQ_ITERS):
             # ||x-c||^2 = x^2 - 2xc + c^2 via matmul (argmin over c)
             d2 = x2 - 2.0 * (Xs @ cent.T) + (cent**2).sum(axis=1)[None, :]
             assign = np.argmin(d2, axis=1)
-            for j in range(PQ_K):
+            for j in range(k):
                 members = Xs[assign == j]
                 if len(members):
                     cent[j] = members.mean(axis=0)

@@ -427,7 +427,7 @@ FROM ranked WHERE rank <= {TFIDF_TOP_K}
 
 @register("text_tfidf_top_terms", oracle=_TFIDF_ORACLE, tags=("text", "llm"))
 def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-{k} characteristic terms per document by smoothed TF-IDF
+    """Top-K characteristic terms per document by smoothed TF-IDF
     (idf = ln((N+1)/(df+1))). Ties break lexically so both engines
     rank identically.
 
@@ -498,8 +498,8 @@ FROM documents,
 
 @register("text_chunk_documents", oracle=_CHUNK_ORACLE, tags=("text", "llm"))
 def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Split each document into {CHUNK_CHARS}-char chunks on a
-    {CHUNK_STRIDE}-char stride (overlapping windows; every doc yields
+    """Split each document into CHUNK_CHARS-char chunks on a
+    CHUNK_STRIDE-char stride (overlapping windows; every doc yields
     >= 1 chunk, the last chunk absorbs the tail).
 
     Scale shape: explode(sequence(...)) over a per-row arithmetic
@@ -646,7 +646,7 @@ FROM packed
 def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Concat-and-chunk sequence packing: assign every document a
     (bucket, pack_id, pack_offset) placing its tokens in a stream of
-    {SEQ_LEN}-token training sequences, packed independently per
+    SEQ_LEN(=512)-token training sequences, packed independently per
     deterministic hash bucket.
 
     Scale shape: one shuffle on bucket for the running-sum window;

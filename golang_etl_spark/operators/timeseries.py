@@ -205,7 +205,7 @@ WHERE n_lookback = {ZSCORE_LOOKBACK} AND sigma > 0
 @register("timeseries_anomaly_zscore", oracle=_ZSCORE_ORACLE, tags=("timeseries",))
 def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly flags on per-type hourly event volume
-    (trailing {ZSCORE_LOOKBACK}-hour mean/stddev, current hour
+    (trailing ZSCORE_LOOKBACK(=24)-hour mean/stddev, current hour
     excluded; rows with a full lookback only, so the frame contents
     are identical across engines).
 

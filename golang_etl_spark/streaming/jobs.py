@@ -56,6 +56,12 @@ def _events_ts_kind(directory: str) -> str:
     import pyarrow.parquet as pq
 
     files = sorted(glob.glob(os.path.join(directory, "*.parquet")))
+    if not files:
+        raise FileNotFoundError(
+            f"no parquet files in monitored stream directory {directory!r} — "
+            "stage at least one file before defining the stream (the "
+            "declared schema is sniffed from the first footer)"
+        )
     t = pq.read_schema(files[0]).field("ts").type
     if str(t) == "int64":
         return "long"
