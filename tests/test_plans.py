@@ -266,3 +266,28 @@ def test_temperature_mix_broadcasts_rates(spark, sf_dir):
     # a 5-row dimension
     plan = _plan(spark, sf_dir, "sample_temperature_mix")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_merge_upsert_no_degenerate_join(spark, sf_dir):
+    # the anti-join must stay a hash join (broadcast at fixture scale,
+    # SMJ at fact scale) — a BNLJ/cartesian would rescan the snapshot
+    # per change row
+    plan = _plan(spark, sf_dir, "etl_merge_upsert")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "Union" in plan
+
+
+def test_normalize_is_shuffle_free(spark, sf_dir):
+    # canonical normalization is a pure regexp projection
+    plan = _plan(spark, sf_dir, "text_normalize")
+    assert "Exchange" not in plan, plan
+
+
+def test_zscore_window_input_is_preaggregated(spark, sf_dir):
+    # the rolling window must consume the hourly aggregate (two
+    # HashAggregates for the groupBy partial/final), never raw events:
+    # exactly 2 exchanges — the groupBy's and the window's
+    plan = _plan(spark, sf_dir, "timeseries_anomaly_zscore")
+    assert plan.count("Exchange") <= 2, plan
+    assert "HashAggregate" in plan
