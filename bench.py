@@ -71,6 +71,10 @@ HEADLINE = [
     "map_funcs_per_customer",
     "text_normalize",
     "timeseries_anomaly_zscore",
+    "sql_waiting_suppliers",
+    "sql_custdist",
+    "similarity_pq_fixed",
+    "sketch_percentile_approx",
 ]
 
 

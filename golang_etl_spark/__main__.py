@@ -25,9 +25,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--master", default=None, help="Spark master override (default: env)"
     )
+    p.add_argument(
+        "--concurrent",
+        type=int,
+        nargs="?",
+        const=4,
+        default=0,
+        metavar="N",
+        help="run table jobs on an N-thread pool (default sequential; "
+        "bare --concurrent uses 4) — the Python variant's concurrent "
+        "mode (py_extractor.py:96-105)",
+    )
     args = p.parse_args(argv)
 
-    from golang_etl_spark.etl import run_jobspec
+    from golang_etl_spark.etl import run_jobspec, run_jobspec_concurrent
     from golang_etl_spark.jobspec import JobSpec
     from golang_etl_spark.session import get_spark
 
@@ -37,7 +48,10 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     spark = get_spark(app_name="golang_etl_spark_cli", master=args.master)
     try:
-        counts = run_jobspec(spark, spec)
+        if args.concurrent > 0:
+            counts = run_jobspec_concurrent(spark, spec, args.concurrent)
+        else:
+            counts = run_jobspec(spark, spec)
     finally:
         spark.stop()
     print(json.dumps({"rows_written": counts}))

@@ -165,6 +165,33 @@ def run_jobspec(spark: SparkSession, spec: JobSpec) -> dict[str, int]:
     return {f"{j.db}.{j.table}": extract_table(spark, spec, j) for j in spec.jobs}
 
 
+def run_jobspec_concurrent(
+    spark: SparkSession, spec: JobSpec, max_workers: int = 4
+) -> dict[str, int]:
+    """All table jobs on a small driver thread pool — parity with the
+    Python variant's ``asyncio.gather`` over shards x tables
+    (/root/reference/python/py_extractor.py:96-105), where the Go main
+    loop is sequential (extractor.go:260-297).
+
+    Spark's scheduler interleaves actions submitted from multiple
+    driver threads across the same executors, so this helps exactly
+    when one job alone cannot saturate the cluster: many small tables,
+    a straggling final task, or source-side (JDBC) latency. The pool is
+    deliberately small — each action already fans out to every core,
+    so max_workers is an overlap dial, not a parallelism multiplier.
+    Any job failure propagates after all submitted jobs settle (no
+    silent partial success — unlike the reference's silent row drops,
+    extractor.go:88-91)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
+        futures = {
+            f"{j.db}.{j.table}": pool.submit(extract_table, spark, spec, j)
+            for j in spec.jobs
+        }
+        return {name: fut.result() for name, fut in futures.items()}
+
+
 # ---------------------------------------------------------------------------
 # Registered parity queries (driver-checked against DuckDB)
 # ---------------------------------------------------------------------------

@@ -180,6 +180,17 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     )
 
+    def round_half_up(x: float) -> float:
+        # builtin round() is banker's (half-to-even); the DuckDB
+        # oracle's ROUND is std::round(x*100)/100 — half away from
+        # zero on the binary double. floor(x*100 + 0.5)/100 replays
+        # that for these (always-positive) money totals; sums landing
+        # on an exactly-representable half at the 2nd decimal would
+        # hash-mismatch under the builtin.
+        import math
+
+        return math.floor(x * 100 + 0.5) / 100
+
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         if odf.empty:  # orphan lines (no header) — mirror the LEFT JOIN
             return pd.DataFrame(
@@ -192,8 +203,8 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             {
                 "o_orderkey": [int(key[0])],
                 "n_lines": [len(ldf)],
-                "header_total": [round(float(odf["o_totalprice"].iloc[0]), 2)],
-                "lines_total": [round(float(total), 2)],
+                "header_total": [round_half_up(float(odf["o_totalprice"].iloc[0]))],
+                "lines_total": [round_half_up(float(total))],
             }
         )
 

@@ -20,6 +20,9 @@ Scale notes (100 TB stance):
 
 from __future__ import annotations
 
+import math
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -377,10 +380,54 @@ def _ivf_topk(v: DataFrame, cent: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 KMEANS_K = 16
 KMEANS_ITERS = 8
-# At fixture scale every vector trains; at 100 TB the same hash-mod
-# keeps a deterministic ~1/mod sample (raise the mod with n) — unlike
-# df.sample(), membership survives re-partitioning and re-runs.
-KMEANS_SAMPLE_MOD = 1
+# Quantizer training collects a SAMPLE to the driver; the sample size
+# must be bounded by this target, never by corpus size — a mod-1
+# "sample" at 100 TB would pull the whole embedding table into driver
+# memory. The deterministic hash-mod keeps ~1/mod of the rows (unlike
+# df.sample(), membership survives re-partitioning and re-runs); the
+# mod is derived from a cheap count so the collected sample is always
+# ≤ ~TRAIN_SAMPLE_TARGET vectors regardless of n.
+TRAIN_SAMPLE_TARGET = 100_000
+
+
+def derive_sample_mod(n_rows: int, target: int = TRAIN_SAMPLE_TARGET) -> int:
+    """Smallest hash-mod whose ~n/mod sample fits the target: at
+    fixture scale (n ≤ target) every vector trains (mod 1); at 100 TB
+    the sample stays ≈ target no matter how large n grows."""
+    if target <= 0:
+        raise ValueError(f"sample target must be positive, got {target}")
+    return max(1, math.ceil(n_rows / target))
+
+
+def _resolve_sample_mod(
+    spark: SparkSession, sf_dir: str, sample_mod: int | None
+) -> int:
+    """An explicit mod wins; the default derives one from a count-only
+    scan (columnless parquet count — metadata-cheap even at scale)."""
+    if sample_mod is not None:
+        return sample_mod
+    n = load_table(spark, sf_dir, "embeddings").count()
+    return derive_sample_mod(n)
+
+
+def _fixture_fingerprint(sf_dir: str) -> str:
+    """Cheap identity of the embeddings fixture (size+mtime of its
+    file(s)) for the trained-quantizer cache keys: fixtures are
+    regenerated in place between driver rounds, so a path-only key
+    could serve codebooks trained on a previous corpus."""
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = []
+            for name in sorted(os.listdir(path)):
+                st = os.stat(os.path.join(path, name))
+                parts.append(f"{name}:{st.st_size}:{st.st_mtime_ns}")
+            return "|".join(parts)
+        st = os.stat(path)
+        return f"{st.st_size}:{st.st_mtime_ns}"
+    except OSError:
+        return "unstatable"
+
 
 # memoized trained centroids, same rationale as _PQ_BOOK_CACHE below
 _IVF_CENT_CACHE: dict[str, np.ndarray] = {}
@@ -391,19 +438,21 @@ def train_kmeans_centroids(
     sf_dir: str,
     k: int = KMEANS_K,
     iters: int = KMEANS_ITERS,
-    sample_mod: int = KMEANS_SAMPLE_MOD,
+    sample_mod: int | None = None,
 ) -> np.ndarray:
     """Spherical k-means on a deterministic hash sample of the corpus,
-    trained driver-side: the sample (bounded by sample_mod, NOT by
-    corpus size) collects once, Lloyd iterations run in numpy, and the
-    k x dim result broadcasts back as literals. This is the standard
-    IVF recipe — the quantizer trains on thousands of vectors even
-    when the index holds billions, so driver training is not a scale
-    bottleneck. Deterministic: hash-mod sample + first-k-by-vec_id
-    init + argmax/mean arithmetic, no RNG. Memoized per
-    (sf_dir, k, iters, sample_mod) — a real IVF index trains once at
-    build time, like the PQ codebooks."""
-    key = f"{sf_dir}|{k}|{iters}|{sample_mod}"
+    trained driver-side: the sample (bounded by TRAIN_SAMPLE_TARGET by
+    default — the derived mod, NOT corpus size, caps the collect)
+    collects once, Lloyd iterations run in numpy, and the k x dim
+    result broadcasts back as literals. This is the standard IVF
+    recipe — the quantizer trains on ~1e5 vectors even when the index
+    holds billions, so driver training is not a scale bottleneck.
+    Deterministic: hash-mod sample + first-k-by-vec_id init +
+    argmax/mean arithmetic, no RNG. Memoized per (fixture fingerprint,
+    k, iters, mod) — a real IVF index trains once at build time, like
+    the PQ codebooks."""
+    sample_mod = _resolve_sample_mod(spark, sf_dir, sample_mod)
+    key = f"{sf_dir}|{_fixture_fingerprint(sf_dir)}|{k}|{iters}|{sample_mod}"
     if key in _IVF_CENT_CACHE:
         return _IVF_CENT_CACHE[key]
     X = _collect_normalized_sample(spark, sf_dir, sample_mod)
@@ -428,7 +477,7 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     k-means centroids instead of similarity_ivf_topk's fixed corpus
     vectors. Trained cells track the data distribution, so recall at
     equal nprobe is higher (asserted vs brute force in
-    tests/test_vector_functions.py). Rows-only check by design:
+    tests/test_similarity_recall.py). Rows-only check by design:
     iterative k-means is not oracle-SQL-expressible; the fixed-ID IVF
     keeps the hash-checked variant."""
     cent_np = train_kmeans_centroids(spark, sf_dir)
@@ -620,22 +669,34 @@ def _collect_normalized_sample(
         sample = emb.filter(F.expr(f"pmod(hash(vec_id), {sample_mod}) = 0"))
     pdf = sample.select("vec_id", "embedding").orderBy("vec_id").toPandas()
     X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    # norm floor matches the query path's guard (score() below): an
+    # all-zero embedding must not poison training with NaN rows
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     return X
 
 
 def train_pq_codebooks(
-    spark: SparkSession, sf_dir: str, sample_mod: int = KMEANS_SAMPLE_MOD
+    spark: SparkSession, sf_dir: str, sample_mod: int | None = None
 ) -> np.ndarray:
     """(PQ_M, PQ_K, dim/PQ_M) codebooks via per-subspace k-means on
-    the same deterministic hash sample the IVF quantizer trains on.
-    Vectors are L2-normalized first so ADC inner products approximate
-    cosine."""
-    key = f"{sf_dir}|{sample_mod}"
+    the same deterministic hash sample the IVF quantizer trains on
+    (sample bounded by TRAIN_SAMPLE_TARGET by default, like the IVF
+    path). Vectors are L2-normalized first so ADC inner products
+    approximate cosine."""
+    sample_mod = _resolve_sample_mod(spark, sf_dir, sample_mod)
+    key = f"{sf_dir}|{_fixture_fingerprint(sf_dir)}|{sample_mod}"
     if key in _PQ_BOOK_CACHE:
         return _PQ_BOOK_CACHE[key]
     X = _collect_normalized_sample(spark, sf_dir, sample_mod)
     d = X.shape[1]
+    if d % PQ_M:
+        # the query path's Q.reshape(len(Q), PQ_M, sub) requires the
+        # same invariant — fail identically at train time instead of
+        # silently dropping the remainder dims here and raising there
+        raise ValueError(
+            f"embedding dim {d} is not divisible by PQ_M={PQ_M}; "
+            "pad or project the vectors, or choose a compatible PQ_M"
+        )
     sub = d // PQ_M
     # a sample smaller than PQ_K trains a smaller codebook (every
     # subspace shares one k so the ADC LUT stays rectangular) — the
@@ -783,5 +844,154 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "neighbor_id",
             F.col("rank").cast("long").alias("rank"),
             F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6b. PQ with FIXED codebooks — the oracle-checkable ADC variant.
+# ---------------------------------------------------------------------------
+# Same trick similarity_ivf_topk uses for centroids: the codewords are
+# sub-vectors of fixed corpus vectors (deterministic IDs), so encoding
+# (per-subspace argmin L2) and ADC scoring (per-query LUT sum over the
+# stored codes) are plain relational algebra that DuckDB replays
+# bit-for-bit. The TRAINED codebooks (similarity_pq_topk) stay as the
+# recall path; this variant proves the ADC arithmetic under the hash
+# gate. Small M*K here (4 x 16) keeps the oracle's cross join tiny —
+# the mechanics, not the recall, are under test.
+PQF_M = 4                       # subspaces of EMBED_DIM/PQF_M dims
+PQF_SUB = EMBED_DIM // PQF_M    # 16 dims per subspace
+PQF_CODE_IDS = tuple(range(100, 260, 10))  # 16 codewords per subspace
+
+_PQF_IDS_SQL = ", ".join(map(str, PQF_CODE_IDS))
+
+_PQ_FIXED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+nv AS (
+  SELECT vec_id, list_transform(e, x -> x / nrm) AS emb
+  FROM v WHERE nrm > 0
+),
+subs AS (
+  SELECT vec_id, m.m AS m,
+         list_slice(emb, m.m * {PQF_SUB} + 1, (m.m + 1) * {PQF_SUB}) AS s
+  FROM nv, (SELECT unnest(range(0, {PQF_M})) AS m) m
+),
+cw AS (
+  SELECT m, ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k,
+         s AS c
+  FROM subs WHERE vec_id IN ({_PQF_IDS_SQL})
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.s, s.s)
+                      - 2 * list_dot_product(s.s, c.c)
+                      + list_dot_product(c.c, c.c), c.k) AS rn
+    FROM subs s JOIN cw c ON c.m = s.m
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, s.m, c.k, list_dot_product(s.s, c.c) AS p
+  FROM subs s JOIN cw c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id, SUM(q.p) AS adc
+  FROM codes JOIN qlut q ON q.m = codes.m AND q.k = codes.k
+  WHERE codes.vec_id <> q.query_id
+  GROUP BY q.query_id, codes.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY adc DESC, neighbor_id) AS rank
+  FROM adc
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(adc, 6) AS adc_score
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_pq_fixed", oracle=_PQ_FIXED_ORACLE, tags=("ann", "llm"))
+def similarity_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ADC top-k with FIXED codebooks (sub-vectors of 16 corpus
+    vectors): L2-normalize, split each vector into PQF_M subspaces,
+    encode each subspace to its argmin-L2 codeword (code-id
+    tie-break), then rank neighbors per query by the summed ADC
+    lookup. Every step is deterministic relational algebra, so the
+    DuckDB oracle hash-checks the exact ADC pipeline the trained
+    variant (similarity_pq_topk) runs inside mapInPandas.
+
+    Scale shape: the codeword table (M x K rows) and the per-query LUT
+    (|queries| x M x K rows) broadcast; encoding is a map-side
+    struct-min aggregation carrying ONE row per (vector, subspace);
+    the ADC sum partial-aggregates before its (query, neighbor)
+    shuffle. Demonstration sizes — the trained PQ path with
+    per-partition top-C is the production formulation."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nv = (
+        emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS e")
+        .selectExpr("vec_id", "e", f"sqrt({_dot_spark('e', 'e')}) AS nrm")
+        .filter(F.col("nrm") > 0)
+        .selectExpr("vec_id", "transform(e, x -> x / nrm) AS emb")
+    )
+    subs = nv.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(PQF_M - 1))).alias("m"),
+        "emb",
+    ).selectExpr(
+        "vec_id", "m", f"slice(emb, m * {PQF_SUB} + 1, {PQF_SUB}) AS s"
+    ).persist()  # consumed by codes (all rows) and qlut (query rows)
+    wk = Window.partitionBy("m").orderBy("vec_id")
+    cw = (
+        subs.filter(F.col("vec_id").isin(*PQF_CODE_IDS))
+        .withColumn("k", F.row_number().over(wk) - 1)
+        .selectExpr("m", "k", "s AS c")
+    )
+    d2 = subs.join(F.broadcast(cw), "m").selectExpr(
+        "vec_id",
+        "m",
+        "k",
+        f"{_dot_spark('s', 's')} - 2 * {_dot_spark('s', 'c')}"
+        f" + {_dot_spark('c', 'c')} AS d2",
+    )
+    # argmin via struct min: (d2, k) picks smallest distance, lowest
+    # code on ties — identical to the oracle's ROW_NUMBER(ORDER BY d2,
+    # k) = 1; partial_min runs map-side over the bounded K-row groups,
+    # so the exchange carries one row per (vector, subspace).
+    codes = (
+        d2.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "k")).alias("best"))
+        .select("vec_id", "m", F.col("best.k").alias("k"))
+    )
+    qlut = (
+        subs.filter(F.col("vec_id") < N_QUERIES)
+        .join(F.broadcast(cw), "m")
+        .selectExpr("vec_id AS query_id", "m", "k", f"{_dot_spark('s', 'c')} AS p")
+    )
+    adc = (
+        codes.join(F.broadcast(qlut), ["m", "k"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("p").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("adc", 6).alias("adc_score"),
         )
     )

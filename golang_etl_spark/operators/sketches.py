@@ -43,13 +43,25 @@ def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate p50/p95/p99 of extended price per return flag
     (accuracy 10000 ≈ 0.01% rank error) via Spark's quantile sketch —
     mergeable, bounded-memory, unlike exact percentile which sorts the
-    whole partition. Accuracy asserted in tests/test_sketches.py."""
+    whole partition. Accuracy asserted in tests/test_sketches.py.
+
+    The three quantiles are projected as SCALAR columns (not one
+    array column): the driver's rows-only canonicalizer sorts rows via
+    pandas, which cannot hash/sort list cells — a flat row shape keeps
+    the result checkable."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    q = li.groupBy("l_returnflag").agg(
         F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "price_quantiles"
+            "q"
         ),
         F.count("*").alias("n_rows"),
+    )
+    return q.select(
+        "l_returnflag",
+        F.element_at("q", 1).alias("p50"),
+        F.element_at("q", 2).alias("p95"),
+        F.element_at("q", 3).alias("p99"),
+        "n_rows",
     )
 
 

@@ -191,3 +191,26 @@ class TestJobSpec:
         assert spec.fetch_concurrency == 20  # extractor.go:267
         assert spec.jobs[0].table == "big_table_1"
         assert spec.shards["jerry"] == "/data/jerry"
+
+
+def test_run_jobspec_concurrent_matches_sequential(spark, sf_dir, tmp_path):
+    """Thread-pooled job execution writes the same results as the
+    sequential loop (and surfaces failures instead of dropping jobs)."""
+    from golang_etl_spark.etl import run_jobspec, run_jobspec_concurrent
+    from golang_etl_spark.jobspec import JobSpec, TableJob
+
+    def spec(sub):
+        return JobSpec(
+            shards={"shard0": sf_dir},
+            source_format="parquet",
+            jobs=(
+                TableJob("region", str(tmp_path / sub / "region"),
+                         "r_regionkey", "shard0"),
+                TableJob("nation", str(tmp_path / sub / "nation"),
+                         "n_nationkey", "shard0"),
+            ),
+        )
+
+    seq = run_jobspec(spark, spec("seq"))
+    con = run_jobspec_concurrent(spark, spec("con"), max_workers=2)
+    assert con == seq == {"shard0.region": 5, "shard0.nation": 25}

@@ -43,7 +43,7 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             .collect()
         )
         n = len(vals)
-        for q, got in zip((0.5, 0.95, 0.99), r["price_quantiles"]):
+        for q, got in zip((0.5, 0.95, 0.99), (r["p50"], r["p95"], r["p99"])):
             # rank-error bound: the approx answer must be between the
             # values at rank (q ± 1%) of the sorted data
             lo = vals[max(0, int((q - 0.01) * n) - 1)]

@@ -82,3 +82,36 @@ def test_cosine_bounds_and_self_similarity(vec_df):
     for r in rows:
         assert math.isclose(r["self"], 1.0, rel_tol=1e-12)
         assert -1.0 - 1e-12 <= r["cross"] <= 1.0 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# Quantizer-training sample sizing: the driver-side collect must be
+# bounded by TRAIN_SAMPLE_TARGET, never by corpus size.
+# ---------------------------------------------------------------------------
+def test_derive_sample_mod_caps_sample_at_target():
+    from golang_etl_spark.operators.similarity import (
+        TRAIN_SAMPLE_TARGET,
+        derive_sample_mod,
+    )
+
+    assert derive_sample_mod(0) == 1
+    assert derive_sample_mod(500) == 1
+    assert derive_sample_mod(TRAIN_SAMPLE_TARGET) == 1
+    for n in (10**6, 10**9, 7 * 10**10 + 3):
+        mod = derive_sample_mod(n)
+        # expected sample size n/mod never exceeds the target
+        assert math.ceil(n / mod) <= TRAIN_SAMPLE_TARGET, (n, mod)
+
+
+def test_resolve_sample_mod_derives_from_corpus_count(monkeypatch):
+    """Mocked-count check: at a 3.2M-vector corpus the default path
+    must choose mod 32 (a ~100k sample), and an explicit mod wins."""
+    from golang_etl_spark.operators import similarity as sim
+
+    class FakeDF:
+        def count(self):
+            return 3_200_000
+
+    monkeypatch.setattr(sim, "load_table", lambda *a, **k: FakeDF())
+    assert sim._resolve_sample_mod(None, "/fake", None) == 32
+    assert sim._resolve_sample_mod(None, "/fake", 7) == 7
