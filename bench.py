@@ -75,6 +75,8 @@ HEADLINE = [
     "sql_custdist",
     "similarity_pq_fixed",
     "sketch_percentile_approx",
+    "text_pii_redact",
+    "etl_assign_sequential_ids",
 ]
 
 

@@ -338,3 +338,67 @@ def etl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_keys"),
         F.round(F.sum("o_totalprice"), 2).alias("total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parallel dense ID assignment (AUTO_INCREMENT without the bottleneck).
+# ---------------------------------------------------------------------------
+# The reference's seeder leans on MySQL AUTO_INCREMENT for its primary
+# key (/root/reference/tmp/data_seed.go:37-41) — a single-writer
+# counter. The distributed restatement assigns the same dense 1..n
+# sequence in parallel with the reference's own stride-chunk idea
+# (extractor.go:270): bucket the key space, rank within buckets, add
+# prefix-summed bucket offsets. A naive ROW_NUMBER() OVER (ORDER BY k)
+# funnels the whole table through ONE reducer; this shape shuffles the
+# big side once on the bucket key and keeps every stage parallel —
+# the only serial work is the prefix sum over the tiny per-bucket
+# count table.
+SEQ_ID_STRIDE = 256
+
+
+_SEQ_ID_ORACLE = """
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS seq_id
+FROM documents
+"""
+
+
+@register(
+    "etl_assign_sequential_ids",
+    oracle=_SEQ_ID_ORACLE,
+    tags=("etl-parity", "partitioning"),
+)
+def etl_assign_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense sequential IDs (1..n by doc_id order) assigned in
+    parallel: stride-bucket the key, row_number within each bucket,
+    then add each bucket's prefix-summed offset via a broadcast join.
+    Result is bit-identical to a global ROW_NUMBER, but no stage ever
+    sees more than one bucket's rows — the single-reducer global sort
+    a naive window would pay never happens.
+
+    Scale dial: SEQ_ID_STRIDE controls bucket width; at 100 TB pick it
+    so each bucket is a few hundred MB. The offset table carries one
+    row per bucket (its single-partition prefix-sum window is over
+    #buckets rows, not data rows)."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    chunked = docs.withColumn(
+        "chunk", F.floor(F.col("doc_id") / SEQ_ID_STRIDE)
+    )
+    counts = chunked.groupBy("chunk").agg(F.count("*").alias("n"))
+    w_off = Window.orderBy("chunk").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.withColumn(
+        "offset", F.coalesce(F.sum("n").over(w_off), F.lit(0))
+    ).select("chunk", "offset")
+    w_in = Window.partitionBy("chunk").orderBy("doc_id")
+    return (
+        chunked.withColumn("rn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "chunk")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("rn")).cast("long").alias("seq_id"),
+        )
+    )

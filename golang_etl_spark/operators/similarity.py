@@ -942,13 +942,18 @@ def similarity_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("nrm") > 0)
         .selectExpr("vec_id", "transform(e, x -> x / nrm) AS emb")
     )
+    # NOT persisted: of the three consumers, two (cw: 16 fixed ids;
+    # qlut: the query ids) are tiny filtered re-scans whose vec_id
+    # predicates push into the parquet scan — materializing the full
+    # frame would cost more than it saves and block that pushdown.
+    # Only the encoding join consumes all rows, exactly once.
     subs = nv.select(
         "vec_id",
         F.explode(F.sequence(F.lit(0), F.lit(PQF_M - 1))).alias("m"),
         "emb",
     ).selectExpr(
         "vec_id", "m", f"slice(emb, m * {PQF_SUB} + 1, {PQF_SUB}) AS s"
-    ).persist()  # consumed by codes (all rows) and qlut (query rows)
+    )
     wk = Window.partitionBy("m").orderBy("vec_id")
     cw = (
         subs.filter(F.col("vec_id").isin(*PQF_CODE_IDS))

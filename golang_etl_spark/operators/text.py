@@ -722,3 +722,130 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(length(norm_text) AS bigint) AS norm_len",
         "md5(norm_text) AS norm_hash",
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — the scrub stage every training-data pipeline runs.
+# ---------------------------------------------------------------------------
+# Regex scrubbers for emails / phone numbers / IPv4 addresses. The
+# fixture corpus is clean word soup, so the query first APPENDS
+# deterministic synthetic contact strings (keyed off doc_id, identical
+# expressions on both engines) and then redacts them — the hash gate
+# thereby proves detection counts AND that redaction leaves zero
+# residual matches. Patterns stay in the ASCII subset where Java
+# regex (Spark) and RE2 (DuckDB) agree.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\b555-[0-9]{4}\b"
+PII_IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+_PII_ORACLE = f"""
+WITH raw AS (
+  SELECT doc_id,
+         text
+         || CASE WHEN doc_id % 3 = 0
+                 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example'
+                 ELSE '' END
+         || CASE WHEN doc_id % 4 = 0
+                 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                      || '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+                 ELSE '' END AS raw
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, raw,
+         len(regexp_extract_all(raw, '{PII_EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(raw, '{PII_PHONE_RE}')) AS n_phones,
+         len(regexp_extract_all(raw, '{PII_IPV4_RE}')) AS n_ips,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(raw, '{PII_EMAIL_RE}', '[EMAIL]', 'g'),
+             '{PII_PHONE_RE}', '[PHONE]', 'g'),
+           '{PII_IPV4_RE}', '[IP]', 'g') AS clean
+  FROM raw
+)
+SELECT doc_id,
+       CAST(n_emails AS BIGINT) AS n_emails,
+       CAST(n_phones AS BIGINT) AS n_phones,
+       CAST(n_ips AS BIGINT) AS n_ips,
+       CAST(length(clean) AS BIGINT) AS redacted_len,
+       CAST(len(regexp_extract_all(clean, '{PII_EMAIL_RE}'))
+            + len(regexp_extract_all(clean, '{PII_PHONE_RE}'))
+            + len(regexp_extract_all(clean, '{PII_IPV4_RE}')) AS BIGINT)
+         AS residual_pii
+FROM counted
+"""
+
+
+@register("text_pii_redact", oracle=_PII_ORACLE, tags=("text", "llm"))
+def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detect-and-redact PII (emails, phone numbers, IPv4) over the
+    corpus: per-document match counts, the redacted length, and a
+    residual-match count the hash gate proves is zero. Synthetic
+    contact strings are appended deterministically first because the
+    fixture corpus contains none.
+
+    Scale shape: a narrow per-row projection of JVM regex expressions
+    — no shuffle, no Python; at 100 TB this runs at scan speed, which
+    is exactly what a corpus-wide scrub pass must do."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    did = F.col("doc_id")
+    raw = F.concat(
+        F.col("text"),
+        F.when(
+            did % 3 == 0,
+            F.concat(
+                F.lit(" contact user"),
+                did.cast("string"),
+                F.lit("@mail.example"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 4 == 0,
+            F.concat(
+                F.lit(" call 555-"),
+                F.lpad((did % 10000).cast("string"), 4, "0"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            did % 5 == 0,
+            F.concat(
+                F.lit(" from 10.0."),
+                (did % 256).cast("string"),
+                F.lit("."),
+                ((did * 7) % 256).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("raw"), PII_EMAIL_RE, "[EMAIL]"),
+            PII_PHONE_RE,
+            "[PHONE]",
+        ),
+        PII_IPV4_RE,
+        "[IP]",
+    )
+    counted = docs.withColumn("raw", raw).select(
+        "doc_id",
+        F.regexp_count("raw", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("raw", F.lit(PII_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count("raw", F.lit(PII_IPV4_RE)).cast("long").alias("n_ips"),
+        clean.alias("clean"),
+    )
+    return counted.select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_ips",
+        F.length("clean").cast("long").alias("redacted_len"),
+        (
+            F.regexp_count("clean", F.lit(PII_EMAIL_RE))
+            + F.regexp_count("clean", F.lit(PII_PHONE_RE))
+            + F.regexp_count("clean", F.lit(PII_IPV4_RE))
+        )
+        .cast("long")
+        .alias("residual_pii"),
+    )

@@ -291,3 +291,40 @@ def test_zscore_window_input_is_preaggregated(spark, sf_dir):
     plan = _plan(spark, sf_dir, "timeseries_anomaly_zscore")
     assert plan.count("Exchange") <= 2, plan
     assert "HashAggregate" in plan
+
+
+def test_pq_fixed_broadcasts_codewords_and_partial_encodes(spark, sf_dir):
+    # the codeword table (M x K rows) and the per-query LUT broadcast;
+    # encoding's argmin is a struct-min whose partial_min reduces the
+    # K rows per (vector, subspace) map-side — the exchange carries one
+    # row per (vector, subspace), not K. No cartesian anywhere.
+    plan = _plan(spark, sf_dir, "similarity_pq_fixed")
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "partial_min(struct" in plan, "map-side partial encoding lost"
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_redact_is_shuffle_free_scan(spark, sf_dir):
+    # PII scrubbing must run at scan speed: a narrow per-row regex
+    # projection with NO exchange anywhere in the plan
+    plan = _plan(spark, sf_dir, "text_pii_redact")
+    assert "Exchange" not in plan
+
+
+def test_sequential_ids_broadcast_offsets_no_global_sort(spark, sf_dir):
+    # the bucket-offset table must broadcast, and the only
+    # single-partition exchange may carry the tiny per-bucket counts —
+    # the big side must never funnel through one reducer (the failure
+    # mode of a naive global ROW_NUMBER)
+    plan = _plan(spark, sf_dir, "etl_assign_sequential_ids")
+    assert "BroadcastHashJoin" in plan
+    assert "partial_count" in plan, "per-bucket counts must map-side combine"
+    # the big side shuffles on the bucket key, never to one reducer
+    assert "Exchange hashpartitioning(chunk" in plan
+    # exactly one SinglePartition exchange, and it must feed the tiny
+    # per-bucket count window — its subtree aggregates before it (a
+    # global-sort formulation would single-partition the raw docs)
+    assert plan.count("Exchange SinglePartition") == 1
+    after = plan.split("Exchange SinglePartition")[1]
+    assert "HashAggregate(keys=[chunk" in after[:300]
+    assert "rangepartitioning(doc_id" not in plan
