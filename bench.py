@@ -77,6 +77,7 @@ HEADLINE = [
     "sketch_percentile_approx",
     "text_pii_redact",
     "etl_assign_sequential_ids",
+    "pipeline_training_export",
 ]
 
 

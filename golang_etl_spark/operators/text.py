@@ -849,3 +849,114 @@ def text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("residual_pii"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training export: the whole corpus-prep story as ONE job.
+# ---------------------------------------------------------------------------
+# Composes the stages a pretraining-data pipeline chains in production
+# order — quality gate -> exact dedup -> token accounting -> stable
+# train/val/test assignment -> per-(split, lang) budget report —
+# reusing the SAME constants/expressions as the individual operators
+# (pipeline_corpus_curation, text_token_count, sample_split_hash), so
+# this query is the integration proof that the stages compose.
+from golang_etl_spark.operators.sampling import (  # noqa: E402
+    _BUCKET_DUCK,
+    _BUCKET_SPARK,
+    _split_case,
+)
+
+_EXPORT_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, text, {_words_expr_duck()} AS w
+  FROM documents
+),
+quality AS (
+  SELECT doc_id, lang,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm,
+         len(regexp_extract_all(text, '{TOKEN_RE}', 0)) AS bpe_tokens,
+         CAST(len(w) AS BIGINT) AS n_words,
+         len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)}))) * 1.0
+           / len(w) AS stopword_ratio,
+         len(list_distinct(w)) * 1.0 / len(w) AS ttr
+  FROM toks WHERE len(w) > 0
+),
+kept AS (
+  SELECT * FROM quality
+  WHERE n_words >= {MIN_WORDS}
+    AND stopword_ratio >= {MIN_STOPWORD_RATIO}
+    AND ttr >= {MIN_TTR}
+),
+dedup AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(norm)
+                               ORDER BY doc_id) AS copy_rank
+  FROM kept
+)
+SELECT {_split_case(_BUCKET_DUCK)} AS split, lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(bpe_tokens) AS BIGINT) AS total_tokens,
+       ROUND(AVG(ttr), 4) AS avg_ttr
+FROM dedup WHERE copy_rank = 1
+GROUP BY split, lang
+"""
+
+
+@register(
+    "pipeline_training_export",
+    oracle=_EXPORT_ORACLE,
+    tags=("text", "llm", "dedup", "sampling"),
+)
+def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data prep pipeline in one Spark job: quality
+    gate (length / stopword ratio / type-token ratio) -> exact dedup
+    on normalized text (keep lowest doc_id) -> BPE-ish token counts ->
+    deterministic md5-bucket train/val/test split -> per-(split, lang)
+    doc/token budget. Same constants as the stage-level operators, so
+    this is the integration proof that they compose.
+
+    100 TB shape: two exchanges total — the dedup window on the
+    uniformly-distributed md5(norm) key, and the final partial-agg'd
+    groupBy on (split, lang). Every quality/token/split signal is a
+    narrow per-row JVM expression over the single corpus scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    spark_token_re = TOKEN_RE.replace("\\", "\\\\")
+    quality = docs.select(
+        "doc_id",
+        "lang",
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ").alias(
+            "norm"
+        ),
+        F.size(
+            F.expr(f"regexp_extract_all(text, '{spark_token_re}', 0)")
+        ).alias("bpe_tokens"),
+        w.alias("w"),
+    ).filter(F.size("w") > 0)
+    n_words = F.size("w").cast("long")
+    stop_hits = F.expr(f"size(filter(w, x -> x IN ({_sql_list(STOPWORDS)})))")
+    scored = quality.select(
+        "doc_id",
+        "lang",
+        "norm",
+        "bpe_tokens",
+        n_words.alias("n_words"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (F.size(F.array_distinct("w")) / n_words).alias("ttr"),
+    )
+    kept = scored.filter(
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("stopword_ratio") >= MIN_STOPWORD_RATIO)
+        & (F.col("ttr") >= MIN_TTR)
+    )
+    wdup = Window.partitionBy(F.md5("norm")).orderBy("doc_id")
+    first = kept.withColumn("copy_rank", F.row_number().over(wdup)).filter(
+        F.col("copy_rank") == 1
+    )
+    export = first.selectExpr(
+        f"{_split_case(_BUCKET_SPARK)} AS split", "lang", "bpe_tokens", "ttr"
+    )
+    return export.groupBy("split", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("bpe_tokens").alias("total_tokens"),
+        F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+    )

@@ -328,3 +328,48 @@ def test_sequential_ids_broadcast_offsets_no_global_sort(spark, sf_dir):
     after = plan.split("Exchange SinglePartition")[1]
     assert "HashAggregate(keys=[chunk" in after[:300]
     assert "rangepartitioning(doc_id" not in plan
+
+
+def test_runtime_bloom_filter_available_at_scale(spark, sf_dir):
+    # At fixture scale the dim side broadcasts, so Catalyst skips
+    # runtime-filter injection (broadcast joins don't need it). At
+    # 100 TB neither side broadcasts — this gate simulates that regime
+    # (broadcast off, application-side size floor zeroed) and asserts
+    # the session still lets Catalyst inject a bloom filter from the
+    # selective dim filter into the fact scan: the semi-join reduction
+    # that keeps shuffle volume proportional to matching rows.
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            "o_orderpriority = '1-URGENT'"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_training_export_two_exchanges_one_scan(spark, sf_dir):
+    # the composed pipeline (quality gate -> dedup -> tokens -> split
+    # -> budget report) must stay at ONE corpus scan and exactly TWO
+    # exchanges: the dedup window on md5(norm) and the final
+    # partial-agg'd (split, lang) groupBy
+    plan = _plan(spark, sf_dir, "pipeline_training_export")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Exchange") == 2
