@@ -50,3 +50,26 @@ def test_unwrapped_fn_identity_for_bench():
     # not leak into the raw registry entries
     spec = registry.all_queries()["filter_project"]
     assert spec.fn.__name__ == "filter_project"
+
+
+def test_no_query_emits_complex_typed_columns(spark, sf_dir):
+    """The driver canonicalizes results by sorting ALL columns through
+    pandas before hashing; array/map/struct cells are unhashable there
+    and crash even the rows-only check (this killed
+    sketch_percentile_approx in round 3). Every registered query must
+    therefore emit only atomic top-level columns. Plan-only — nothing
+    executes."""
+    from pyspark.sql import types as T
+
+    complex_types = (T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, spec in sorted(registry.all_queries().items()):
+        try:
+            schema = spec.fn(spark, sf_dir).schema
+        except Exception as e:  # env-gated queries may not build here
+            offenders.append((name, f"failed to build: {e!r:.120}"))
+            continue
+        for f in schema.fields:
+            if isinstance(f.dataType, complex_types):
+                offenders.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    assert not offenders, f"complex-typed result columns: {offenders}"
