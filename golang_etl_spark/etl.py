@@ -185,11 +185,15 @@ def run_jobspec_concurrent(
     from concurrent.futures import ThreadPoolExecutor
 
     with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
-        futures = {
-            f"{j.db}.{j.table}": pool.submit(extract_table, spark, spec, j)
+        # a LIST, not a dict: duplicate db.table keys (same table to two
+        # outputs) must still have every future's result() consumed so
+        # a shadowed job's failure propagates — the final dict then
+        # collapses last-wins, matching the sequential loop
+        futures = [
+            (f"{j.db}.{j.table}", pool.submit(extract_table, spark, spec, j))
             for j in spec.jobs
-        }
-        return {name: fut.result() for name, fut in futures.items()}
+        ]
+        return {name: fut.result() for name, fut in futures}
 
 
 # ---------------------------------------------------------------------------

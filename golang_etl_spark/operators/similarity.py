@@ -399,15 +399,29 @@ def derive_sample_mod(n_rows: int, target: int = TRAIN_SAMPLE_TARGET) -> int:
     return max(1, math.ceil(n_rows / target))
 
 
+# derived mods memoized per fixture fingerprint so repeated quantizer
+# calls (driver rounds, recall tests) don't re-pay the count() job —
+# the trained-centroid caches below would otherwise hit AFTER an
+# unconditional count
+_SAMPLE_MOD_CACHE: dict[str, int] = {}
+
+
 def _resolve_sample_mod(
     spark: SparkSession, sf_dir: str, sample_mod: int | None
 ) -> int:
     """An explicit mod wins; the default derives one from a count-only
-    scan (columnless parquet count — metadata-cheap even at scale)."""
+    scan (columnless parquet count — metadata-cheap even at scale),
+    memoized per fixture fingerprint."""
     if sample_mod is not None:
         return sample_mod
-    n = load_table(spark, sf_dir, "embeddings").count()
-    return derive_sample_mod(n)
+    key = f"{sf_dir}|{_fixture_fingerprint(sf_dir)}"
+    if key not in _SAMPLE_MOD_CACHE:
+        n = load_table(spark, sf_dir, "embeddings").count()
+        _SAMPLE_MOD_CACHE[key] = derive_sample_mod(n)
+    return _SAMPLE_MOD_CACHE[key]
+
+
+_FP_MISS_COUNTER = 0
 
 
 def _fixture_fingerprint(sf_dir: str) -> str:
@@ -426,7 +440,14 @@ def _fixture_fingerprint(sf_dir: str) -> str:
         st = os.stat(path)
         return f"{st.st_size}:{st.st_mtime_ns}"
     except OSError:
-        return "unstatable"
+        # unstatable layouts (object stores, nonstandard paths) must
+        # NOT collapse to a shared sentinel — that would quietly
+        # re-enable the stale-cache bug this fingerprint fixes. A
+        # unique value per call disables memoization (train each time:
+        # slower, never stale).
+        global _FP_MISS_COUNTER
+        _FP_MISS_COUNTER += 1
+        return f"unstatable-{_FP_MISS_COUNTER}"
 
 
 # memoized trained centroids, same rationale as _PQ_BOOK_CACHE below
@@ -750,7 +771,9 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toPandas()
     )
     Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
-    Q /= np.linalg.norm(Q, axis=1, keepdims=True)
+    # same zero-vector floor as score() and training: an all-zero
+    # query would otherwise NaN-poison its entire ADC LUT
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = qpdf["vec_id"].to_numpy()
     sub = Q.shape[1] // PQ_M
     # per-query ADC lookup tables: luts[q, m, k] = <q_sub_m, books[m,k]>

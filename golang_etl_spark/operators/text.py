@@ -42,6 +42,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 # non-space symbol — a crude byte-pair-encoding proxy that both
 # engines' regexp_extract_all implement identically.
 TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+# TOKEN_RE with backslashes doubled for Spark SQL string literals
+# (Spark processes escapes inside literals; DuckDB does not) — the one
+# shared spelling every token-counting query must use, so an edit to
+# TOKEN_RE can never desynchronize the Spark and oracle sides.
+TOKEN_RE_SPARK = TOKEN_RE.replace("\\", "\\\\")
 
 
 def _sql_list(words: tuple[str, ...]) -> str:
@@ -235,10 +240,8 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "source",
         F.size(F.expr(_words_expr_spark())).alias("ws_tokens"),
-        # Spark SQL string literals process backslash escapes; DuckDB's
-        # don't — double the backslash for the Spark side only.
         F.size(
-            F.expr(f"regexp_extract_all(text, '{TOKEN_RE.replace(chr(92), chr(92) * 2)}', 0)")
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)")
         ).alias("bpe_tokens"),
     )
     return d.groupBy("source").agg(
@@ -920,7 +923,6 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow per-row JVM expression over the single corpus scan."""
     docs = load_table(spark, sf_dir, "documents")
     w = F.expr(_words_expr_spark())
-    spark_token_re = TOKEN_RE.replace("\\", "\\\\")
     quality = docs.select(
         "doc_id",
         "lang",
@@ -928,7 +930,7 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             "norm"
         ),
         F.size(
-            F.expr(f"regexp_extract_all(text, '{spark_token_re}', 0)")
+            F.expr(f"regexp_extract_all(text, '{TOKEN_RE_SPARK}', 0)")
         ).alias("bpe_tokens"),
         w.alias("w"),
     ).filter(F.size("w") > 0)

@@ -57,19 +57,30 @@ def test_no_query_emits_complex_typed_columns(spark, sf_dir):
     pandas before hashing; array/map/struct cells are unhashable there
     and crash even the rows-only check (this killed
     sketch_percentile_approx in round 3). Every registered query must
-    therefore emit only atomic top-level columns. Plan-only — nothing
-    executes."""
+    therefore emit only atomic top-level columns.
+
+    Cost note: most queries only build a plan here, but streaming
+    queries run their AvailableNow micro-batch and the trained
+    quantizers run driver-side training to produce a schema — one
+    extra sweep's worth of work, accepted for the coverage. Queries
+    that fail to BUILD are ignored (other tests own that failure
+    mode); the cache is cleared afterwards so persisted subtrees
+    don't leak into later tests."""
     from pyspark.sql import types as T
 
     complex_types = (T.ArrayType, T.MapType, T.StructType)
     offenders = []
-    for name, spec in sorted(registry.all_queries().items()):
-        try:
-            schema = spec.fn(spark, sf_dir).schema
-        except Exception as e:  # env-gated queries may not build here
-            offenders.append((name, f"failed to build: {e!r:.120}"))
-            continue
-        for f in schema.fields:
-            if isinstance(f.dataType, complex_types):
-                offenders.append((name, f"{f.name}: {f.dataType.simpleString()}"))
+    try:
+        for name, spec in sorted(registry.all_queries().items()):
+            try:
+                schema = spec.fn(spark, sf_dir).schema
+            except Exception:  # env-gated / build failures owned elsewhere
+                continue
+            for f in schema.fields:
+                if isinstance(f.dataType, complex_types):
+                    offenders.append(
+                        (name, f"{f.name}: {f.dataType.simpleString()}")
+                    )
+    finally:
+        spark.catalog.clearCache()
     assert not offenders, f"complex-typed result columns: {offenders}"
