@@ -78,6 +78,7 @@ HEADLINE = [
     "text_pii_redact",
     "etl_assign_sequential_ids",
     "pipeline_training_export",
+    "sink_zorder_layout",
 ]
 
 

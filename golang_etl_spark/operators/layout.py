@@ -192,3 +192,96 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
         ).alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: multi-dimensional data skipping.
+# ---------------------------------------------------------------------------
+# Partitioning prunes on ONE column; bucketing co-locates ONE key.
+# When queries filter on TWO independent columns (order range AND part
+# range), the standard lever is space-filling-curve layout: scale both
+# keys to b bits, interleave the bits (Morton/Z code), range-partition
+# and sort the table by the code. Every output file then covers a
+# small rectangle in BOTH dimensions, so parquet min/max stats prune
+# files for predicates on either column — the layout Delta/Iceberg
+# call OPTIMIZE ZORDER BY, built here from plain Spark expressions.
+ZORDER_BITS = 8      # per-dimension resolution of the curve
+ZORDER_FILES = 16    # output files (= z-range partitions)
+
+
+def _zorder_code(px: str, py: str, bits: int = ZORDER_BITS) -> str:
+    """Bit-interleave expression: px gets odd bit positions, py even —
+    both inputs must already be integers in [0, 2^bits)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"shiftleft(shiftright({px}, {i}) & 1, {2 * i + 1})")
+        terms.append(f"shiftleft(shiftright({py}, {i}) & 1, {2 * i})")
+    return " | ".join(terms)
+
+
+def zorder_write(
+    spark: SparkSession,
+    sf_dir: str,
+    out: str,
+    files: int = ZORDER_FILES,
+) -> None:
+    """Write lineitem z-ordered on (l_orderkey, l_partkey). Bounds
+    discovery is the reference's own MIN/MAX planning step
+    (/root/reference/extractor.go:195-211) — four scalars; everything
+    else is a narrow JVM projection plus ONE range exchange on the
+    z code."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice"
+    )
+    b = li.agg(
+        F.min("l_orderkey"), F.max("l_orderkey"),
+        F.min("l_partkey"), F.max("l_partkey"),
+    ).first()
+    ok_mn, ok_mx, pk_mn, pk_mx = (int(x) for x in b)
+    top = (1 << ZORDER_BITS) - 1
+    px = (
+        f"cast(cast(l_orderkey - {ok_mn} as bigint) * {top}"
+        f" / {max(ok_mx - ok_mn, 1)} as bigint)"
+    )
+    py = (
+        f"cast(cast(l_partkey - {pk_mn} as bigint) * {top}"
+        f" / {max(pk_mx - pk_mn, 1)} as bigint)"
+    )
+    (
+        li.withColumn("px", F.expr(px))
+        .withColumn("py", F.expr(py))
+        .withColumn("z", F.expr(_zorder_code("px", "py")))
+        .repartitionByRange(files, "z")
+        .sortWithinPartitions("z")
+        .drop("px", "py", "z")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+_ZORDER_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+       ROUND(SUM(l_extendedprice), 2) AS total_price
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register("sink_zorder_layout", oracle=_ZORDER_ORACLE, tags=("sink", "layout"))
+def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order lineitem on (l_orderkey, l_partkey), read it back, and
+    aggregate — the oracle replays the aggregate over the original
+    fixture, proving the curve layout is lossless. The locality
+    property itself (every file covers a narrow range of BOTH keys,
+    vs a single-dim sort where the second key spans everything) is
+    asserted from per-file min/max in tests/test_sinks_e2e.py."""
+    out = _layout_dir("lineitem_zorder", sf_dir)
+    zorder_write(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+    )

@@ -168,3 +168,60 @@ def test_merge_schema_reads_evolved_directory(spark, sf_dir, tmp_path):
     assert merged.count() == 150
     # v1 rows surface NULL for the added column
     assert merged.filter(F.col("quality_score").isNull()).count() == 100
+
+
+def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
+    """The z-order property: every output file covers a NARROW range
+    of BOTH interleaved keys, where a single-dimension sort leaves the
+    second key spanning the whole domain per file. Parquet min/max
+    footer stats prune on exactly these per-file extents, so narrow
+    extents == multi-dimensional data skipping."""
+    from pyspark.sql import functions as F
+
+    from golang_etl_spark.operators.layout import ZORDER_FILES, zorder_write
+    from golang_etl_spark.sources.catalog import load_table
+
+    zdir = str(tmp_path / "z")
+    zorder_write(spark, sf_dir, zdir)
+
+    sdir = str(tmp_path / "s")  # the contrast: sort by l_orderkey only
+    (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_returnflag", "l_extendedprice")
+        .repartitionByRange(ZORDER_FILES, "l_orderkey")
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(sdir)
+    )
+
+    def mean_extents(path):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok_ext"),
+                (F.max("l_partkey") - F.min("l_partkey")).alias("pk_ext"),
+            )
+        )
+        dom = per_file.agg(F.avg("ok_ext"), F.avg("pk_ext")).first()
+        b = (
+            spark.read.parquet(path)
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")),
+                (F.max("l_partkey") - F.min("l_partkey")),
+            )
+            .first()
+        )
+        return dom[0] / max(b[0], 1), dom[1] / max(b[1], 1)
+
+    z_ok, z_pk = mean_extents(zdir)
+    s_ok, s_pk = mean_extents(sdir)
+    # z-order: both dims localized (16 files ≈ 2 prefix bits per dim →
+    # ideal extent 0.25; generous margin for range-boundary sampling)
+    assert z_ok < 0.6 and z_pk < 0.6, (z_ok, z_pk)
+    # single-dim sort: first key tightly localized, second key spans
+    # (almost) the whole domain in every file — no skipping possible
+    assert s_ok < 0.2, s_ok
+    assert s_pk > 0.8, s_pk
+    # and the curve's second-dim locality must beat the sort's by a lot
+    assert z_pk < s_pk / 2
