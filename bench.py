@@ -79,6 +79,7 @@ HEADLINE = [
     "etl_assign_sequential_ids",
     "pipeline_training_export",
     "sink_zorder_layout",
+    "sink_compact_small_files",
 ]
 
 

@@ -285,3 +285,71 @@ def sink_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("l_orderkey").alias("n_orders"),
         F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction: the operational inverse of fragmentation.
+# ---------------------------------------------------------------------------
+# Incremental ingestion (one file per micro-batch/chunk — exactly the
+# reference's per-chunk sink, python/py_extractor.py:61-65) fragments a
+# table into thousands of tiny files; at 100 TB the resulting footer/
+# task overhead dominates scans. Compaction rewrites to the reference's
+# own 100k-rows-per-file target (extractor.go:119) with coalesce — a
+# shuffle-FREE narrow repack (tasks read several input files each);
+# repartition() would rebalance perfectly but pays a full shuffle, the
+# standard cheap-vs-even trade.
+COMPACT_TARGET_ROWS = 100_000  # extractor.go:119 parity
+FRAGMENT_FILES = 64
+
+
+def compact_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    target_rows: int = COMPACT_TARGET_ROWS,
+) -> int:
+    """Rewrite ``src`` into ceil(n / target_rows) files at ``dst``.
+    Returns the target file count. One count() (footer-metadata cheap)
+    plans the repack; coalesce keeps it narrow."""
+    import math as _math
+
+    df = spark.read.parquet(src)
+    n_files = max(1, _math.ceil(df.count() / target_rows))
+    (
+        df.coalesce(n_files)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", str(target_rows))
+        .parquet(dst)
+    )
+    return n_files
+
+
+_COMPACT_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sink_compact_small_files", oracle=_COMPACT_ORACLE,
+          tags=("sink", "layout"))
+def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fragment events into FRAGMENT_FILES tiny files (simulating
+    per-chunk ingestion), compact to the 100k-rows-per-file target,
+    read back and aggregate — the oracle replays the aggregate over
+    the original fixture, proving compaction loses nothing. File
+    counts before/after are asserted in tests/test_sinks_e2e.py."""
+    frag = _layout_dir("events_fragmented", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(FRAGMENT_FILES).write.mode("overwrite").parquet(frag)
+    out = _layout_dir("events_compacted", sf_dir)
+    compact_parquet(spark, frag, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

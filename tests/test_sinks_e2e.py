@@ -225,3 +225,28 @@ def test_zorder_layout_localizes_both_dimensions(spark, sf_dir, tmp_path):
     assert s_pk > 0.8, s_pk
     # and the curve's second-dim locality must beat the sort's by a lot
     assert z_pk < s_pk / 2
+
+
+def test_compaction_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
+    """64 fragment files must compact to ceil(n/target) files with
+    identical contents (row count + id checksum)."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from golang_etl_spark.operators.layout import compact_parquet
+    from golang_etl_spark.sources.catalog import load_table
+
+    frag = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(64).write.mode("overwrite").parquet(frag)
+    assert len(glob.glob(f"{frag}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compact")
+    n_files = compact_parquet(spark, frag, out, target_rows=100_000)
+    got_files = glob.glob(f"{out}/part-*.parquet")
+    assert len(got_files) == n_files
+
+    src = ev.agg(F.count("*"), F.sum("event_id")).first()
+    dst = spark.read.parquet(out).agg(F.count("*"), F.sum("event_id")).first()
+    assert tuple(src) == tuple(dst)
