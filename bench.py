@@ -80,6 +80,7 @@ HEADLINE = [
     "pipeline_training_export",
     "sink_zorder_layout",
     "sink_compact_small_files",
+    "similarity_matryoshka_topk",
 ]
 
 

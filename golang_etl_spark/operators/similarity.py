@@ -1023,3 +1023,96 @@ def similarity_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("adc", 6).alias("adc_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Matryoshka (truncated-prefix) retrieval — the dimension-cut tier.
+# ---------------------------------------------------------------------------
+# Matryoshka-trained embeddings concentrate signal in their prefix, so
+# retrieval can run on the first MRL_DIM dims (4x less memory traffic
+# and compute per comparison than the full vector) and report how the
+# truncated ranking relates to full-precision similarity. Ranking uses
+# the truncated cosine; the full cosine rides along in the SAME scan
+# (both live on one row), so measuring the trade costs no extra join.
+MRL_DIM = 16
+
+_MRL_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         list_slice(embedding::DOUBLE[], 1, {MRL_DIM}) AS emb16
+  FROM embeddings
+),
+n AS (
+  SELECT vec_id, emb, emb16,
+         sqrt(list_dot_product(emb, emb)) AS nrm,
+         sqrt(list_dot_product(emb16, emb16)) AS nrm16
+  FROM v
+  WHERE list_dot_product(emb16, emb16) > 0
+),
+scored AS (
+  SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+         list_dot_product(q.emb16, x.emb16) / (q.nrm16 * x.nrm16) AS cos_mrl,
+         list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) AS cos_full
+  FROM n q JOIN n x ON x.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_mrl, cos_full,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos_mrl DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos_mrl, 6) AS cos_mrl, ROUND(cos_full, 6) AS cos_full
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_matryoshka_topk", oracle=_MRL_ORACLE, tags=("ann", "llm"))
+def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k retrieval on the MRL_DIM-dim embedding prefix: rank by
+    truncated cosine, report the full-precision cosine of every hit
+    alongside (computed in the same scan — no second join).
+
+    Scale shape: identical to brute force (broadcast queries, one scan
+    of the big side) but each comparison touches MRL_DIM/EMBED_DIM of
+    the floats — the memory-bandwidth dial of prefix-truncated
+    embeddings; compose with IVF/PQ downstream for the full funnel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr(
+        "vec_id",
+        f"{_EMB_DOUBLE_SPARK} AS emb",
+        f"slice({_EMB_DOUBLE_SPARK}, 1, {MRL_DIM}) AS emb16",
+    ).selectExpr(
+        "vec_id",
+        "emb",
+        "emb16",
+        f"sqrt({_dot_spark('emb', 'emb')}) AS nrm",
+        f"sqrt({_dot_spark('emb16', 'emb16')}) AS nrm16",
+    ).filter(F.expr(f"{_dot_spark('emb16', 'emb16')} > 0"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "emb AS q_emb", "emb16 AS q_emb16",
+        "nrm AS q_nrm", "nrm16 AS q_nrm16",
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        f"{_dot_spark('q_emb16', 'emb16')} / (q_nrm16 * nrm16) AS cos_mrl",
+        f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cos_full",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_mrl").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos_mrl", 6).alias("cos_mrl"),
+            F.round("cos_full", 6).alias("cos_full"),
+        )
+    )
