@@ -59,3 +59,26 @@ def test_pq_rerank_recall(spark, sf_dir):
     pq = q["similarity_pq_topk"].fn(spark, sf_dir).collect()
     r = _recall(pq, brute)
     assert r >= 0.8, f"PQ+rerank recall collapsed: {r}"
+
+
+def test_matryoshka_recall_and_consistency(spark, sf_dir):
+    # 16-of-64-dim prefix retrieval: recall vs full-dim brute force
+    # must beat chance by a wide margin (the fixture embeddings are
+    # random, the hardest case for prefix truncation — trained MRL
+    # embeddings would score far higher), and each hit's reported
+    # full-precision cosine must be internally consistent (in [-1, 1],
+    # rank ordered by the truncated score).
+    q = all_queries()
+    brute = q["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    mrl = q["similarity_matryoshka_topk"].fn(spark, sf_dir).collect()
+    r = _recall(mrl, brute)
+    assert r >= 0.2, f"matryoshka recall below chance-like floor: {r}"
+    by_q = defaultdict(list)
+    for row in mrl:
+        assert -1.000001 <= row["cos_full"] <= 1.000001
+        assert -1.000001 <= row["cos_mrl"] <= 1.000001
+        by_q[row["query_id"]].append(row)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda x: x["rank"])
+        scores = [x["cos_mrl"] for x in rows]
+        assert scores == sorted(scores, reverse=True), f"rank disorder {qid}"
