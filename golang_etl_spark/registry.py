@@ -57,33 +57,72 @@ def all_queries() -> dict[str, QuerySpec]:
     return dict(_REGISTRY)
 
 
-def _driver_checked_names() -> set[str]:
-    """Names with a CORRECTNESS_r*.json row from any past driver round.
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """Per query name: (latest round checked, latest row green?).
 
-    The driver samples a 50-query subset per round; surfacing
-    never-checked names first makes the rotation converge on full
-    coverage instead of re-checking the same prefix forever.
+    The driver samples a 50-query subset per round and records results
+    in CORRECTNESS_r{N}.json. Parsing the round number from the
+    filename lets the rotation prioritise (a) names never checked,
+    (b) names whose LATEST row is non-green (a fix landed but is
+    unproven until re-sampled), (c) the stalest green names — instead
+    of degrading to insertion order once every name has one row.
     """
     import json
+    import re
     from pathlib import Path
 
-    checked: set[str] = set()
+    history: dict[str, tuple[int, bool]] = {}
     root = Path(__file__).resolve().parent.parent
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
-            checked.update(json.loads(path.read_text()).keys())
+            rows = json.loads(path.read_text())
         except (OSError, ValueError):
             continue
-    return checked
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                green = False
+            elif row.get("err") == "no_oracle":
+                # Rows-only query: can never hash-green, so a completed
+                # run (spark_rows recorded) is as good as it gets —
+                # re-prioritising it would soak sample slots forever.
+                green = row.get("spark_rows") is not None
+            else:
+                green = bool(
+                    row.get("rows_match")
+                    and row.get("schema_match")
+                    and row.get("hash_match")
+                    and not row.get("err")
+                )
+            prev = history.get(name)
+            if prev is None or rnd >= prev[0]:
+                history[name] = (rnd, green)
+    return history
 
 
 def _ordered() -> dict[str, QuerySpec]:
-    """Registry ordered never-driver-checked first (stable within groups)."""
+    """Registry ordered for driver-sample priority (stable within ties):
+
+    1. never driver-checked (new queries need their first row),
+    2. latest row non-green (re-verify landed fixes),
+    3. everything else, oldest-checked round first.
+    """
     specs = all_queries()
-    checked = _driver_checked_names()
-    ordered = {n: s for n, s in specs.items() if n not in checked}
-    ordered.update({n: s for n, s in specs.items() if n in checked})
-    return ordered
+    history = _driver_history()
+    insertion = {n: i for i, n in enumerate(specs)}
+
+    def key(name: str) -> tuple[int, int, int]:
+        if name not in history:
+            return (0, 0, insertion[name])
+        rnd, green = history[name]
+        return (1 if not green else 2, rnd, insertion[name])
+
+    return {n: specs[n] for n in sorted(specs, key=key)}
 
 
 def _fresh_cache(fn: QueryFn) -> QueryFn:

@@ -6,19 +6,49 @@ session's memory."""
 from golang_etl_spark import registry
 
 
-def test_never_checked_names_order_first():
-    checked = registry._driver_checked_names()
-    assert checked, "CORRECTNESS_r*.json fixtures missing from repo root"
+def test_rotation_priority_order():
+    history = registry._driver_history()
+    assert history, "CORRECTNESS_r*.json fixtures missing from repo root"
     names = list(registry.queries())
-    # every never-checked name must come before every checked name
-    seen_checked = False
-    for n in names:
-        if n in checked:
-            seen_checked = True
-        else:
-            assert not seen_checked, (
-                f"never-checked {n!r} ordered after a checked name"
-            )
+
+    def group(n):
+        if n not in history:
+            return 0  # never checked: first
+        rnd, green = history[n]
+        return 1 if not green else 2
+
+    groups = [group(n) for n in names]
+    assert groups == sorted(groups), (
+        "rotation must order never-checked, then non-green-latest, "
+        "then green (stalest first)"
+    )
+    # within the green group, ordered oldest-checked-round first
+    green_rounds = [history[n][0] for n in names if group(n) == 2]
+    assert green_rounds == sorted(green_rounds)
+
+
+def test_crashed_row_reprioritized_over_green():
+    """sketch_percentile_approx crashed in r03 (canonicalizer) and has
+    not been re-sampled; it must sort before every green-latest name
+    so the driver's next 50-sample re-verifies the fix."""
+    history = registry._driver_history()
+    if "sketch_percentile_approx" not in history:
+        return
+    rnd, green = history["sketch_percentile_approx"]
+    if green:  # a clean driver row has landed since; nothing to assert
+        return
+    names = list(registry.queries())
+    pos = names.index("sketch_percentile_approx")
+    assert pos < 50, "non-green-latest query outside the driver's 50-sample"
+
+
+def test_successful_rows_only_not_reprioritized():
+    """no_oracle rows that completed (spark_rows recorded) can never
+    hash-green; re-prioritizing them would soak sample slots forever."""
+    history = registry._driver_history()
+    for name in ("similarity_ivf_kmeans", "similarity_pq_topk"):
+        if name in history:
+            assert history[name][1], f"{name} completed no_oracle row must count green"
 
 
 def test_ordering_preserves_full_registry():
