@@ -65,6 +65,38 @@ def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXACT_DISTINCT_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sketch_exact_distinct",
+    oracle=_EXACT_DISTINCT_ORACLE,
+    tags=("sketch", "aggregation"),
+)
+def sketch_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) twin of sketch_approx_distinct: the same
+    grouping and measure, hash-checkable against the DuckDB oracle.
+    Proves the aggregation pipeline (scan → partial agg → final agg)
+    under the hash gate so the HLL variant's rows-only status isolates
+    ONLY the sketch arithmetic; tests/test_sketches.py then bounds the
+    HLL estimate against this exact answer per group.
+
+    Scale note: exact distinct shuffles every distinct key — at 100 TB
+    the HLL twin is the production path; this is the verification
+    pairing."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas: per-group pandas transform with exact (integer) output.
 # ---------------------------------------------------------------------------

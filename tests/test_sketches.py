@@ -8,22 +8,22 @@ from pyspark.sql import functions as F
 
 from golang_etl_spark.operators.sketches import (
     sketch_approx_distinct,
+    sketch_exact_distinct,
     sketch_percentile_approx,
 )
 from golang_etl_spark.sources.catalog import load_table
 
 
 def test_approx_distinct_within_rsd(spark, sf_dir):
+    """The HLL estimate must sit within its advertised rsd of the
+    oracle-checked exact twin (sketch_exact_distinct) per group."""
     approx = {
         r["l_returnflag"]: r["approx_orders"]
         for r in sketch_approx_distinct(spark, sf_dir).collect()
     }
     exact = {
-        r["l_returnflag"]: r["exact"]
-        for r in load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(F.countDistinct("l_orderkey").alias("exact"))
-        .collect()
+        r["l_returnflag"]: r["exact_orders"]
+        for r in sketch_exact_distinct(spark, sf_dir).collect()
     }
     assert approx.keys() == exact.keys()
     for flag, e in exact.items():
