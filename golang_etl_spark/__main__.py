@@ -25,9 +25,19 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--master", default=None, help="Spark master override (default: env)"
     )
+    def _thread_count(s: str) -> int:
+        # reject 0/negative explicitly — a silent fall-back to
+        # sequential would mask a typo like '--concurrent -2'
+        n = int(s)
+        if n < 1:
+            raise argparse.ArgumentTypeError(
+                f"--concurrent needs N >= 1, got {n}"
+            )
+        return n
+
     p.add_argument(
         "--concurrent",
-        type=int,
+        type=_thread_count,
         nargs="?",
         const=4,
         default=0,

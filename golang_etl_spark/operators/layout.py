@@ -308,20 +308,34 @@ def compact_parquet(
     dst: str,
     target_rows: int = COMPACT_TARGET_ROWS,
 ) -> int:
-    """Rewrite ``src`` into ceil(n / target_rows) files at ``dst``.
-    Returns the target file count. One count() (footer-metadata cheap)
-    plans the repack; coalesce keeps it narrow."""
+    """Rewrite ``src`` toward ceil(n / target_rows) files at ``dst``.
+    Returns the OBSERVED output file count. One count()
+    (footer-metadata cheap) plans the repack; coalesce keeps it
+    narrow (shuffle-free).
+
+    coalesce merges input partitions unevenly, so a coalesced
+    partition can exceed target_rows and get split by
+    maxRecordsPerFile — the actual file count may exceed the planned
+    ceil(n/target). That is the accepted cost of skipping the shuffle
+    (repartition(n_files) would balance exactly but pays a full
+    exchange); the invariant compaction guarantees is rows-per-file
+    <= target_rows, never an exact count."""
     import math as _math
 
     df = spark.read.parquet(src)
-    n_files = max(1, _math.ceil(df.count() / target_rows))
+    planned = max(1, _math.ceil(df.count() / target_rows))
     (
-        df.coalesce(n_files)
+        df.coalesce(planned)
         .write.mode("overwrite")
         .option("maxRecordsPerFile", str(target_rows))
         .parquet(dst)
     )
-    return n_files
+    return (
+        spark.read.parquet(dst)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
 
 
 _COMPACT_ORACLE = """

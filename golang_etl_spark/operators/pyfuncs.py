@@ -183,13 +183,15 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     def round_half_up(x: float) -> float:
         # builtin round() is banker's (half-to-even); the DuckDB
         # oracle's ROUND is std::round(x*100)/100 — half away from
-        # zero on the binary double. floor(x*100 + 0.5)/100 replays
-        # that for these (always-positive) money totals; sums landing
-        # on an exactly-representable half at the 2nd decimal would
-        # hash-mismatch under the builtin.
+        # zero on the binary double. Comparing the fractional part of
+        # v=x*100 against 0.5 replays that exactly; the naive
+        # floor(v + 0.5) diverges when v + 0.5 rounds UP to the next
+        # representable double (v = 0.49999999999999994 et al.).
         import math
 
-        return math.floor(x * 100 + 0.5) / 100
+        v = x * 100
+        f = math.floor(v)
+        return (f + (1 if v - f >= 0.5 else 0)) / 100
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
         if odf.empty:  # orphan lines (no header) — mirror the LEFT JOIN

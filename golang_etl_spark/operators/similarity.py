@@ -444,9 +444,25 @@ def _fixture_fingerprint(sf_dir: str) -> str:
         # NOT collapse to a shared sentinel — that would quietly
         # re-enable the stale-cache bug this fingerprint fixes. A
         # unique value per call disables memoization (train each time:
-        # slower, never stale).
+        # slower, never stale) — warn once so the per-call retraining
+        # cost cliff is visible, not silent.
+        token = os.environ.get("GOLANG_ETL_SPARK_CORPUS_VERSION")
+        if token:  # caller-supplied version restores memoization
+            return f"envtoken-{token}"
         global _FP_MISS_COUNTER
         _FP_MISS_COUNTER += 1
+        if _FP_MISS_COUNTER == 1:
+            import warnings
+
+            warnings.warn(
+                f"embeddings fixture at {path!r} is not statable; "
+                "quantizer-training memoization is disabled and every "
+                "query invocation will retrain (full corpus count + "
+                "driver-side k-means). On object-store layouts set "
+                "GOLANG_ETL_SPARK_CORPUS_VERSION to an explicit "
+                "corpus-version token to restore caching.",
+                stacklevel=2,
+            )
         return f"unstatable-{_FP_MISS_COUNTER}"
 
 

@@ -245,8 +245,41 @@ def test_compaction_reduces_file_count_losslessly(spark, sf_dir, tmp_path):
     out = str(tmp_path / "compact")
     n_files = compact_parquet(spark, frag, out, target_rows=100_000)
     got_files = glob.glob(f"{out}/part-*.parquet")
-    assert len(got_files) == n_files
+    assert len(got_files) == n_files  # returns the OBSERVED count
 
     src = ev.agg(F.count("*"), F.sum("event_id")).first()
     dst = spark.read.parquet(out).agg(F.count("*"), F.sum("event_id")).first()
     assert tuple(src) == tuple(dst)
+
+
+def test_compaction_multifile_respects_target(spark, sf_dir, tmp_path):
+    """Multi-file path (target_rows < n): the invariant is rows-per-file
+    <= target — coalesce merges unevenly so the exact count may exceed
+    the plan, which the returned observed count must reflect."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from golang_etl_spark.operators.layout import compact_parquet
+    from golang_etl_spark.sources.catalog import load_table
+
+    frag = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    target = max(1, n // 7)  # forces >= 7 output files at any fixture SF
+    ev.repartition(16).write.mode("overwrite").parquet(frag)
+
+    out = str(tmp_path / "compact")
+    n_files = compact_parquet(spark, frag, out, target_rows=target)
+    got_files = glob.glob(f"{out}/part-*.parquet")
+    assert len(got_files) == n_files
+    assert n_files >= 7
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .count()
+        .collect()
+    )
+    assert all(r["count"] <= target for r in per_file)
+    assert sum(r["count"] for r in per_file) == n
