@@ -45,6 +45,11 @@ from golang_etl_spark.registry import register
 
 MAX_CC_ITERS = 20
 
+# Rounds the most recent _cc_label_propagation call took to converge —
+# observability for the O(log diameter) claim (tests/test_scaleup_smoke
+# asserts round growth is logarithmic in chain depth, not linear).
+LAST_CC_ROUNDS: int | None = None
+
 # Below this many (directed) edges the whole graph is union-found in a
 # single task instead of the iterative distributed loop: 5M edges is
 # ~80 MB of id pairs — one core chews through that in seconds with a
@@ -255,6 +260,8 @@ def _cc_label_propagation(edges: DataFrame) -> DataFrame:
         labels = stepped.select("doc_id", "label")
         if obs.get["changed"] == 0:
             converged = True
+            global LAST_CC_ROUNDS
+            LAST_CC_ROUNDS = i + 1
             break
     if not converged:
         # with jumping, rounds needed ~= log_{JUMPS+1}(diameter) + 1;

@@ -1,14 +1,19 @@
-"""Scale-up smoke: the fuzzy-dedup candidate generators on a corpus
-5x the bench fixture (25k docs, built by unioning sf0.1 documents with
-shifted doc_ids). The plan gates prove the SHAPE survives scale; this
-proves the runtime does — candidate volume and wall time must grow
-roughly linearly with corpus size, never quadratically (the failure
-mode every banded-LSH design exists to avoid).
+"""Scale-up smoke: the fuzzy-dedup candidate generators and the
+duplicate-cluster closure on a corpus 10x the bench fixture (50k docs,
+built by unioning sf0.1 documents with shifted doc_ids). The plan
+gates prove the SHAPE survives scale; this proves the runtime does —
+candidate volume and wall time must grow roughly linearly with corpus
+size, never quadratically (the failure mode every banded-LSH design
+exists to avoid).
 
 Each id-shifted copy duplicates the original corpus text exactly, so
 cross-copy near-dup candidates are expected and plentiful — the point
 is that candidates come from band buckets, not from an n^2 pair space:
-at 5x docs an n^2 operator would do 25x the work.
+at 10x docs an n^2 operator would do 100x the work.
+
+Separately, the distributed connected-components loop's pointer
+jumping claims O(log diameter) rounds; a synthetic deep chain at two
+depths checks the round count actually grows logarithmically.
 """
 
 import os
@@ -18,7 +23,7 @@ import pyarrow.parquet as pq
 import pytest
 
 
-REPLICAS = 5
+REPLICAS = 10
 SF_BIG = "/root/testdata/sf0.1"
 
 
@@ -55,8 +60,8 @@ def test_minhash_scales_subquadratically(spark, scaled_dir):
     big = dedup_minhash_lsh(spark, scaled_dir).count()
     t_big = time.perf_counter() - t0
 
-    # every original pair appears once per copy (5x) plus the exact
-    # cross-copy duplicates; an n^2 operator would be ~25x the work.
+    # every original pair appears once per copy (10x) plus the exact
+    # cross-copy duplicates; an n^2 operator would be ~100x the work.
     # Bound generously for host jitter: time must stay well under the
     # quadratic ratio.
     assert big >= base * REPLICAS, f"candidates lost at scale: {base} -> {big}"
@@ -73,3 +78,72 @@ def test_simhash_pairs_scale(spark, scaled_dir):
     spark.catalog.clearCache()
     big = simhash_pairs(spark, scaled_dir).count()
     assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
+
+
+def test_cluster_cc_scales_subquadratically(spark, scaled_dir):
+    """Cluster closure end-to-end (pair generation + components) at
+    10x: labeled vertices grow ~linearly (every copy contributes its
+    own clusters plus cross-copy merges) and wall time stays far below
+    the quadratic ratio."""
+    from golang_etl_spark.operators.clustering import dedup_cluster_cc
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    base = dedup_cluster_cc(spark, SF_BIG).count()
+    t_base = time.perf_counter() - t0
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big = dedup_cluster_cc(spark, scaled_dir).count()
+    t_big = time.perf_counter() - t0
+
+    assert big >= base * REPLICAS, f"labeled docs lost at scale: {base} -> {big}"
+    assert t_big < t_base * REPLICAS * 3, (
+        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    )
+
+
+def _chain_pairs(spark, depth):
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(depth)
+        .select(
+            F.col("id").alias("doc_id_a"), (F.col("id") + 1).alias("doc_id_b")
+        )
+    )
+
+
+@pytest.mark.parametrize("shallow,deep", [(40, 400)])
+def test_cc_pointer_jumping_rounds_logarithmic(spark, shallow, deep):
+    """A depth-d chain is the worst-case diameter for min-label
+    propagation: plain propagation needs d rounds; pointer jumping
+    (CC_JUMPS_PER_ROUND=2) promises ~log_3(d). Force the distributed
+    path (local_threshold=0) on chains 10x apart in depth and assert
+    the round count tracks the log, not the depth."""
+    import math
+
+    from golang_etl_spark.operators import clustering
+    from golang_etl_spark.operators.clustering import connected_components
+
+    rounds = {}
+    for depth in (shallow, deep):
+        labels = connected_components(
+            _chain_pairs(spark, depth), local_threshold=0
+        )
+        got = labels.agg({"label": "max"}).first()[0]
+        assert got == 0, f"chain of depth {depth} did not collapse to label 0"
+        assert clustering.LAST_CC_ROUNDS is not None
+        rounds[depth] = clustering.LAST_CC_ROUNDS
+
+    # log_3(400) ~ 5.5; allow slack for the +1 convergence-check round
+    # and label-reach constants, but stay an order of magnitude under
+    # the linear (depth) round count.
+    expected = math.log(deep, clustering.CC_JUMPS_PER_ROUND + 1)
+    assert rounds[deep] <= expected + 3, (
+        f"pointer jumping degraded: depth {deep} took {rounds[deep]} rounds"
+    )
+    # 10x the depth must cost only ~constant extra rounds (log growth)
+    assert rounds[deep] - rounds[shallow] <= 4, (
+        f"round growth not logarithmic: {rounds}"
+    )
