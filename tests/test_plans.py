@@ -365,6 +365,53 @@ def test_runtime_bloom_filter_available_at_scale(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_aqe_splits_skewed_join_partition(spark):
+    """The session enables spark.sql.adaptive.skewJoin (session.py) but
+    nothing proved AQE actually SPLITS a skewed partition at runtime —
+    the difference between configured and working skew handling. A 90%
+    hot-key join (thresholds lowered to fixture scale — production
+    defaults are 256MB) must show SortMergeJoin(skew=true) and a
+    'skewed' AQEShuffleRead in the FINAL adaptive plan.
+
+    Note: the plan must be executed through the SAME QueryExecution
+    being inspected (collect, not a write — writes clone the plan and
+    leave this one isFinalPlan=false)."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(100_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("pad"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        assert len(j.collect()) == 100_000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "skewed" in plan.lower()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_training_export_two_exchanges_one_scan(spark, sf_dir):
     # the composed pipeline (quality gate -> dedup -> tokens -> split
     # -> budget report) must stay at ONE corpus scan and exactly TWO
