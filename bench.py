@@ -81,6 +81,39 @@ HEADLINE = [
     "sink_zorder_layout",
     "sink_compact_small_files",
     "similarity_matryoshka_topk",
+    # round 5: every registry tag family gets >= 1 headline entry so a
+    # plan regression in ANY family surfaces as a number, not just the
+    # families that happened to have headliners (VERDICT r04 item 4).
+    "filter_project",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_math_funcs",
+    "scalar_conditional",
+    "scalar_try_funcs",
+    "sort_limit_topn",
+    "profile_orders",
+    "udtf_word_positions",
+    "cogroup_order_reconciliation",
+    "join_semi",
+    "join_anti",
+    "join_cross",
+    "agg_distinct",
+    "agg_stats",
+    "agg_rollup",
+    "agg_grouping_sets",
+    "pivot_status_by_priority",
+    "unpivot_stack",
+    "subquery_scalar",
+    "setop_union_all",
+    "window_rank_dense_rank",
+    "window_lag_lead",
+    "window_distribution",
+    "window_range_frame",
+    "etl_seed_generator",
+    "etl_shard_union",
+    "streaming_session_window",
+    "streaming_stream_stream_join",
+    "sketch_exact_distinct",
 ]
 
 
