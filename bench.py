@@ -114,6 +114,7 @@ HEADLINE = [
     "streaming_session_window",
     "streaming_stream_stream_join",
     "sketch_exact_distinct",
+    "similarity_funnel_mrl_pq",
 ]
 
 

@@ -1132,3 +1132,156 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos_full", 6).alias("cos_full"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. The composed retrieval funnel: MRL prefix -> PQ ADC -> exact rerank.
+# ---------------------------------------------------------------------------
+# The production ANN story the three tiers above exist for, as ONE
+# pipeline: a cheap prefix screen touches MRL_DIM/EMBED_DIM of the
+# floats per corpus vector, PQ ADC refines only the screen's survivors
+# (table lookups on 8-byte codes), and exact full-precision cosine
+# reranks only the ADC survivors. Each tier multiplies selectivity;
+# the expensive arithmetic runs on a vanishing fraction of the corpus.
+FUNNEL_C1 = 60  # prefix-screen survivors per partition per query
+FUNNEL_C2 = 25  # ADC survivors per query fed to the exact rerank
+
+
+@register("similarity_funnel_mrl_pq", oracle=None, tags=("ann", "llm"))
+def similarity_funnel_mrl_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-tier retrieval funnel in one corpus scan:
+
+    1. **MRL prefix screen** — cosine on the first MRL_DIM dims
+       (numpy matmul per Arrow batch; 1/4 the memory traffic of the
+       full vector), keep the top FUNNEL_C1 per query per partition.
+    2. **PQ ADC refine** — encode ONLY the screen's survivors with the
+       trained codebooks and score via the query LUTs (in production
+       the codes are precomputed at index-build; encoding-on-survivors
+       keeps the demo one-pass), emit the top FUNNEL_C2 per partition.
+    3. **Exact rerank** — global top-FUNNEL_C2 by ADC (one exchange of
+       |queries| x C2 x |partitions| candidate rows — never vectors),
+       broadcast-join the candidate ids back to the vector table, exact
+       full-dim cosine, top-K.
+
+    Rows-only check (trained k-means is engine-divergent); recall
+    floor vs brute force + tier-monotonicity asserted in
+    tests/test_similarity_recall.py. Scale shape: codebooks/LUTs/query
+    prefixes broadcast (KBs); the corpus is scanned once, never
+    shuffled; all exchanges carry candidate IDs."""
+    books = train_pq_codebooks(spark, sf_dir)  # (M, K, sub)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
+    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+    qids = qpdf["vec_id"].to_numpy()
+    sub = Q.shape[1] // PQ_M
+    luts = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+    # query prefixes, L2-normalized in MRL space (the screen ranks by
+    # prefix cosine, exactly like similarity_matryoshka_topk)
+    Qp = Q[:, :MRL_DIM].copy()
+    Qp /= np.maximum(np.linalg.norm(Qp, axis=1, keepdims=True), 1e-12)
+    sc = spark.sparkContext
+    b_books, b_luts, b_qids, b_qp = (
+        sc.broadcast(books),
+        sc.broadcast(luts),
+        sc.broadcast(qids),
+        sc.broadcast(Qp),
+    )
+    c1, c2 = FUNNEL_C1, FUNNEL_C2
+
+    def screen_and_refine(batches):
+        import pandas as pd
+
+        bk, lt, qi, qp = (
+            b_books.value, b_luts.value, b_qids.value, b_qp.value,
+        )
+        for pdf in batches:
+            ids = pdf["vec_id"].to_numpy()
+            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
+            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+            # tier 1: prefix cosine, top-c1 per query in this batch
+            Xp = X[:, :MRL_DIM].copy()
+            Xp /= np.maximum(
+                np.linalg.norm(Xp, axis=1, keepdims=True), 1e-12
+            )
+            pre = qp @ Xp.T  # (queries, batch)
+            out = []
+            for q in range(len(qi)):
+                mask = ids != qi[q]
+                cand_idx = np.flatnonzero(mask)
+                if not len(cand_idx):
+                    continue
+                keep1 = cand_idx[
+                    np.argsort(-pre[q, cand_idx])[:c1]
+                ]
+                # tier 2: encode ONLY survivors, ADC-score via LUT
+                Xs = X[keep1].reshape(len(keep1), PQ_M, sub)
+                codes = np.empty((len(keep1), PQ_M), dtype=np.int64)
+                for m in range(PQ_M):
+                    Xm = Xs[:, m, :]
+                    d2 = (
+                        (Xm**2).sum(axis=1, keepdims=True)
+                        - 2.0 * (Xm @ bk[m].T)
+                        + (bk[m] ** 2).sum(axis=1)[None, :]
+                    )
+                    codes[:, m] = np.argmin(d2, axis=1)
+                s = lt[q][np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                keep2 = np.argsort(-s)[:c2]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qi[q],
+                            "neighbor_id": ids[keep1][keep2],
+                            "adc_score": s[keep2],
+                        }
+                    )
+                )
+            yield pd.concat(out) if out else pd.DataFrame(
+                {"query_id": [], "neighbor_id": [], "adc_score": []}
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(
+        screen_and_refine, "query_id LONG, neighbor_id LONG, adc_score DOUBLE"
+    )
+    w_adc = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("neighbor_id")
+    )
+    cands = (
+        partial.withColumn("adc_rank", F.row_number().over(w_adc))
+        .filter(F.col("adc_rank") <= c2)
+        .select("query_id", "neighbor_id")
+    )
+    # tier 3: exact rerank of the tiny candidate set, all JVM-side
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    qv = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm"
+    )
+    scored = (
+        v.join(F.broadcast(cands), v["vec_id"] == cands["neighbor_id"])
+        .join(F.broadcast(qv), "query_id")
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cosine",
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

@@ -96,3 +96,43 @@ def test_matryoshka_recall_and_consistency(spark, sf_dir):
         rows.sort(key=lambda x: x["rank"])
         scores = [x["cos_mrl"] for x in rows]
         assert scores == sorted(scores, reverse=True), f"rank disorder {qid}"
+
+
+def test_funnel_recall_and_consistency(spark, sf_dir):
+    """The composed MRL->PQ->exact funnel: recall@10 vs brute force
+    must clearly beat chance AND beat the bare matryoshka tier (the
+    funnel widens the prefix screen to FUNNEL_C1 candidates before
+    reranking at full precision, so trimming to top-10 via EXACT cosine
+    should recover neighbors the 10-deep truncated ranking loses).
+    Fixture embeddings are random — the hardest case for every
+    approximate tier."""
+    q = all_queries()
+    brute = q["similarity_topk_bruteforce"].fn(spark, sf_dir).collect()
+    funnel = q["similarity_funnel_mrl_pq"].fn(spark, sf_dir).collect()
+    mrl = q["similarity_matryoshka_topk"].fn(spark, sf_dir).collect()
+
+    r_funnel, r_mrl = _recall(funnel, brute), _recall(mrl, brute)
+    from golang_etl_spark.sources.catalog import load_table
+
+    n_corpus = load_table(spark, sf_dir, "embeddings").count()
+    k = max(len({row["rank"] for row in funnel}), 1)
+    chance = k / max(n_corpus, 1)
+    assert r_funnel >= max(5 * chance, 0.1), (
+        f"funnel recall {r_funnel} not clearly above chance {chance}"
+    )
+    # widening-then-exact-rerank must not LOSE recall vs the bare
+    # truncated top-10 (small slack: the PQ tier is lossy too)
+    assert r_funnel >= r_mrl - 0.1, (
+        f"funnel {r_funnel} fell below bare matryoshka {r_mrl}"
+    )
+
+    by_q = defaultdict(list)
+    for row in funnel:
+        assert -1.000001 <= row["cosine"] <= 1.000001
+        assert row["neighbor_id"] != row["query_id"], "self-match leaked"
+        by_q[row["query_id"]].append(row)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda x: x["rank"])
+        assert [x["rank"] for x in rows] == list(range(1, len(rows) + 1))
+        scores = [x["cosine"] for x in rows]
+        assert scores == sorted(scores, reverse=True), f"rank disorder {qid}"
