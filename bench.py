@@ -115,6 +115,9 @@ HEADLINE = [
     "streaming_stream_stream_join",
     "sketch_exact_distinct",
     "similarity_funnel_mrl_pq",
+    "window_global_rank",
+    "text_quality_bins",
+    "sink_range_sorted",
 ]
 
 

@@ -367,3 +367,61 @@ def sink_compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-sorted export: total-order layout on ONE column.
+# ---------------------------------------------------------------------------
+# The single-dimension sibling of the z-order sink: range-partition +
+# sort-within-partitions on a sort key gives every output file a
+# DISJOINT key range in global order — parquet min/max stats then
+# prune files for any range predicate on the key, and downstream
+# merge-readers (binary search, sorted-merge joins, sequence packing)
+# get global order without re-sorting. One range exchange; the sort is
+# partition-local. Never df.sort().coalesce(1) — that is the
+# single-reducer formulation this sink exists to avoid.
+SORTED_FILES = 8
+
+
+def range_sorted_write(
+    spark: SparkSession, sf_dir: str, out: str, files: int = SORTED_FILES
+) -> None:
+    """Write events globally sorted by (ts, event_id): range exchange
+    on the key, per-partition sort, one file per range partition."""
+    ev = load_table(spark, sf_dir, "events")
+    (
+        ev.repartitionByRange(files, "ts", "event_id")
+        .sortWithinPartitions("ts", "event_id")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+
+
+_RANGE_SORTED_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS first_event,
+       CAST(MAX(event_id) AS BIGINT) AS last_event,
+       ROUND(SUM(value), 4) AS total_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@register("sink_range_sorted", oracle=_RANGE_SORTED_ORACLE,
+          tags=("sink", "layout", "sort"))
+def sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export events in total (ts, event_id) order, read back,
+    aggregate — the oracle replays the aggregate over the original
+    fixture, proving the sorted layout is lossless. The order property
+    itself (per-file key ranges disjoint and globally ordered) is
+    asserted from per-file min/max in tests/test_sinks_e2e.py."""
+    out = _layout_dir("events_range_sorted", sf_dir)
+    range_sorted_write(spark, sf_dir, out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

@@ -163,6 +163,98 @@ def text_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Quality-decile binning: the curation step between scoring and
+# sampling (keep the top-N% of the corpus, report per-decile stats).
+# ---------------------------------------------------------------------------
+# The score is kept INTEGER (stopword ratio in basis points, floor'd):
+# cross-engine double rounding can flip the order of two ulp-adjacent
+# scores and shift a bucket boundary, which would hash-mismatch the
+# oracle; integer arithmetic is exact in both engines. Decile
+# assignment replays NTILE's deal-evenly-larger-first rule from the
+# global rank, computed scale-safe via global_row_number (no
+# single-reducer sort) — a naive NTILE() OVER (ORDER BY ...) funnels
+# the corpus through one task.
+QUALITY_BINS = 10
+
+_QUALITY_BINS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_words_expr_duck()} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         CAST(floor(len(list_filter(w, x -> x IN ({_sql_list(STOPWORDS)})))
+                    * 10000.0 / len(w)) AS BIGINT) AS score_bp
+  FROM toks WHERE len(w) > 0
+),
+binned AS (
+  SELECT score_bp,
+         NTILE({QUALITY_BINS}) OVER (ORDER BY score_bp, doc_id) AS bin
+  FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS quality_decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(score_bp) AS min_score_bp,
+       MAX(score_bp) AS max_score_bp
+FROM binned GROUP BY bin
+"""
+
+
+@register("text_quality_bins", oracle=_QUALITY_BINS_ORACLE, tags=("text", "llm"))
+def text_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact decile binning of documents by stopword-ratio score
+    (basis points, integer): rank the corpus globally via the parallel
+    range-rank, deal ranks into NTILE-equivalent buckets arithmetically
+    (bucket sizes differ by at most one, larger buckets first), report
+    per-decile counts and score ranges. Hash-checked against DuckDB's
+    actual NTILE — proving the distributed restatement replays the
+    single-reducer semantics exactly."""
+    from golang_etl_spark.operators.windows import global_row_number
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", F.expr(_words_expr_spark()).alias("w")
+    ).filter(F.size("w") > 0)
+    stop_hits = F.expr(
+        f"size(filter(w, x -> x IN ({_sql_list(STOPWORDS)})))"
+    )
+    scored = d.select(
+        "doc_id",
+        F.floor(stop_hits * 10000.0 / F.size("w")).cast("long").alias(
+            "score_bp"
+        ),
+    )
+    ranked = global_row_number(
+        scored, [F.col("score_bp"), F.col("doc_id")], out_col="rn"
+    )
+    total = scored.agg(F.count("*").alias("_total"))
+    b = QUALITY_BINS
+    with_t = ranked.crossJoin(F.broadcast(total))
+    base = F.expr(f"_total div {b}")
+    rem = F.expr(f"_total % {b}")
+    binned = with_t.withColumn(
+        "quality_decile",
+        F.when(
+            F.col("rn") <= (base + 1) * rem,
+            F.expr("(rn - 1) div ((_total div %d) + 1)" % b),
+        )
+        .otherwise(
+            rem
+            + F.expr(
+                "(rn - 1 - (_total %% %d) * ((_total div %d) + 1)) "
+                "div (_total div %d)" % (b, b, b)
+            )
+        )
+        .cast("long")
+        + 1,
+    )
+    return binned.groupBy("quality_decile").agg(
+        F.count("*").alias("n_docs"),
+        F.min("score_bp").alias("min_score_bp"),
+        F.max("score_bp").alias("max_score_bp"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language-ID heuristic: marker-word voting with deterministic
 # priority tie-break (en > de > fr > es > zh).
 # ---------------------------------------------------------------------------

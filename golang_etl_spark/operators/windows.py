@@ -184,3 +184,73 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_quantity",
         F.round(F.sum("l_quantity").over(w), 4).alias("qty_range_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global (unpartitioned) ROW_NUMBER — without the single-reducer sort.
+# ---------------------------------------------------------------------------
+# A naive ROW_NUMBER() OVER (ORDER BY ...) funnels the entire table
+# through ONE task (Spark plans Exchange SinglePartition + Sort). The
+# scalable restatement generalizes etl_assign_sequential_ids' stride
+# trick to ARBITRARY order keys: range-repartition on the key, rank
+# within each range partition, add prefix-summed partition offsets
+# (a window over #partitions rows, not data rows). Bit-identical to
+# the global window, but every data-touching stage is parallel.
+GLOBAL_RANK_PARTITIONS = 32
+
+
+def global_row_number(
+    df: DataFrame, order_cols, out_col: str = "rn",
+    num_partitions: int = GLOBAL_RANK_PARTITIONS,
+) -> DataFrame:
+    """Exact global ROW_NUMBER over ``order_cols`` (list of Columns or
+    names; make the total order unique with a key tiebreak). Two
+    exchanges — the range partition on the key and the tiny hash
+    shuffle the per-partition window needs — neither single-reducer.
+
+    Determinism: range boundaries come from Spark's seeded sampler, so
+    partition ids are stable across the plan's two references to the
+    ranged frame (the exchange is reused); ranks are independent of the
+    boundaries anyway, because ranking re-sorts within partitions by
+    the full key and offsets come from realized partition sizes."""
+    ranged = df.repartitionByRange(num_partitions, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    w_off = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.withColumn(
+        "_offset", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_pid", "_offset")
+    w_in = W.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        ranged.withColumn("_prn", F.row_number().over(w_in))
+        .join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_offset") + F.col("_prn")).cast("long"))
+        .drop("_pid", "_prn", "_offset")
+    )
+
+
+@register(
+    "window_global_rank",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS price_rank
+    FROM orders
+    """,
+    tags=("window", "rank", "partitioning"),
+)
+def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global price rank of every order — the total-order window every
+    leaderboard/percentile-cut pipeline needs, built scale-safe via
+    global_row_number (hash-checked against the naive single-reducer
+    formulation the oracle runs)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    ranked = global_row_number(
+        orders,
+        [F.col("o_totalprice").desc(), F.col("o_orderkey")],
+        out_col="price_rank",
+    )
+    return ranked.select("o_orderkey", "o_totalprice", "price_rank")

@@ -365,6 +365,22 @@ def test_runtime_bloom_filter_available_at_scale(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_global_rank_avoids_single_reducer_sort(spark, sf_dir):
+    """window_global_rank must range-partition the data and rank within
+    partitions; the ONLY SinglePartition exchange allowed is the
+    offsets window over #partitions rows (tiny). A naive global window
+    would funnel every data row through one task."""
+    plan = _plan(spark, sf_dir, "window_global_rank")
+    assert "rangepartitioning" in plan, "missing range exchange on the key"
+    assert plan.count("Exchange SinglePartition") == 1, plan.count(
+        "Exchange SinglePartition"
+    )
+    # the single-partition subtree must sit above the per-partition
+    # count aggregate, never above the raw scan
+    single = plan.split("Exchange SinglePartition")[1]
+    assert "count" in single[:600].lower()
+
+
 def test_aqe_splits_skewed_join_partition(spark):
     """The session enables spark.sql.adaptive.skewJoin (session.py) but
     nothing proved AQE actually SPLITS a skewed partition at runtime —

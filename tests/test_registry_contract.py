@@ -42,6 +42,27 @@ def test_crashed_row_reprioritized_over_green():
     assert pos < 50, "non-green-latest query outside the driver's 50-sample"
 
 
+def test_bench_headline_covers_every_tag_family():
+    """Every registry tag must have >= 1 bench headline entry so a plan
+    regression in ANY operator family shows up in BENCH_r{N}.json."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", __file__.rsplit("/tests/", 1)[0] + "/bench.py"
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    head = set(bench.HEADLINE)
+    specs = registry.all_queries()
+    assert head <= set(specs), f"stale headline names: {head - set(specs)}"
+    tag_to_names: dict = {}
+    for n, s in specs.items():
+        for t in s.tags:
+            tag_to_names.setdefault(t, set()).add(n)
+    uncovered = sorted(t for t, ns in tag_to_names.items() if not ns & head)
+    assert not uncovered, f"tag families missing from bench: {uncovered}"
+
+
 def test_successful_rows_only_not_reprioritized():
     """no_oracle rows that completed (spark_rows recorded) can never
     hash-green; re-prioritizing them would soak sample slots forever."""

@@ -283,3 +283,52 @@ def test_compaction_multifile_respects_target(spark, sf_dir, tmp_path):
     )
     assert all(r["count"] <= target for r in per_file)
     assert sum(r["count"] for r in per_file) == n
+
+
+def test_range_sorted_files_disjoint_and_ordered(spark, sf_dir, tmp_path):
+    """The total-order property: per-file (ts, event_id) ranges must be
+    pairwise disjoint and concatenate in global order, and within each
+    file rows must be sorted — i.e. reading files in range order IS the
+    globally sorted table, no re-sort needed."""
+    from pyspark.sql import functions as F
+
+    from golang_etl_spark.operators.layout import range_sorted_write
+
+    out = str(tmp_path / "sorted")
+    range_sorted_write(spark, sf_dir, out)
+
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            F.min(F.struct("ts", "event_id")).alias("lo"),
+            F.max(F.struct("ts", "event_id")).alias("hi"),
+        )
+        .collect()
+    )
+    assert len(per_file) > 1
+    spans = sorted(
+        ((tuple(r["lo"]), tuple(r["hi"])) for r in per_file)
+    )
+    for (lo, hi), (nlo, nhi) in zip(spans, spans[1:]):
+        assert hi <= nlo, f"file ranges overlap: {hi} vs {nlo}"
+
+    # within-file order: event ranked by (ts, event_id) inside its file
+    # must equal the file's row order (checked via a per-file window)
+    from pyspark.sql import Window as W
+
+    df = spark.read.parquet(out).withColumn("fname", F.input_file_name())
+    w = W.partitionBy("fname").orderBy("ts", "event_id")
+    # monotonically_increasing_id preserves parquet row order per file
+    # read; re-sorting by (ts,event_id) must not change the sequence
+    with_order = df.withColumn("phys", F.monotonically_increasing_id())
+    ranked = with_order.withColumn("logical", F.row_number().over(w))
+    disorder = (
+        ranked.groupBy("fname")
+        .agg(
+            F.corr(F.col("phys").cast("double"), F.col("logical").cast("double")).alias("c")
+        )
+        .filter((F.col("c") < 0.999999) | F.col("c").isNull())
+        .count()
+    )
+    assert disorder == 0, "rows inside a file are not in sort order"
