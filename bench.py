@@ -118,6 +118,7 @@ HEADLINE = [
     "window_global_rank",
     "text_quality_bins",
     "sink_range_sorted",
+    "dedup_fuzzy_keep_one",
 ]
 
 

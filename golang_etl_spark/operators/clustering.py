@@ -272,3 +272,75 @@ def _cc_label_propagation(edges: DataFrame) -> DataFrame:
             "rounds — component diameter exceeds the iteration cap"
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy-dedup curation: clusters -> keep one -> surviving corpus.
+# ---------------------------------------------------------------------------
+# The end-to-end act of fuzzy deduplication: MinHash+LSH near-dup
+# pairs (dedup_minhash_lsh), transitive closure to clusters, keep the
+# minimum doc_id per cluster, drop the rest — then report what
+# survived, per language. This is the query a training-data curator
+# actually runs; the pair/cluster queries above are its diagnostics.
+#
+# 100 TB shape: pairs and labels are candidate-scale (bounded by the
+# near-dup rate), so the `removed` set broadcasts onto the corpus scan
+# — the corpus itself is never shuffled, and the final aggregate
+# carries |langs| partial rows.
+from golang_etl_spark.operators.dedup import _minhash_oracle, dedup_minhash_lsh  # noqa: E402
+
+_FUZZY_KEEP_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {_minhash_oracle()}
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+removed AS (
+  SELECT doc_id FROM labels WHERE doc_id <> cluster_id
+)
+SELECT d.lang,
+       CAST(COUNT(*) - COUNT(r.doc_id) AS BIGINT) AS n_kept,
+       CAST(COUNT(r.doc_id) AS BIGINT) AS n_removed
+FROM documents d LEFT JOIN removed r ON d.doc_id = r.doc_id
+GROUP BY d.lang
+"""
+
+
+@register(
+    "dedup_fuzzy_keep_one",
+    oracle=_FUZZY_KEEP_ORACLE,
+    tags=("dedup", "llm"),
+)
+def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy dedup end-to-end: near-dup clusters keep exactly their
+    minimum doc_id; every other member is dropped. Returns per-language
+    kept/removed counts over the WHOLE corpus (docs in no cluster are
+    trivially kept)."""
+    from golang_etl_spark.sources.catalog import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    labels = connected_components(pairs)
+    removed = labels.filter(F.col("doc_id") != F.col("label")).select(
+        "doc_id", F.lit(1).alias("_removed")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return (
+        docs.join(F.broadcast(removed), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            (F.count("*") - F.count("_removed")).cast("long").alias("n_kept"),
+            F.count("_removed").cast("long").alias("n_removed"),
+        )
+    )
