@@ -119,6 +119,8 @@ HEADLINE = [
     "text_quality_bins",
     "sink_range_sorted",
     "dedup_fuzzy_keep_one",
+    "timeseries_rollup_hierarchy",
+    "etl_scd2_intervals",
 ]
 
 

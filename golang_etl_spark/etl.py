@@ -406,3 +406,50 @@ def etl_assign_sequential_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("rn")).cast("long").alias("seq_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC change-log -> SCD2 validity intervals.
+# ---------------------------------------------------------------------------
+# The reference extracts snapshots; a warehouse ingesting its output
+# incrementally needs the slowly-changing-dimension restatement: each
+# change event opens a validity interval that closes when the next
+# change for the same key arrives (half-open [valid_from, valid_to),
+# NULL valid_to = current). One window over the change key — the same
+# exchange any per-key operator pays — and entirely JVM-side.
+_SCD2_ORACLE = """
+SELECT user_id, event_id, event_type, ts AS valid_from,
+       LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS valid_to,
+       CAST(CASE WHEN LEAD(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) IS NULL
+            THEN 1 ELSE 0 END AS BIGINT) AS is_current
+FROM events
+"""
+
+
+@register(
+    "etl_scd2_intervals",
+    oracle=_SCD2_ORACLE,
+    tags=("etl-parity", "window"),
+)
+def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval assembly from the events change log: per
+    user, each event is valid from its own timestamp until the next
+    event's (deterministic event_id tiebreak); the last interval stays
+    open (is_current=1)."""
+    from pyspark.sql.window import Window
+
+    from golang_etl_spark.sources.catalog import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        nxt.alias("valid_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
+    )

@@ -242,3 +242,59 @@ def timeseries_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("zscore"),
         (F.abs(z) > ZSCORE_FLAG).alias("is_anomaly"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity rollup: the hypertable continuous-aggregate shape.
+# ---------------------------------------------------------------------------
+# One pass over the events produces EVERY granularity of the time
+# hierarchy (hour -> day -> month -> grand total) per event type, via
+# GROUPING SETS: Spark expands the sets in a single Expand + partial
+# aggregate, so the raw events are read and shuffled ONCE for all four
+# rollup levels — at 100 TB this replaces four separate aggregation
+# jobs (or a serving-time re-aggregation) with one.
+_ROLLUP_HIER_ORACLE = """
+SELECT event_type,
+       CAST(strftime(date_trunc('month', ts), '%Y-%m') AS VARCHAR) AS month,
+       CAST(strftime(date_trunc('day', ts), '%Y-%m-%d') AS VARCHAR) AS day,
+       CAST(strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS VARCHAR) AS hour,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(GROUPING(month) + GROUPING(day) + GROUPING(hour) AS BIGINT)
+           AS rollup_level
+FROM events
+GROUP BY event_type, ROLLUP(month, day, hour)
+"""
+
+
+@register(
+    "timeseries_rollup_hierarchy",
+    oracle=_ROLLUP_HIER_ORACLE,
+    tags=("timeseries", "rollup", "aggregation"),
+)
+def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour/day/month/total rollup per event type in one aggregation:
+    ROLLUP over string-truncated time buckets (strings rather than
+    timestamps so the NULL-at-higher-level columns stay one atomic
+    type per column), with rollup_level = how many hierarchy levels
+    are rolled away (0=hourly ... 3=per-type total)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias("month"),
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH").alias(
+            "hour"
+        ),
+        "value",
+    )
+    et, mo, dy, hr = (F.col(c) for c in ("event_type", "month", "day", "hour"))
+    return ev.groupingSets(
+        [[et, mo, dy, hr], [et, mo, dy], [et, mo], [et]],
+        et, mo, dy, hr,
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+        (F.grouping("month") + F.grouping("day") + F.grouping("hour"))
+        .cast("long")
+        .alias("rollup_level"),
+    )
