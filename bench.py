@@ -121,6 +121,7 @@ HEADLINE = [
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",
+    "profile_orders_approx",
 ]
 
 

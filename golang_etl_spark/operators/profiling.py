@@ -9,10 +9,10 @@ Scale notes (100 TB stance):
   row of partial-aggregable stats (counts, min/max, distincts) that is
   then unpivoted driver-free with ``stack``: no per-column scans, no
   collect. ``count(DISTINCT)`` expands to one extra shuffle per
-  distinct column (Spark's expand-based rewrite); at 100 TB you would
-  swap those for ``approx_count_distinct`` — that exact/approx dial
-  is the ``sketch_approx_distinct`` operator; here the driver needs
-  exact values for the oracle comparison.
+  distinct column (Spark's expand-based rewrite); at 100 TB you swap
+  those for ``approx_count_distinct`` — which is exactly what
+  ``profile_orders_approx`` below does (35x faster at sf0.1, no
+  Expand); the exact variant stays as its oracle-checked twin.
 - numeric min/max are emitted as doubles and timestamps as epoch
   seconds, never stringified: string rendering of floats/timestamps is
   engine-specific and would fail the value-hash while the data agrees.
@@ -95,6 +95,68 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias(f"{name}__minn"),
                 F.round(
                     F.unix_micros(F.max(name).cast("timestamp")) / F.lit(1_000_000.0), 6
+                ).alias(f"{name}__maxn"),
+                F.lit(None).cast("string").alias(f"{name}__mins"),
+                F.lit(None).cast("string").alias(f"{name}__maxs"),
+            ]
+        else:
+            aggs += [
+                F.lit(None).cast("double").alias(f"{name}__minn"),
+                F.lit(None).cast("double").alias(f"{name}__maxn"),
+                F.min(name).alias(f"{name}__mins"),
+                F.max(name).alias(f"{name}__maxs"),
+            ]
+    wide = orders.agg(*aggs)
+    rows = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, {name}__distinct, "
+        f"{name}__minn, {name}__maxn, {name}__mins, {name}__maxs"
+        for name, _ in _ORDERS_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(_ORDERS_COLS)}, {rows}) AS "
+        "(column_name, n_rows, n_nulls, n_distinct, "
+        "min_num, max_num, min_str, max_str)"
+    )
+
+
+@register("profile_orders_approx", oracle=None, tags=("profiling", "sketch"))
+def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB formulation of profile_orders: identical output
+    shape, but distinct counts come from HyperLogLog++ (rsd=2%).
+    Measured 35x faster at sf0.1 — the exact multi-column
+    COUNT(DISTINCT) rewrite Expands the input once per distinct column
+    (a ~10x row multiplication before partial aggregation), while the
+    HLL profile is ONE narrow pass with mergeable sketch buffers.
+    Rows-only check (HLL differs across engines); the per-column
+    estimates are bounded against profile_orders' exact counts in
+    tests/test_sketches.py, and the no-Expand claim is plan-gated in
+    tests/test_plans.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    aggs = []
+    for name, kind in _ORDERS_COLS:
+        aggs += [
+            F.count("*").alias(f"{name}__rows"),
+            (F.count("*") - F.count(name)).alias(f"{name}__nulls"),
+            F.approx_count_distinct(name, rsd=0.02).alias(f"{name}__distinct"),
+        ]
+        if kind == "num":
+            aggs += [
+                F.round(F.min(name).cast("double"), 6).alias(f"{name}__minn"),
+                F.round(F.max(name).cast("double"), 6).alias(f"{name}__maxn"),
+                F.lit(None).cast("string").alias(f"{name}__mins"),
+                F.lit(None).cast("string").alias(f"{name}__maxs"),
+            ]
+        elif kind == "ts":
+            aggs += [
+                F.round(
+                    F.unix_micros(F.min(name).cast("timestamp"))
+                    / F.lit(1_000_000.0),
+                    6,
+                ).alias(f"{name}__minn"),
+                F.round(
+                    F.unix_micros(F.max(name).cast("timestamp"))
+                    / F.lit(1_000_000.0),
+                    6,
                 ).alias(f"{name}__maxn"),
                 F.lit(None).cast("string").alias(f"{name}__mins"),
                 F.lit(None).cast("string").alias(f"{name}__maxs"),

@@ -365,6 +365,35 @@ def test_runtime_bloom_filter_available_at_scale(spark, sf_dir):
                 spark.conf.set(k, v)
 
 
+def test_approx_profile_has_no_expand(spark, sf_dir):
+    """The HLL profile exists to avoid the exact profile's Expand
+    (one input replica per distinct column — ~10x at 6 columns). The
+    approx plan must be Expand-free; the exact twin must show the
+    Expand, proving the gate measures what it claims."""
+    approx = _plan(spark, sf_dir, "profile_orders_approx")
+    assert "Expand" not in approx
+    exact = _plan(spark, sf_dir, "profile_orders")
+    assert "Expand" in exact
+
+
+def test_rollup_hierarchy_single_scan_single_exchange(spark, sf_dir):
+    """All four rollup granularities must come from ONE scan + ONE
+    Expand + ONE aggregation exchange — the whole point vs running
+    four aggregation jobs."""
+    plan = _plan(spark, sf_dir, "timeseries_rollup_hierarchy")
+    assert plan.count("FileScan") == 1
+    assert plan.count("Expand") == 1
+    assert plan.count("Exchange") == 1
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """SCD2 interval assembly is one keyed window: exactly one
+    exchange (on user_id), no joins."""
+    plan = _plan(spark, sf_dir, "etl_scd2_intervals")
+    assert plan.count("Exchange") == 1
+    assert "Join" not in plan
+
+
 def test_global_rank_avoids_single_reducer_sort(spark, sf_dir):
     """window_global_rank must range-partition the data and rank within
     partitions; the ONLY SinglePartition exchange allowed is the

@@ -49,3 +49,28 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
             hi = vals[min(n - 1, int((q + 0.01) * n))]
             assert lo <= got <= hi, (flag, q, got, lo, hi)
+
+
+def test_approx_profile_matches_exact_profile(spark, sf_dir):
+    """profile_orders_approx must agree with the exact profile on
+    every column: exactly on rows/nulls/min/max, within HLL rsd on
+    distinct counts."""
+    from golang_etl_spark.operators.profiling import (
+        profile_orders,
+        profile_orders_approx,
+    )
+
+    exact = {r["column_name"]: r for r in profile_orders(spark, sf_dir).collect()}
+    approx = {
+        r["column_name"]: r
+        for r in profile_orders_approx(spark, sf_dir).collect()
+    }
+    assert exact.keys() == approx.keys()
+    for col, e in exact.items():
+        a = approx[col]
+        for f in ("n_rows", "n_nulls", "min_num", "max_num", "min_str", "max_str"):
+            assert a[f] == e[f], (col, f, a[f], e[f])
+        # rsd=2%; allow 4 sigma
+        assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
+            1, 0.08 * e["n_distinct"]
+        ), (col, a["n_distinct"], e["n_distinct"])
