@@ -130,19 +130,42 @@ def _stream_events(
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+# State-store partition count for the streaming demos. A stateful
+# operator creates one state store per shuffle partition, and the
+# count is FROZEN into the checkpoint at first start — Spark sizes it
+# from spark.sql.shuffle.partitions, which the session tunes for
+# batch (~cores). At fixture scale 32 stores are pure fixed overhead
+# (measured: the stream-stream join drops 4.8s -> 1.4s going 32 -> 4);
+# on a real cluster you size this to state volume/key cardinality
+# (thousands), NOT to the batch shuffle width — either way it is a
+# deliberate per-workload dial, so set it explicitly at stream start.
+STREAM_STATE_PARTITIONS = 8
+
+
 def _run_to_table(df: DataFrame, name: str, output_mode: str) -> DataFrame:
     """Run a streaming query to completion (AvailableNow) into a
-    memory sink; return the materialized result table."""
+    memory sink; return the materialized result table. The state
+    partition count is pinned to STREAM_STATE_PARTITIONS for the
+    duration of the run (the conf is read at query start; the batch
+    readback after it replans under the session default)."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     qname = f"{name}_{next(_COUNTER)}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(qname)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return df.sparkSession.table(qname)
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        q = (
+            df.writeStream.format("memory")
+            .queryName(qname)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(qname)
 
 
 # ---------------------------------------------------------------------------
