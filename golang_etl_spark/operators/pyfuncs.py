@@ -161,12 +161,18 @@ GROUP BY o.o_orderkey, o.o_totalprice
 def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-order header-vs-lines reconciliation through
     ``cogroup(...).applyInPandas``: each order's header rows and line
-    rows arrive as one pandas pair, the function emits line count and
-    both totals.
+    rows arrive in the same pandas pair, the function emits line count
+    and both totals.
 
-    Scale shape: both sides shuffle once on the shared key (the same
-    exchange a join would pay); groups are order-sized. Arrow-batched,
-    never per-row. The key-slice filter pushes into both scans."""
+    Scale shape: both sides shuffle once on the shared bucket key (the
+    same exchange a join would pay). Cogrouping directly on
+    o_orderkey would ship one Arrow pair per order — the per-group
+    Python constant dominates (measured 2.6x slower at sf0.1); like
+    applyinpandas_rank_orders, grouping on a hash BUCKET of the key
+    keeps each order's rows together while amortizing the round-trip
+    over many orders per pair, and a vectorized in-pandas groupby
+    restores per-order semantics. Arrow-batched, never per-row. The
+    key-slice filter pushes into both scans."""
     import pandas as pd
 
     orders = (
@@ -180,39 +186,56 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
     )
 
-    def round_half_up(x: float) -> float:
-        # builtin round() is banker's (half-to-even); the DuckDB
+    def round_half_up(s) -> "pd.Series":
+        # builtin/numpy round is banker's (half-to-even); the DuckDB
         # oracle's ROUND is std::round(x*100)/100 — half away from
         # zero on the binary double. Comparing the fractional part of
         # v=x*100 against 0.5 replays that exactly; the naive
         # floor(v + 0.5) diverges when v + 0.5 rounds UP to the next
         # representable double (v = 0.49999999999999994 et al.).
-        import math
+        import numpy as np
 
-        v = x * 100
-        f = math.floor(v)
-        return (f + (1 if v - f >= 0.5 else 0)) / 100
+        v = s.to_numpy(dtype="float64") * 100.0
+        f = np.floor(v)
+        return (f + (v - f >= 0.5)) / 100.0
 
     def reconcile(key, odf: pd.DataFrame, ldf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["o_orderkey", "n_lines", "header_total", "lines_total"]
         if odf.empty:  # orphan lines (no header) — mirror the LEFT JOIN
-            return pd.DataFrame(
-                columns=["o_orderkey", "n_lines", "header_total", "lines_total"]
+            return pd.DataFrame(columns=cols)
+        if ldf.empty:
+            agg = pd.DataFrame({"o_orderkey": [], "n_lines": [], "lt": []})
+        else:
+            net = (
+                ldf["l_extendedprice"]
+                * (1 - ldf["l_discount"])
+                * (1 + ldf["l_tax"])
             )
-        total = (
-            ldf["l_extendedprice"] * (1 - ldf["l_discount"]) * (1 + ldf["l_tax"])
-        ).sum()
+            agg = (
+                ldf.assign(net=net)
+                .groupby("l_orderkey")["net"]
+                .agg(n_lines="size", lt="sum")
+                .reset_index()
+                .rename(columns={"l_orderkey": "o_orderkey"})
+            )
+        m = odf[["o_orderkey", "o_totalprice"]].merge(
+            agg, on="o_orderkey", how="left"
+        )
         return pd.DataFrame(
             {
-                "o_orderkey": [int(key[0])],
-                "n_lines": [len(ldf)],
-                "header_total": [round_half_up(float(odf["o_totalprice"].iloc[0]))],
-                "lines_total": [round_half_up(float(total))],
+                "o_orderkey": m["o_orderkey"].astype("int64"),
+                "n_lines": m["n_lines"].fillna(0).astype("int64"),
+                "header_total": round_half_up(m["o_totalprice"]),
+                "lines_total": round_half_up(m["lt"].fillna(0.0)),
             }
         )
 
+    buckets = 32
+    ob = orders.withColumn("b", F.pmod(F.hash("o_orderkey"), F.lit(buckets)))
+    lb = lines.withColumn("b", F.pmod(F.hash("l_orderkey"), F.lit(buckets)))
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(lines.groupBy("l_orderkey"))
+        ob.groupBy("b")
+        .cogroup(lb.groupBy("b"))
         .applyInPandas(
             reconcile,
             "o_orderkey LONG, n_lines LONG, header_total DOUBLE, "
