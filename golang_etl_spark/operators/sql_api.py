@@ -327,6 +327,146 @@ ORDER BY cntrycode
 """
 
 
+# ---------------------------------------------------------------------------
+# The remaining 5 TPC-H shapes (Q2, Q9, Q11, Q16, Q20) all reference
+# PARTSUPP, which the fixture set does not ship. Rather than drop the
+# shapes, each is adapted to derive the part-supplier relationship from
+# lineitem: the realized unit price MIN(l_extendedprice / l_quantity)
+# per (l_partkey, l_suppkey) stands in for ps_supplycost, and shipped
+# quantity stands in for ps_availqty. Every structural feature of the
+# original query (correlated MIN subquery, relative-threshold HAVING,
+# NOT IN exclusion, nested IN semi-join, profit expression) is kept.
+# Thresholds are expressed RELATIVE to aggregate totals (never absolute
+# constants tuned to one SF) so the shapes stay non-degenerate at any
+# scale factor.
+
+# TPC-H Q2-shaped: min-cost supplier per part within a region.
+# Correlated MIN subquery over the derived supply-cost relation; MIN is
+# merge-order-insensitive (unlike SUM, see _Q15's note) so the float
+# equality is deterministic under shuffled partial aggregation.
+_Q2 = """
+WITH psc AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         MIN(l_extendedprice / l_quantity) AS ps_supplycost
+  FROM lineitem
+  WHERE l_quantity > 0
+  GROUP BY l_partkey, l_suppkey
+)
+SELECT ROUND(s.s_acctbal, 4) AS s_acctbal, s.s_name, n.n_name,
+       p.p_partkey, p.p_type,
+       ROUND(ps.ps_supplycost, 4) AS supplycost
+FROM part p
+JOIN psc ps ON p.p_partkey = ps.ps_partkey
+JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE p.p_size BETWEEN 10 AND 25
+  AND p.p_type = 'SMALL'
+  AND r.r_name = 'ASIA'
+  AND ps.ps_supplycost = (
+    SELECT MIN(ps2.ps_supplycost)
+    FROM psc ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p.p_partkey
+      AND r2.r_name = 'ASIA'
+  )
+ORDER BY s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+LIMIT 100
+"""
+
+# TPC-H Q9-shaped: product-line profit by supplier nation and order
+# year. ps_supplycost becomes a 60%-of-retail unit cost.
+_Q9 = """
+SELECT n.n_name AS nation,
+       CAST(EXTRACT(YEAR FROM o.o_orderdate) AS BIGINT) AS o_year,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)
+                 - 0.6 * p.p_retailprice * l.l_quantity), 4) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, EXTRACT(YEAR FROM o.o_orderdate)
+ORDER BY nation, o_year DESC
+"""
+
+# TPC-H Q11-shaped: important inventory — parts whose derived stock
+# value (shipped quantity x retail price, suppliers in one region)
+# exceeds 1.2x the mean part value. Relative threshold via an
+# uncorrelated scalar subquery, scale-free by construction.
+_Q11 = """
+SELECT l.l_partkey AS ps_partkey,
+       ROUND(SUM(l.l_quantity * p.p_retailprice), 4) AS part_value
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'EUROPE'
+GROUP BY l.l_partkey
+HAVING SUM(l.l_quantity * p.p_retailprice) > (
+  SELECT 1.2 * SUM(l2.l_quantity * p2.p_retailprice)
+             / COUNT(DISTINCT l2.l_partkey)
+  FROM lineitem l2
+  JOIN part p2 ON p2.p_partkey = l2.l_partkey
+  JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+  JOIN nation n2 ON n2.n_nationkey = s2.s_nationkey
+  JOIN region r2 ON r2.r_regionkey = n2.n_regionkey
+  WHERE r2.r_name = 'EUROPE'
+)
+ORDER BY part_value DESC, ps_partkey
+"""
+
+# TPC-H Q16-shaped: distinct supplier count per part attribute triple,
+# excluding flagged suppliers (negative balance stands in for the
+# classic complaints filter — the fixture has no s_comment).
+_Q16 = """
+SELECT p.p_brand, p.p_type, p.p_size,
+       CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey
+WHERE p.p_brand <> 'Brand#13'
+  AND p.p_type <> 'PROMO'
+  AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l.l_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+  )
+GROUP BY p.p_brand, p.p_type, p.p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+# TPC-H Q20-shaped: suppliers shipping an outsized share of one part
+# family in one year (nested IN semi-join over a grouped HAVING whose
+# threshold is relative — supplier must carry > 1% of the family's
+# total quantity, the availqty analogue).
+_Q20 = """
+SELECT s.s_name, n.n_name
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+WHERE s.s_suppkey IN (
+  SELECT l.l_suppkey
+  FROM lineitem l
+  JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE p.p_name LIKE '%bolt%'
+    AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  GROUP BY l.l_suppkey
+  HAVING SUM(l.l_quantity) > (
+    SELECT 0.01 * SUM(l2.l_quantity)
+    FROM lineitem l2
+    JOIN part p2 ON p2.p_partkey = l2.l_partkey
+    WHERE p2.p_name LIKE '%bolt%'
+      AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  )
+)
+ORDER BY s_name
+"""
+
+
 def _passthrough(sql: str):
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir)
@@ -352,6 +492,11 @@ for _name, _sql, _doc in (
     ("sql_market_share", _Q8, "TPC-H Q8 shape: national market share ratio by year."),
     ("sql_waiting_suppliers", _Q21, "TPC-H Q21 shape: EXISTS/NOT-EXISTS multi-supplier."),
     ("sql_sales_opportunity", _Q22, "TPC-H Q22 shape: scalar-subquery + anti-join."),
+    ("sql_min_cost_supplier", _Q2, "TPC-H Q2 shape: correlated-MIN supplier pick (derived supply cost; no partsupp in fixtures)."),
+    ("sql_product_profit", _Q9, "TPC-H Q9 shape: profit by nation and order year (derived unit cost)."),
+    ("sql_important_stock", _Q11, "TPC-H Q11 shape: relative-threshold HAVING over derived stock value."),
+    ("sql_supplier_part_count", _Q16, "TPC-H Q16 shape: distinct-supplier count with NOT IN exclusion."),
+    ("sql_part_promotion", _Q20, "TPC-H Q20 shape: nested IN semi-join with relative quantity share."),
 ):
     _fn = _passthrough(_sql)
     _fn.__doc__ = (
