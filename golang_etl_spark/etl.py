@@ -453,3 +453,130 @@ def etl_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         F.when(nxt.isNull(), 1).otherwise(0).cast("long").alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (migration-validation diff).
+# ---------------------------------------------------------------------------
+# The reference migrates MySQL shards into parquet with zero
+# verification — a scan error silently drops rows (extractor.go:88-91)
+# and nothing ever proves source == destination. The operator a real
+# 100 TB migration needs is the reconciliation diff: full-outer-join
+# both snapshots on the primary key and classify every key as
+# added / removed / changed / unchanged. Snapshot B is derived
+# deterministically from the fixture (dropped, mutated, and appended
+# key classes) so the DuckDB oracle replays the identical diff.
+_SNAPSHOT_DIFF_ORACLE = """
+WITH a AS (
+  SELECT o_orderkey, o_orderstatus,
+         ROUND(o_totalprice, 4) AS o_totalprice
+  FROM orders
+),
+b AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 97 = 0 THEN 'X' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_orderkey % 89 = 0
+              THEN ROUND(o_totalprice * 1.05, 4)
+              ELSE ROUND(o_totalprice, 4) END AS o_totalprice
+  FROM orders WHERE o_orderkey % 101 <> 0
+  UNION ALL
+  SELECT o_orderkey + 200000000 AS o_orderkey, 'A' AS o_orderstatus,
+         ROUND(o_totalprice, 4) AS o_totalprice
+  FROM orders WHERE o_orderkey % 103 = 0
+),
+diff AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         CASE WHEN a.o_orderkey IS NULL THEN 'added'
+              WHEN b.o_orderkey IS NULL THEN 'removed'
+              WHEN a.o_orderstatus <> b.o_orderstatus
+                OR a.o_totalprice <> b.o_totalprice THEN 'changed'
+              ELSE 'unchanged' END AS change_type
+  FROM a FULL OUTER JOIN b ON a.o_orderkey = b.o_orderkey
+)
+SELECT change_type,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(k) AS BIGINT) AS keysum
+FROM diff
+GROUP BY change_type
+ORDER BY change_type
+"""
+
+
+@register(
+    "etl_snapshot_diff",
+    oracle=_SNAPSHOT_DIFF_ORACLE,
+    tags=("etl-parity", "join"),
+)
+def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Migration-validation diff: classify every primary key across
+    two snapshots as added/removed/changed/unchanged via a full outer
+    join, then aggregate count + key checksum per class.
+
+    The float mutation multiplies by 1.05, so a changed row differs in
+    BOTH engines regardless of rounding mode; the comparison columns
+    are compared directly (never hashed through a string cast, whose
+    float formatting is engine-specific).
+
+    Scale shape: one shuffle per snapshot on the join key (zero if
+    both sides are bucketed on it, the layout a recurring 100 TB
+    reconciliation job would maintain), map-side classification, and a
+    4-row aggregate. Never collects keys; the per-class checksum makes
+    the hash gate sensitive to any misclassified key."""
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    a = base.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 4).alias("o_totalprice"),
+    )
+    b = (
+        base.filter(F.col("o_orderkey") % 101 != 0)
+        .select(
+            "o_orderkey",
+            F.when(F.col("o_orderkey") % 97 == 0, F.lit("X"))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.round(F.col("o_totalprice") * 1.05, 4),
+            )
+            .otherwise(F.round("o_totalprice", 4))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            base.filter(F.col("o_orderkey") % 103 == 0).select(
+                (F.col("o_orderkey") + 200_000_000).alias("o_orderkey"),
+                F.lit("A").alias("o_orderstatus"),
+                F.round("o_totalprice", 4).alias("o_totalprice"),
+            )
+        )
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        F.col("a.o_orderkey") == F.col("b.o_orderkey"),
+        "full_outer",
+    )
+    change = (
+        F.when(F.col("a.o_orderkey").isNull(), "added")
+        .when(F.col("b.o_orderkey").isNull(), "removed")
+        .when(
+            (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+            | (F.col("a.o_totalprice") != F.col("b.o_totalprice")),
+            "changed",
+        )
+        .otherwise("unchanged")
+    )
+    return (
+        joined.select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias("k"),
+            change.alias("change_type"),
+        )
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n_keys"),
+            F.sum("k").cast("long").alias("keysum"),
+        )
+        .orderBy("change_type")
+    )

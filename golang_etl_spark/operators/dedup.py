@@ -865,3 +865,84 @@ def dedup_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shared").cast("long").alias("n_shared"),
         F.round(contamination, 4).alias("contamination"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocked edit-distance similarity join.
+# ---------------------------------------------------------------------------
+# Levenshtein is the strictest near-dup predicate (character-level
+# edits, order-sensitive — catches what shingle-Jaccard treats as
+# identical) but is O(len^2) per pair, so the 100 TB formulation is
+# blocking: candidate pairs come from an equi-join on a cheap block
+# key (here the 12-char text prefix — in production a normalized
+# title/URL key), a length-difference guard prunes before the
+# quadratic distance, and the distance itself runs over a fixed-width
+# prefix window so per-pair cost is bounded. All three stages are
+# built-in JVM expressions; the only exchange is the hash shuffle on
+# the block key.
+EDIT_BLOCK_CHARS = 12
+EDIT_WINDOW_CHARS = 40
+EDIT_MAX_DIST = 12
+EDIT_MAX_LEN_DIFF = 40
+
+_EDIT_ORACLE = f"""
+SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+       CAST(levenshtein(substr(a.text, 1, {EDIT_WINDOW_CHARS}),
+                        substr(b.text, 1, {EDIT_WINDOW_CHARS})) AS BIGINT)
+         AS edit_dist
+FROM documents a
+JOIN documents b
+  ON substr(a.text, 1, {EDIT_BLOCK_CHARS}) = substr(b.text, 1, {EDIT_BLOCK_CHARS})
+ AND a.doc_id < b.doc_id
+ AND abs(a.n_chars - b.n_chars) <= {EDIT_MAX_LEN_DIFF}
+WHERE levenshtein(substr(a.text, 1, {EDIT_WINDOW_CHARS}),
+                  substr(b.text, 1, {EDIT_WINDOW_CHARS})) <= {EDIT_MAX_DIST}
+ORDER BY a_id, b_id
+"""
+
+
+@register(
+    "dedup_editdistance_blocked",
+    oracle=_EDIT_ORACLE,
+    tags=("dedup", "llm", "join"),
+)
+def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level near-dup pairs via blocked Levenshtein: block
+    on the 12-char prefix, prune by length difference, verify with
+    edit distance over a 40-char window (bounded per-pair cost).
+
+    Both engines implement unit-cost insert/delete/substitute
+    Levenshtein, so the distances — and therefore the surviving pair
+    set — replay exactly.
+
+    Scale shape: equi-join on the block key (one exchange; blocks are
+    title-cardinality sized, and a DF-cap like the n-gram index's
+    would drop degenerate hot blocks), length guard before the
+    quadratic verify, fixed-width window caps per-pair cost. Never
+    all-pairs."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.substring("text", 1, EDIT_BLOCK_CHARS).alias("blk"),
+        F.substring("text", 1, EDIT_WINDOW_CHARS).alias("win"),
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    dist = F.levenshtein(F.col("a.win"), F.col("b.win"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.abs(F.col("a.n_chars") - F.col("b.n_chars"))
+                <= EDIT_MAX_LEN_DIFF
+            ),
+        )
+        .filter(dist <= EDIT_MAX_DIST)
+        .select(
+            F.col("a.doc_id").alias("a_id"),
+            F.col("b.doc_id").alias("b_id"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .orderBy("a_id", "b_id")
+    )

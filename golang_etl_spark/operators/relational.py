@@ -828,3 +828,60 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("k_per_value"),
         F.expr("try_cast(event_type AS BIGINT)").alias("bad_cast"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Market-basket co-occurrence (frequent pair mining).
+# ---------------------------------------------------------------------------
+_COOC_ORACLE = """
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+)
+SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+       CAST(COUNT(*) AS BIGINT) AS n_orders
+FROM ob a
+JOIN ob b ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+GROUP BY a.p_brand, b.p_brand
+ORDER BY n_orders DESC, brand_a, brand_b
+LIMIT 20
+"""
+
+
+@register(
+    "agg_brand_cooccurrence",
+    oracle=_COOC_ORACLE,
+    tags=("aggregation", "join", "topk"),
+)
+def agg_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased brand pairs: distinct (order, brand), pair
+    expansion within each order, global pair counts — the A-priori
+    candidate-generation kernel of market-basket mining.
+
+    Scale shape: the pair expansion is a self-join co-located on the
+    order key (one exchange; per-order blowup is bounded by the
+    distinct-brand count of a single basket, ~tens), the pair count is
+    a partial-agg hash aggregate, and the final top-20 is a
+    TakeOrdered. The plan never materializes the full pair matrix."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = ob.alias("a"), ob.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("brand_a"),
+            F.col("b.p_brand").alias("brand_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
+        .limit(20)
+    )

@@ -213,3 +213,58 @@ def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keep_rate",
         F.col("n_sampled").cast("long").alias("n_sampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic per-group reservoir: k rows per group, hash as the
+# random tape.
+# ---------------------------------------------------------------------------
+# Classic reservoir sampling keeps k uniform-random rows per group but
+# is stateful and RNG-dependent; the distributed restatement ranks
+# rows within each group by a hash of their stable key and keeps the
+# top k. Same uniform-without-replacement semantics (md5 is a uniform
+# tape over the key), fully deterministic, replayable on any engine.
+RESERVOIR_K = 3
+
+_RESERVOIR_RANK_SPARK = (
+    "row_number() OVER (PARTITION BY o_custkey "
+    "ORDER BY md5(cast(o_orderkey AS string)), o_orderkey)"
+)
+_RESERVOIR_ORACLE = f"""
+SELECT o_custkey, o_orderkey, draw_rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY o_custkey
+           ORDER BY md5(o_orderkey::VARCHAR), o_orderkey
+         ) AS BIGINT) AS draw_rank
+  FROM orders
+) ranked
+WHERE draw_rank <= {RESERVOIR_K}
+"""
+
+
+@register(
+    "sample_reservoir_per_group",
+    oracle=_RESERVOIR_ORACLE,
+    tags=("sampling", "llm", "window"),
+)
+def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=3 uniform-without-replacement orders per customer, drawn by
+    md5-rank of the order key — reservoir-sample semantics with a
+    deterministic tape instead of an RNG, so membership is stable
+    under re-partitioning and replayable by the oracle.
+
+    Scale shape: one hash exchange on the group key, then a windowed
+    rank; Spark's WindowGroupLimit pushes the k-cutoff below the sort
+    so each task keeps only k rows per group (same plan as the top-k
+    family, operators/topk.py). No RNG state, no driver involvement."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.selectExpr(
+            "o_custkey",
+            "o_orderkey",
+            f"CAST({_RESERVOIR_RANK_SPARK} AS bigint) AS draw_rank",
+        )
+        .filter(F.col("draw_rank") <= RESERVOIR_K)
+    )
