@@ -465,3 +465,38 @@ def test_training_export_two_exchanges_one_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "pipeline_training_export")
     assert plan.count("FileScan") == 1
     assert plan.count("Exchange") == 2
+
+
+def test_editdistance_join_blocks_on_equi_key(spark, sf_dir):
+    # the Levenshtein verify must ride an equi-join on the block
+    # prefix (Catalyst extracts blk=blk from the mixed condition);
+    # a BNLJ/cartesian would mean the blocking key was lost and the
+    # verify went all-pairs
+    plan = _plan(spark, sf_dir, "dedup_editdistance_blocked")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_cooccurrence_broadcasts_dim_no_pair_matrix(spark, sf_dir):
+    # part dim broadcasts into the fact scan; the pair expansion is an
+    # equi self-join on l_orderkey (never a cartesian pair matrix) and
+    # the top-20 is a TakeOrdered, not a global sort
+    plan = _plan(spark, sf_dir, "agg_brand_cooccurrence")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_snapshot_diff_one_exchange_per_snapshot(spark, sf_dir):
+    # full-outer reconciliation: each snapshot hashes once on the join
+    # key, classification is map-side, and the 4-row agg is cheap —
+    # exchange budget stays small (join sides + tiny agg/sort), with
+    # no nested-loop fallback
+    plan = _plan(spark, sf_dir, "etl_snapshot_diff")
+    assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert plan.count("Exchange") <= 6, plan
