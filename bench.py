@@ -122,6 +122,14 @@ HEADLINE = [
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",
     "profile_orders_approx",
+    # round 5 additions: reconciliation diff, 5-table TPC-H profit
+    # shape, blocked edit-distance dedup, market-basket pair mining,
+    # deterministic per-group reservoir.
+    "etl_snapshot_diff",
+    "sql_product_profit",
+    "dedup_editdistance_blocked",
+    "agg_brand_cooccurrence",
+    "sample_reservoir_per_group",
 ]
 
 

@@ -698,3 +698,138 @@ def tws_user_stats_pipeline(ev: DataFrame) -> DataFrame:
         F.col("s.max_value").alias("max_value"),
         F.col("s.total_value").alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Streaming CDC apply: last-writer-wins upsert materialization.
+# ---------------------------------------------------------------------------
+# The incremental successor to etl_merge_upsert (etl.py): treat the
+# event stream as a change feed keyed by user_id and maintain a
+# materialized "current state per key" snapshot via foreachBatch.
+# Last-writer-wins on the total order (ts, event_id) makes the merge
+# ARRIVAL-ORDER-INDEPENDENT — a row only ever loses to a strictly
+# newer version — so any micro-batching of the same events converges
+# to the same snapshot (asserted against a 3-batch split in
+# tests/test_streaming_multibatch.py), and the batch oracle is a
+# plain per-key argmax over the whole feed. Each batch writes a new
+# immutable snapshot version keyed by batch_id and reads the highest
+# PRIOR version, so a retried batch rebuilds its own version from the
+# same inputs — per-batch idempotence, same contract as
+# foreachbatch_parquet_sink above.
+_CDC_APPLY_ORACLE = """
+SELECT user_id, event_type AS last_event_type, ts AS last_ts
+FROM (
+  SELECT user_id, event_type, ts,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+         ) AS rn
+  FROM events
+) latest
+WHERE rn = 1
+"""
+
+
+def _lww_winners(df: DataFrame) -> DataFrame:
+    """One surviving row per user_id: max (ts, event_id)."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def cdc_apply_pipeline(ev: DataFrame, out_root: str) -> DataFrame:
+    """Run the CDC-apply stream over ``ev`` materializing versioned
+    snapshots under ``out_root``; return the final snapshot as
+    (user_id, last_event_type, last_ts). Shared by the registered
+    query and the multi-batch convergence test."""
+    import glob
+    import os
+
+    spark = ev.sparkSession
+
+    def _prior_snapshot(batch_id: int) -> str | None:
+        versions = []
+        for d in glob.glob(os.path.join(out_root, "v*")):
+            name = os.path.basename(d)
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                v = int(name[1:])
+                if v < batch_id:
+                    versions.append(v)
+        if not versions:
+            return None
+        return os.path.join(out_root, f"v{max(versions):09d}")
+
+    def _apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        batch_win = _lww_winners(
+            batch_df.select("user_id", "event_type", "ts", "event_id")
+        )
+        prior = _prior_snapshot(batch_id)
+        if prior is not None:
+            merged = s.read.parquet(prior).unionByName(batch_win)
+            batch_win = _lww_winners(merged)
+        batch_win.write.mode("overwrite").parquet(
+            os.path.join(out_root, f"v{batch_id:09d}")
+        )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions", str(STREAM_STATE_PARTITIONS)
+        )
+        q = (
+            ev.writeStream.foreachBatch(_apply_batch)
+            .option(
+                "checkpointLocation", os.path.join(out_root, "_checkpoints")
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    final = _prior_snapshot(10**9)
+    if final is None:  # empty stream -> empty snapshot
+        return spark.createDataFrame(
+            [], "user_id LONG, last_event_type STRING, last_ts TIMESTAMP"
+        )
+    return spark.read.parquet(final).select(
+        "user_id",
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+    )
+
+
+@register(
+    "streaming_cdc_apply",
+    oracle=_CDC_APPLY_ORACLE,
+    tags=("streaming", "etl-parity"),
+)
+def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming upsert materialization: the events change feed folds
+    into a current-state-per-user snapshot, one immutable version per
+    micro-batch, merge rule = last-writer-wins on (ts, event_id).
+
+    Scale shape: per batch, one window rank over the batch (batch-
+    sized) plus one over prior-snapshot ∪ batch winners — both hash-
+    partitioned on the key, state lives in the snapshot files rather
+    than the state store, so key cardinality is unbounded by executor
+    memory. On a cluster the snapshot would be a keyed table format
+    (Delta/Iceberg MERGE) with the identical LWW join; versioned
+    directories + batch-id idempotence are the plain-parquet
+    equivalent."""
+    import atexit
+    import shutil
+    import tempfile
+
+    out_root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    ev = _stream_events(spark, sf_dir)
+    return cdc_apply_pipeline(ev, out_root)

@@ -305,3 +305,46 @@ def test_tws_pipeline_if_available(spark, sf_dir):
         )
     )
     assert got.count() == want.count()
+
+
+def test_cdc_apply_converges_across_batches(spark, sf_dir, tmp_path):
+    """3-batch CDC apply equals the single-pass per-key argmax: the
+    last-writer-wins merge is arrival-order-independent, so splitting
+    the feed into micro-batches must not change the final snapshot.
+    Also proves intermediate versions exist (one per batch)."""
+    import os
+
+    from pyspark.sql.window import Window
+
+    from golang_etl_spark.streaming.jobs import cdc_apply_pipeline
+
+    split_dir = str(tmp_path / "events_split")
+    n_files = _write_time_chunks(sf_dir, split_dir, 3)
+    assert n_files == 3
+
+    ev = _stream_events(
+        spark, sf_dir, max_files_per_trigger=1, dir_override=split_dir
+    )
+    out_root = str(tmp_path / "cdc_snapshots")
+    os.makedirs(out_root, exist_ok=True)
+    got = cdc_apply_pipeline(ev, out_root)
+
+    versions = [d for d in os.listdir(out_root) if d.startswith("v")]
+    assert len(versions) == 3, f"one snapshot version per batch: {versions}"
+
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    want = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_event_type"),
+            F.col("ts").alias("last_ts"),
+        )
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
