@@ -858,29 +858,34 @@ def agg_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     expansion within each order, global pair counts — the A-priori
     candidate-generation kernel of market-basket mining.
 
-    Scale shape: the pair expansion is a self-join co-located on the
-    order key (one exchange; per-order blowup is bounded by the
-    distinct-brand count of a single basket, ~tens), the pair count is
-    a partial-agg hash aggregate, and the final top-20 is a
-    TakeOrdered. The plan never materializes the full pair matrix."""
+    Scale shape: baskets form with ONE exchange (collect_set partial-
+    aggregates map-side), pairs expand map-side via higher-order
+    lambdas (blowup bounded by basket width squared, ~tens), the pair
+    count is a partial-agg hash aggregate, and the final top-20 is a
+    TakeOrdered. No self-join, no pair matrix."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    ob = (
+    baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .select("l_orderkey", "p_brand")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
     )
-    a, b = ob.alias("a"), ob.alias("b")
+    # map-side pair expansion via higher-order lambdas: for each basket
+    # emit every ordered pair (b1 < b2). Replaces a self-join (second
+    # exchange + sort) with a projection over the already-grouped
+    # basket — one exchange total before the pair count.
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, b1 -> "
+                "transform(filter(brands, b2 -> b2 > b1), "
+                "b2 -> struct(b1 AS brand_a, b2 AS brand_b))))"
+            )
+        ).alias("p")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.p_brand") < F.col("b.p_brand")),
-        )
-        .groupBy(
-            F.col("a.p_brand").alias("brand_a"),
-            F.col("b.p_brand").alias("brand_b"),
-        )
+        pairs.select("p.brand_a", "p.brand_b")
+        .groupBy("brand_a", "brand_b")
         .agg(F.count("*").alias("n_orders"))
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
