@@ -168,3 +168,87 @@ def sessionize_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("n_events"), 4).alias("avg_events_per_session"),
         F.max("n_events").alias("max_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel analysis: view -> click -> purchase conversion.
+# ---------------------------------------------------------------------------
+# The classic product-analytics query: how many users completed each
+# step IN ORDER (a click only counts after the user's first view, a
+# purchase only after that qualifying click). Step semantics are the
+# standard "first event of the right type strictly after the previous
+# step's timestamp".
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t1
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t2
+  GROUP BY e.user_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+"""
+
+_FUNNEL_FOLD = """
+aggregate(
+  seq,
+  struct(CAST(NULL AS TIMESTAMP) AS t1,
+         CAST(NULL AS TIMESTAMP) AS t2,
+         CAST(NULL AS TIMESTAMP) AS t3),
+  (a, e) -> struct(
+    CASE WHEN a.t1 IS NULL AND e.event_type = 'view'
+         THEN e.ts ELSE a.t1 END AS t1,
+    CASE WHEN a.t2 IS NULL AND a.t1 IS NOT NULL
+              AND e.event_type = 'click' AND e.ts > a.t1
+         THEN e.ts ELSE a.t2 END AS t2,
+    CASE WHEN a.t3 IS NULL AND a.t2 IS NOT NULL
+              AND e.event_type = 'purchase' AND e.ts > a.t2
+         THEN e.ts ELSE a.t3 END AS t3))
+"""
+
+
+@register(
+    "sessionize_funnel_steps",
+    oracle=_FUNNEL_ORACLE,
+    tags=("session", "aggregation", "analytic"),
+)
+def sessionize_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view->click->purchase funnel: per-user chronological
+    fold over the event sequence, then one global count per step.
+
+    The fold scans each user's ts-sorted event array once, latching
+    step timestamps in order (a later step only latches strictly after
+    the previous one) — first-match-in-sorted-order equals the
+    oracle's MIN-after-previous-step because the array is sorted by
+    (ts, event_id).
+
+    Scale shape: ONE exchange (the per-user collect_list groupBy); the
+    fold is a JVM higher-order lambda over basket-sized arrays and the
+    final 3-counter rollup is a single partial-agg'd row. The oracle's
+    3-way self-join formulation would shuffle the fact table three
+    times; the fold does it in one."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(
+            F.collect_list(F.struct("ts", "event_id", "event_type"))
+        ).alias("seq")
+    )
+    folded = per_user.select(F.expr(_FUNNEL_FOLD).alias("f"))
+    return folded.agg(
+        F.count("f.t1").alias("n_view"),
+        F.count("f.t2").alias("n_view_click"),
+        F.count("f.t3").alias("n_view_click_purchase"),
+    )

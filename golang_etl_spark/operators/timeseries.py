@@ -298,3 +298,70 @@ def timeseries_rollup_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rollup_level"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: weekly signup cohorts x activity-week offsets.
+# ---------------------------------------------------------------------------
+_COHORT_ORACLE = """
+WITH firsts AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id, f.cohort_week,
+         date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7
+           AS week_offset
+  FROM events e JOIN firsts f ON f.user_id = e.user_id
+)
+SELECT cohort_week, CAST(week_offset AS BIGINT) AS week_offset,
+       CAST(COUNT(*) AS BIGINT) AS n_active_users
+FROM activity
+GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+"""
+
+
+@register(
+    "timeseries_cohort_retention",
+    oracle=_COHORT_ORACLE,
+    tags=("timeseries", "aggregation", "analytic"),
+)
+def timeseries_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users grouped by the week of
+    their first event, counted once per subsequent week they were
+    active, keyed by the week offset from their cohort.
+
+    Week buckets are Monday-truncated in both engines, so the
+    offset — day difference between truncated weeks divided by 7 — is
+    exact integer arithmetic, no float drift.
+
+    Scale shape: the first-event groupBy and the join back both hash
+    on user_id (one exchange, reused), the distinct collapses to
+    (user, offset) granularity before the final count, and the result
+    is cohort-weeks x offsets — tiny. The cohort table is user-count
+    sized; at 100 TB it would be the persisted `users` dimension and
+    the join would broadcast or bucket."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
