@@ -130,6 +130,10 @@ HEADLINE = [
     "dedup_editdistance_blocked",
     "agg_brand_cooccurrence",
     "sample_reservoir_per_group",
+    "streaming_cdc_apply",
+    "sessionize_funnel_steps",
+    "timeseries_cohort_retention",
+    "etl_incremental_agg",
 ]
 
 

@@ -580,3 +580,85 @@ def etl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("change_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (materialized-view delta update).
+# ---------------------------------------------------------------------------
+# The batch pipeline's recurring cost at 100 TB is NOT the first
+# aggregation — it's re-aggregating everything when a day of new data
+# lands. The fix is mergeable partial state: persist the aggregate's
+# commutative partials (count, sums) per group, aggregate ONLY the
+# delta, and merge partials. Derived measures (averages) come from the
+# merged sums, never from averaging averages. The oracle recomputes
+# the aggregate over the full table — proving merge(base, delta) is
+# bit-equal to recompute(all), which is the correctness contract of
+# incremental view maintenance.
+_INC_AGG_CUTOFF = "1998-01-01 00:00:00"
+
+_INC_AGG_ORACLE = """
+SELECT l_returnflag, l_linestatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       ROUND(SUM(l_extendedprice), 4) AS sum_price,
+       ROUND(SUM(l_quantity) / COUNT(*), 6) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def _partial_state(df: DataFrame) -> DataFrame:
+    """The mergeable partial-aggregate state of the pricing rollup."""
+    return df.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.sum("l_extendedprice").alias("sum_price"),
+    )
+
+
+@register(
+    "etl_incremental_agg",
+    oracle=_INC_AGG_ORACLE,
+    tags=("etl-parity", "aggregation"),
+)
+def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: the pricing rollup's partial
+    state is built separately over the base partition (shipped before
+    the cutoff) and the delta partition (after), merged by summing
+    partials, and derived measures come from merged sums. The oracle
+    recomputes over the full table — merge == recompute, the IVM
+    contract.
+
+    Scale shape: in production the base state is a persisted few-rows
+    table and only the delta is scanned — per-refresh cost is
+    O(delta), not O(history). Here both halves scan the fixture (the
+    cutoff predicate pushes down to the parquet scan on both sides);
+    the merge is a groupBy over 2x|groups| rows. Sums stay exact under
+    reordering because merge is addition over the same doubles the
+    full recompute would add - the driver's round(4) canonicalization
+    absorbs accumulation-order ULPs, same as every SUM query here."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_shipdate",
+    )
+    cutoff = F.lit(_INC_AGG_CUTOFF).cast("timestamp")
+    base_state = _partial_state(li.filter(F.col("l_shipdate") < cutoff))
+    delta_state = _partial_state(li.filter(F.col("l_shipdate") >= cutoff))
+    merged = (
+        base_state.unionByName(delta_state)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_qty").alias("sum_qty"),
+            F.sum("sum_price").alias("sum_price"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_rows",
+        F.round("sum_qty", 4).alias("sum_qty"),
+        F.round("sum_price", 4).alias("sum_price"),
+        F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
+    ).orderBy("l_returnflag", "l_linestatus")

@@ -500,3 +500,31 @@ def test_snapshot_diff_one_exchange_per_snapshot(spark, sf_dir):
     assert "SortMergeJoin FullOuter" in plan or "SortMergeJoin" in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert plan.count("Exchange") <= 6, plan
+
+
+def test_funnel_fold_single_exchange(spark, sf_dir):
+    # the ordered-funnel fold must aggregate each user's sequence with
+    # ONE hash exchange (collect_list partial -> final) plus the
+    # single-row global rollup; the SQL formulation's three fact-table
+    # shuffles must not appear
+    plan = _plan(spark, sf_dir, "sessionize_funnel_steps")
+    assert plan.count("Exchange") <= 2, plan
+    assert "Join" not in plan, plan
+
+
+def test_cohort_join_reuses_user_hash(spark, sf_dir):
+    # first-event groupBy and the join back both hash on user_id; no
+    # nested-loop fallback, and the distinct collapses before the
+    # final tiny count
+    plan = _plan(spark, sf_dir, "timeseries_cohort_retention")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "HashAggregate" in plan, plan
+
+
+def test_incremental_agg_pushes_cutoff_to_scan(spark, sf_dir):
+    # both halves' cutoff predicates reach the parquet scan, so the
+    # delta side reads only post-cutoff row groups at scale
+    plan = _plan(spark, sf_dir, "etl_incremental_agg")
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300], plan
