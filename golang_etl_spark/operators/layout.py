@@ -425,3 +425,87 @@ def sink_range_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("event_id").alias("last_event"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution across file vintages (read-time mergeSchema).
+# ---------------------------------------------------------------------------
+# The reference binds ONE static YAML schema per table
+# (/root/reference/config.yaml; parquet writer factory
+# extractor.go:114-150) — a column added upstream breaks the job. The
+# production behavior a long-lived 100 TB table needs is additive
+# schema evolution: old files keep their narrow schema, new files
+# carry the new column, and the read layer unions schemas with NULLs
+# for the missing column. Parquet + mergeSchema gives exactly that;
+# the oracle replays it as a UNION with a NULL literal on the old
+# vintage.
+_EVOLVE_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderstatus, o_totalprice, NULL AS priority_rank
+  FROM orders WHERE o_orderkey % 2 = 0
+  UNION ALL
+  SELECT o_orderstatus, o_totalprice,
+         CAST(CASE WHEN o_orderpriority = '1-URGENT' THEN 1
+                   WHEN o_orderpriority = '2-HIGH' THEN 2
+                   ELSE 3 END AS BIGINT) AS priority_rank
+  FROM orders WHERE o_orderkey % 2 = 1
+)
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(priority_rank) AS BIGINT) AS n_with_rank,
+       CAST(MIN(priority_rank) AS BIGINT) AS min_rank,
+       ROUND(SUM(o_totalprice), 2) AS total
+FROM unioned
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@register(
+    "sink_schema_evolution",
+    oracle=_EVOLVE_ORACLE,
+    tags=("sink", "layout"),
+)
+def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive schema evolution round-trip: vintage-1 files written
+    without `priority_rank`, vintage-2 files with it; a single
+    mergeSchema read unions both, filling NULLs on the old vintage —
+    summarized per status (total rows, rows carrying the new column,
+    its min, value checksum) so the hash gate proves no row or value
+    was lost on either vintage.
+
+    Scale shape: mergeSchema reconciles footers at planning time (at
+    large file counts you'd pin the merged schema from the catalog
+    instead of footer-sampling); the data path is an ordinary
+    parallel scan + partial-agg groupBy, one exchange. Old files are
+    never rewritten — evolution is metadata-only, the property that
+    matters at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = _layout_dir("orders_evolving", sf_dir)
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderstatus", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .when(F.col("o_orderpriority") == "2-HIGH", 2)
+        .otherwise(3)
+        .cast("long")
+        .alias("priority_rank"),
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/vintage=1")
+    v2.write.mode("overwrite").parquet(f"{out}/vintage=2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/vintage=1", f"{out}/vintage=2"
+    )
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.count("priority_rank").alias("n_with_rank"),
+            F.min("priority_rank").alias("min_rank"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+        .orderBy("o_orderstatus")
+    )
