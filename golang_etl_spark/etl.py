@@ -662,3 +662,96 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sum_price", 4).alias("sum_price"),
         F.round(F.col("sum_qty") / F.col("n_rows"), 6).alias("avg_qty"),
     ).orderBy("l_returnflag", "l_linestatus")
+
+
+# ---------------------------------------------------------------------------
+# Constraint audit (the post-load data-quality gate).
+# ---------------------------------------------------------------------------
+# The reference loads shards into parquet and never checks what
+# arrived (a scan error even drops rows silently, extractor.go:88-91).
+# The audit a production load runs afterwards: referential integrity
+# (orphaned foreign keys via anti-joins), key uniqueness (duplicate
+# primary keys), and completeness (NULL keys) — every check one
+# aggregate over one join/scan, all checks in a single job, emitted as
+# one (check_name, n_violations) relation so a green load is a
+# hash-stable all-zeros table.
+_CONSTRAINT_AUDIT_ORACLE = """
+SELECT check_name, n_violations FROM (
+  SELECT 'lineitem_orphan_orderkey' AS check_name,
+         CAST(COUNT(*) AS BIGINT) AS n_violations
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'orders_orphan_custkey',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'orders_duplicate_pk',
+         CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+  UNION ALL
+  SELECT 'orders_null_pk',
+         CAST(COUNT(*) AS BIGINT)
+  FROM orders WHERE o_orderkey IS NULL
+) checks
+ORDER BY check_name
+"""
+
+
+@register(
+    "etl_constraint_audit",
+    oracle=_CONSTRAINT_AUDIT_ORACLE,
+    tags=("etl-parity", "join", "aggregation"),
+)
+def etl_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-load constraint audit: orphaned FKs (anti-joins), PK
+    duplicates (grouped HAVING), NULL PKs — one violation-count row
+    per check, all in a single job.
+
+    Scale shape: each anti-join broadcasts when the parent side is
+    dim-sized and shuffles on the key otherwise (Catalyst's choice);
+    the duplicate check is a partial-agg'd groupBy; the NULL check is
+    a pushed-down IsNull scan. The four branches share nothing, so
+    Spark schedules them as independent stages of one job — audit
+    latency is max(check), not sum(check)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+
+    def _count(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").alias("n_violations"),
+        )
+
+    orphan_li = li.join(
+        orders.select("o_orderkey"),
+        li.l_orderkey == F.col("o_orderkey"),
+        "left_anti",
+    )
+    orphan_ord = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    )
+    dup_pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 1)
+        .agg(
+            F.lit("orders_duplicate_pk").alias("check_name"),
+            F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+    )
+    null_pk = orders.filter(F.col("o_orderkey").isNull())
+    return (
+        _count("lineitem_orphan_orderkey", orphan_li)
+        .unionByName(_count("orders_orphan_custkey", orphan_ord))
+        .unionByName(dup_pk)
+        .unionByName(_count("orders_null_pk", null_pk))
+        .orderBy("check_name")
+    )
