@@ -134,6 +134,8 @@ HEADLINE = [
     "sessionize_funnel_steps",
     "timeseries_cohort_retention",
     "etl_incremental_agg",
+    "sink_schema_evolution",
+    "etl_constraint_audit",
 ]
 
 
