@@ -643,8 +643,16 @@ def etl_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_shipdate",
     )
     cutoff = F.lit(_INC_AGG_CUTOFF).cast("timestamp")
+    # the two predicates must PARTITION the table — a NULL ship date
+    # satisfies neither comparison, so the delta side owns the NULL
+    # arm explicitly or merge(base, delta) silently undercounts vs
+    # the full recompute
     base_state = _partial_state(li.filter(F.col("l_shipdate") < cutoff))
-    delta_state = _partial_state(li.filter(F.col("l_shipdate") >= cutoff))
+    delta_state = _partial_state(
+        li.filter(
+            (F.col("l_shipdate") >= cutoff) | F.col("l_shipdate").isNull()
+        )
+    )
     merged = (
         base_state.unionByName(delta_state)
         .groupBy("l_returnflag", "l_linestatus")
