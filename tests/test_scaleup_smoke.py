@@ -147,3 +147,29 @@ def test_cc_pointer_jumping_rounds_logarithmic(spark, shallow, deep):
     assert rounds[deep] - rounds[shallow] <= 4, (
         f"round growth not logarithmic: {rounds}"
     )
+
+
+def test_editdistance_blocked_scales_subquadratically(spark, scaled_dir):
+    """Blocked Levenshtein at 10x: every doc gains 9 exact clones in
+    its block, so the TRUE pair count grows ~replicas^2 x (measured
+    ~1000x) — but wall time must stay near-linear (measured ~6x),
+    proving the cost is output-proportional (block-local verify), not
+    an n^2 scan of the pair space."""
+    from golang_etl_spark.operators.dedup import dedup_editdistance_blocked
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    base = dedup_editdistance_blocked(spark, SF_BIG).count()
+    t_base = time.perf_counter() - t0
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big = dedup_editdistance_blocked(spark, scaled_dir).count()
+    t_big = time.perf_counter() - t0
+
+    assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
+    # measured ~5.6x on an idle local[32]; 2x headroom for jitter
+    # keeps the gate an order of magnitude below the quadratic ~100x
+    assert t_big < t_base * REPLICAS * 2, (
+        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    )
