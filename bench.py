@@ -136,6 +136,7 @@ HEADLINE = [
     "etl_incremental_agg",
     "sink_schema_evolution",
     "etl_constraint_audit",
+    "text_boilerplate_ngrams",
 ]
 
 

@@ -1054,3 +1054,83 @@ def pipeline_training_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bpe_tokens").alias("total_tokens"),
         F.round(F.avg("ttr"), 4).alias("avg_ttr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate n-gram detection (corpus-frequent phrase mining).
+# ---------------------------------------------------------------------------
+# Web-scale curation removes boilerplate (nav text, license headers,
+# cookie banners) by finding word n-grams that recur across MANY
+# documents — the cross-document complement of the within-document
+# repetition filter above. The detector is the first stage: surface
+# the corpus's most document-frequent 5-grams with occurrence and
+# document counts; the removal stage would anti-join documents
+# against the resulting phrase list.
+BOILERPLATE_N = 5
+BOILERPLATE_MIN_DOCS = 3
+BOILERPLATE_TOP = 20
+
+_BOILERPLATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_words_expr_duck()} AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(
+           generate_series(1, len(t) - {BOILERPLATE_N - 1}),
+           i -> array_to_string(t[i:i+{BOILERPLATE_N - 1}], ' '))) AS ngram
+  FROM toks
+)
+SELECT ngram,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM grams
+GROUP BY ngram
+HAVING COUNT(DISTINCT doc_id) >= {BOILERPLATE_MIN_DOCS}
+ORDER BY n_docs DESC, n_occurrences DESC, ngram
+LIMIT {BOILERPLATE_TOP}
+"""
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle=_BOILERPLATE_ORACLE,
+    tags=("text", "llm", "topk"),
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequent 5-grams with occurrence + document-frequency
+    counts — the boilerplate-phrase detector of a curation pipeline.
+
+    Spark's sequence(1, stop) DESCENDS when stop < 1 (DuckDB's
+    generate_series yields empty), so documents shorter than N tokens
+    are filtered before the gram expansion — the oracle produces no
+    grams for them either way.
+
+    Scale shape: gram expansion is a map-side HOF projection (output
+    ~= token count), the count/distinct-doc rollup partial-aggregates
+    on the gram key, and the final top-20 is a TakeOrdered. One
+    exchange on the gram key; hot grams ARE the signal, and AQE
+    skew-join is irrelevant because there is no join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.expr(_words_expr_spark()).alias("t")
+    ).filter(F.size("t") >= BOILERPLATE_N)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {BOILERPLATE_N - 1}), "
+                f"i -> concat_ws(' ', slice(t, i, {BOILERPLATE_N})))"
+            )
+        ).alias("ngram"),
+    )
+    return (
+        grams.groupBy("ngram")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
+        .limit(BOILERPLATE_TOP)
+    )
