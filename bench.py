@@ -137,6 +137,8 @@ HEADLINE = [
     "sink_schema_evolution",
     "etl_constraint_audit",
     "text_boilerplate_ngrams",
+    "window_ratio_to_report",
+    "profile_histogram",
 ]
 
 

@@ -208,3 +208,74 @@ def percentile_exact_by_priority(
         F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90"),
         F.round(F.percentile("o_totalprice", F.lit(0.99)), 6).alias("p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width histogram (fixed binning, no data-dependent bounds).
+# ---------------------------------------------------------------------------
+# The distribution-shape companion to the percentile profile: bucket
+# o_totalprice into fixed-width bins with LITERAL bounds shared by
+# both engines (data-dependent bounds would need a pre-scan; a
+# production profiler derives them from the previous run's min/max or
+# the catalog stats). Bucket math is identical integer floor division
+# in both engines — no width_bucket dialect dependence.
+HIST_LO = 0.0
+HIST_WIDTH = 50_000.0
+HIST_BINS = 10  # values above lo + bins*width clamp into the top bin
+
+_HIST_ORACLE = f"""
+SELECT bucket,
+       ROUND({HIST_LO} + bucket * {HIST_WIDTH}, 1) AS bin_lo,
+       ROUND({HIST_LO} + (bucket + 1) * {HIST_WIDTH}, 1) AS bin_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 2) AS bin_total
+FROM (
+  SELECT o_totalprice,
+         CAST(LEAST(FLOOR((o_totalprice - {HIST_LO}) / {HIST_WIDTH}),
+                    {HIST_BINS - 1}) AS BIGINT) AS bucket
+  FROM orders
+) b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@register(
+    "profile_histogram",
+    oracle=_HIST_ORACLE,
+    tags=("profiling", "aggregation"),
+)
+def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals: 10 fixed 50k-wide bins
+    (top bin clamps the tail), with per-bin count and value total.
+
+    Scale shape: the bucket id is a map-side floor-division
+    projection; the rollup partial-aggregates into at most HIST_BINS
+    groups — the exchange carries bins x partitions rows. This is the
+    one-scan shape a profiler wants at 100 TB; the percentile profile
+    (above) answers quantile questions, this answers shape ones."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(HIST_LO)) / F.lit(HIST_WIDTH)),
+        F.lit(HIST_BINS - 1),
+    ).cast("long")
+    return (
+        orders.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("bin_total"),
+        )
+        .select(
+            "bucket",
+            F.round(F.lit(HIST_LO) + F.col("bucket") * HIST_WIDTH, 1).alias(
+                "bin_lo"
+            ),
+            F.round(
+                F.lit(HIST_LO) + (F.col("bucket") + 1) * HIST_WIDTH, 1
+            ).alias("bin_hi"),
+            "n_orders",
+            "bin_total",
+        )
+        .orderBy("bucket")
+    )

@@ -254,3 +254,51 @@ def window_global_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="price_rank",
     )
     return ranked.select("o_orderkey", "o_totalprice", "price_rank")
+
+
+# ---------------------------------------------------------------------------
+# Ratio-to-report: each row's share of its partition total.
+# ---------------------------------------------------------------------------
+_RATIO_ORACLE = """
+SELECT o_orderpriority, o_orderstatus,
+       ROUND(status_total, 4) AS status_total,
+       ROUND(100.0 * status_total / SUM(status_total)
+             OVER (PARTITION BY o_orderpriority), 4) AS pct_of_priority
+FROM (
+  SELECT o_orderpriority, o_orderstatus,
+         SUM(o_totalprice) AS status_total
+  FROM orders
+  GROUP BY o_orderpriority, o_orderstatus
+) s
+ORDER BY o_orderpriority, o_orderstatus
+"""
+
+
+@register(
+    "window_ratio_to_report",
+    oracle=_RATIO_ORACLE,
+    tags=("window", "analytic", "aggregation"),
+)
+def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total ('ratio to report'): each (priority, status)
+    revenue cell as a share of its priority's total, computed by an
+    unbounded window over the PRE-AGGREGATED cells.
+
+    Scale shape: the fact table aggregates first (partial-agg, one
+    exchange); the share window runs over |priorities| x |statuses|
+    rows — the module rule that global/frame windows only ever see
+    pre-aggregated input. The window share is a double division of
+    partition-summed doubles, rounded in both engines."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.sum("o_totalprice").alias("status_total")
+    )
+    w = W.partitionBy("o_orderpriority")
+    return cells.select(
+        "o_orderpriority",
+        "o_orderstatus",
+        F.round("status_total", 4).alias("status_total"),
+        F.round(
+            100.0 * F.col("status_total") / F.sum("status_total").over(w), 4
+        ).alias("pct_of_priority"),
+    ).orderBy("o_orderpriority", "o_orderstatus")
