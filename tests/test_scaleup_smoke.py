@@ -27,6 +27,20 @@ REPLICAS = 10
 SF_BIG = "/root/testdata/sf0.1"
 
 
+def _timed_count(spark, fn, sf_dir, repeats=2):
+    """min-of-N wall clock for fn(spark, sf_dir).count(): a single
+    measurement under a loaded suite JVM can absorb a multi-second GC
+    or scheduler stall and blow a ratio gate that holds comfortably on
+    an idle host — the min of two runs discards the transient."""
+    best, n = float("inf"), 0
+    for _ in range(repeats):
+        spark.catalog.clearCache()
+        t0 = time.perf_counter()
+        n = fn(spark, sf_dir).count()
+        best = min(best, time.perf_counter() - t0)
+    return n, best
+
+
 @pytest.fixture(scope="module")
 def scaled_dir(tmp_path_factory):
     if not os.path.exists(f"{SF_BIG}/documents.parquet"):
@@ -50,23 +64,19 @@ def scaled_dir(tmp_path_factory):
 def test_minhash_scales_subquadratically(spark, scaled_dir):
     from golang_etl_spark.operators.dedup import dedup_minhash_lsh
 
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    base = dedup_minhash_lsh(spark, SF_BIG).count()
-    t_base = time.perf_counter() - t0
-
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    big = dedup_minhash_lsh(spark, scaled_dir).count()
-    t_big = time.perf_counter() - t0
+    base, t_base = _timed_count(spark, dedup_minhash_lsh, SF_BIG)
+    big, t_big = _timed_count(spark, dedup_minhash_lsh, scaled_dir)
 
     # every original pair appears once per copy (10x) plus the exact
-    # cross-copy duplicates; an n^2 operator would be ~100x the work.
-    # Bound generously for host jitter: time must stay well under the
-    # quadratic ratio.
+    # cross-copy duplicates. Same gate rationale as the edit-distance
+    # smoke below: base wall time swings with page-cache warmth, so
+    # the anti-n^2 evidence is an absolute ceiling (an all-pairs
+    # operator over 50k docs would verify 1.2e9 pairs — minutes, not
+    # seconds) plus per-surviving-pair cost not growing.
     assert big >= base * REPLICAS, f"candidates lost at scale: {base} -> {big}"
-    assert t_big < t_base * REPLICAS * 3, (
-        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    assert t_big < 240, f"all-pairs-scale blowup: {t_big:.1f}s at {REPLICAS}x"
+    assert t_big / big <= t_base / base, (
+        f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
     )
 
 
@@ -157,19 +167,20 @@ def test_editdistance_blocked_scales_subquadratically(spark, scaled_dir):
     an n^2 scan of the pair space."""
     from golang_etl_spark.operators.dedup import dedup_editdistance_blocked
 
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    base = dedup_editdistance_blocked(spark, SF_BIG).count()
-    t_base = time.perf_counter() - t0
-
-    spark.catalog.clearCache()
-    t0 = time.perf_counter()
-    big = dedup_editdistance_blocked(spark, scaled_dir).count()
-    t_big = time.perf_counter() - t0
+    base, t_base = _timed_count(spark, dedup_editdistance_blocked, SF_BIG)
+    big, t_big = _timed_count(spark, dedup_editdistance_blocked, scaled_dir)
 
     assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
-    # measured ~5.6x on an idle local[32]; 2x headroom for jitter
-    # keeps the gate an order of magnitude below the quadratic ~100x
-    assert t_big < t_base * REPLICAS * 2, (
-        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    # Ratio gates are wrong for this operator under replica inflation:
+    # every doc gains 9 exact clones in its block, so the TRUE output
+    # grows ~replicas^2 (measured ~1000x pairs) and wall time follows
+    # output, while the base measurement swings 0.5-4s with page-cache
+    # warmth — a base-relative bound flakes either way. Two robust
+    # invariants instead: wall time must track output, never the
+    # all-pairs space (50k docs = 1.2e9 pairs; verifying those at even
+    # 1 us each is >20 min — the ceiling catches it with 5x headroom),
+    # and per-surviving-pair cost must not grow.
+    assert t_big < 240, f"all-pairs-scale blowup: {t_big:.1f}s at {REPLICAS}x"
+    assert t_big / big <= t_base / base, (
+        f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
     )
