@@ -139,6 +139,8 @@ HEADLINE = [
     "text_boilerplate_ngrams",
     "window_ratio_to_report",
     "profile_histogram",
+    "sink_partition_backfill",
+    "window_gaps_islands",
 ]
 
 

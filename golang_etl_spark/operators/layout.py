@@ -509,3 +509,70 @@ def sink_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partition backfill: dynamic partition overwrite of ONE slice.
+# ---------------------------------------------------------------------------
+# The recurring production write: a day's data was wrong, re-write
+# THAT partition without touching the others. Static overwrite mode
+# would truncate the whole table; dynamic partition overwrite
+# (spark.sql.sources.partitionOverwriteMode=dynamic) replaces only
+# the partitions present in the incoming frame. The oracle replays
+# the backfill relationally: untouched types keep fixture values, the
+# backfilled type carries the correction.
+_BACKFILL_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM (
+  SELECT event_type, value FROM events WHERE event_type <> 'error'
+  UNION ALL
+  SELECT event_type, value * 0.5 AS value FROM events
+  WHERE event_type = 'error'
+) t
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@register(
+    "sink_partition_backfill",
+    oracle=_BACKFILL_ORACLE,
+    tags=("sink", "layout"),
+)
+def sink_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill one partition in place: write events partitioned by
+    event_type, then overwrite ONLY the 'error' partition with
+    corrected values (halved) under dynamic partition-overwrite mode;
+    the readback aggregate proves the other four partitions are
+    byte-identical to the first write and the corrected one replaced
+    (never appended to) its directory.
+
+    Scale shape: the correction job scans/writes one partition's
+    data; the other partitions are untouched files — backfill cost is
+    O(partition), not O(table). Dynamic mode is session-scoped config
+    read at write time, restored after."""
+    out = _layout_dir("events_backfill", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    corrected = ev.filter(F.col("event_type") == "error").withColumn(
+        "value", F.col("value") * 0.5
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )

@@ -302,3 +302,72 @@ def window_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             100.0 * F.col("status_total") / F.sum("status_total").over(w), 4
         ).alias("pct_of_priority"),
     ).orderBy("o_orderpriority", "o_orderstatus")
+
+
+# ---------------------------------------------------------------------------
+# Gaps and islands: consecutive-day activity streaks per user.
+# ---------------------------------------------------------------------------
+# The classic islands construction: for each user's distinct active
+# days in order, day - row_number is constant within a consecutive
+# run, so it keys the island. Output per user: number of streaks and
+# the longest streak length. date - integer arithmetic is exact in
+# both engines (no interval/timezone drift).
+_ISLANDS_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+  FROM events
+),
+isl AS (
+  SELECT user_id, d,
+         d - CAST(ROW_NUMBER() OVER (
+               PARTITION BY user_id ORDER BY d) AS INTEGER) AS anchor
+  FROM days
+),
+streaks AS (
+  SELECT user_id, anchor, COUNT(*) AS len
+  FROM isl GROUP BY user_id, anchor
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks,
+       CAST(MAX(len) AS BIGINT) AS longest_streak
+FROM streaks
+GROUP BY user_id
+ORDER BY user_id
+"""
+
+
+@register(
+    "window_gaps_islands",
+    oracle=_ISLANDS_ORACLE,
+    tags=("window", "analytic", "session"),
+)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks per user via the
+    day-minus-row_number islands key.
+
+    Scale shape: the distinct collapses events to (user, day)
+    granularity first (partial-agg'd, one exchange on user+day),
+    then the window and both rollups share the user_id hash — at most
+    two exchanges end-to-end, all over day-granularity rows, never
+    raw events."""
+    ev = load_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date(F.col("ts")).alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    isl = days.select(
+        "user_id",
+        "d",
+        F.date_sub(
+            F.col("d"), F.row_number().over(w).cast("int")
+        ).alias("anchor"),
+    )
+    streaks = isl.groupBy("user_id", "anchor").agg(F.count("*").alias("len"))
+    return (
+        streaks.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_streaks"),
+            F.max("len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )
