@@ -141,6 +141,7 @@ HEADLINE = [
     "profile_histogram",
     "sink_partition_backfill",
     "window_gaps_islands",
+    "etl_deadletter_routing",
 ]
 
 

@@ -763,3 +763,73 @@ def etl_constraint_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_count("orders_null_pk", null_pk))
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dead-letter routing (no silent drops — the reference's documented flaw).
+# ---------------------------------------------------------------------------
+# The reference DROPS rows that fail its scan loop and keeps going
+# (extractor.go:88-91: `if err != nil { continue }`) — data loss with
+# no audit trail. The production pattern is dead-letter routing: every
+# row gets a disposition (ok, or the FIRST validation rule it failed),
+# good rows flow on, quarantined rows land in an auditable side
+# output, and row count in == row count out across the split. The
+# summary relation proves conservation under the hash gate: the
+# per-disposition id checksums partition the table's full checksum.
+_DEADLETTER_ORACLE = """
+SELECT disposition,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(event_id) AS BIGINT) AS id_checksum
+FROM (
+  SELECT event_id,
+         CASE
+           WHEN value > 400 THEN 'quarantine:value_out_of_range'
+           WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 90
+             THEN 'quarantine:props_k_out_of_range'
+           ELSE 'ok'
+         END AS disposition
+  FROM events
+) routed
+GROUP BY disposition
+ORDER BY disposition
+"""
+
+
+@register(
+    "etl_deadletter_routing",
+    oracle=_DEADLETTER_ORACLE,
+    tags=("etl-parity", "aggregation"),
+)
+def etl_deadletter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validation split with dead-letter dispositions: each row is
+    labeled ok or with the first rule it failed, and the summary's
+    per-disposition counts + id checksums prove NO row was silently
+    dropped — the audit the reference's `continue`-on-error loop
+    (extractor.go:88-91) cannot produce.
+
+    Scale shape: the disposition is a map-side CASE projection (the
+    JSON probe is a JVM get_json_object), the rollup partial-
+    aggregates to |rules|+1 groups, and in a real pipeline the same
+    disposition column drives a partitioned write
+    (partitionBy(disposition)) so quarantine lands as its own
+    auditable partition — zero extra passes."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "value", "props"
+    )
+    disposition = (
+        F.when(F.col("value") > 400, "quarantine:value_out_of_range")
+        .when(
+            F.get_json_object("props", "$.k").cast("long") > 90,
+            "quarantine:props_k_out_of_range",
+        )
+        .otherwise("ok")
+    )
+    return (
+        ev.select("event_id", disposition.alias("disposition"))
+        .groupBy("disposition")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("event_id").cast("long").alias("id_checksum"),
+        )
+        .orderBy("disposition")
+    )

@@ -332,3 +332,48 @@ def test_range_sorted_files_disjoint_and_ordered(spark, sf_dir, tmp_path):
         .count()
     )
     assert disorder == 0, "rows inside a file are not in sort order"
+
+
+def test_backfill_rewrites_only_target_partition(spark, sf_dir, tmp_path):
+    """Dynamic partition overwrite must leave every non-target
+    partition's files byte-identical (same paths, sizes, mtimes) and
+    replace — not append to — the target partition's directory."""
+    import os
+
+    def _stat_tree(root, skip):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            if skip in dirpath:
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    out = str(tmp_path / "events_bf")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_type", "value"
+    )
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    before = _stat_tree(out, skip="event_type=error")
+    n_error_before = spark.read.parquet(out).filter(
+        "event_type = 'error'"
+    ).count()
+
+    corrected = ev.filter(F.col("event_type") == "error").withColumn(
+        "value", F.col("value") * 0.5
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = _stat_tree(out, skip="event_type=error")
+    assert before == after, "non-target partition files were touched"
+    # replaced, not appended: row count unchanged, values halved
+    err = spark.read.parquet(out).filter("event_type = 'error'")
+    assert err.count() == n_error_before
