@@ -118,6 +118,10 @@ HEADLINE = [
     "window_global_rank",
     "text_quality_bins",
     "sink_range_sorted",
+    # round 5 additions
+    "dedup_exact_substring",
+    "dedup_semantic_prune",
+    "text_quality_gate_per_lang",
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",

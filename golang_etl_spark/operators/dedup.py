@@ -946,3 +946,198 @@ def dedup_editdistance_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("a_id", "b_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Exact-substring dedup: cross-document k-token window overlap.
+# ---------------------------------------------------------------------------
+# The distributed analog of suffix-array exact-substring dedup (Lee et
+# al., "Deduplicating Training Data Makes Language Models Better"): a
+# suffix array is inherently single-node, so at 100 TB the standard
+# formulation is a window-hash inverted index — hash every K-token
+# sliding window, count distinct documents per window hash, and score
+# each document by the fraction of its windows that also appear in
+# some OTHER document. Catches copied passages that whole-document
+# hashing (dedup_exact_text) and set-similarity (minhash/jaccard,
+# which ignore token ORDER) both miss.
+SUBSTR_K = 8  # tokens per window; Lee et al. use 50 BPE tokens at web scale
+
+
+_SUBSTR_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_WORDS_DUCK} AS t FROM documents
+),
+win AS (
+  SELECT doc_id, md5(array_to_string(t[i:i + {SUBSTR_K} - 1], ' ')) AS h
+  FROM toks, UNNEST(generate_series(1, len(t) - {SUBSTR_K} + 1)) AS g(i)
+  WHERE len(t) >= {SUBSTR_K}
+),
+grp AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM win GROUP BY doc_id, h
+),
+nd AS (
+  SELECT doc_id, h, c, COUNT(*) OVER (PARTITION BY h) AS n_docs
+  FROM grp
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_windows,
+       CAST(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+         AS n_shared,
+       ROUND(SUM(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) * 1.0 / SUM(c), 6)
+         AS dup_frac
+FROM nd
+GROUP BY doc_id
+"""
+
+
+@register("dedup_exact_substring", oracle=_SUBSTR_ORACLE, tags=("dedup", "llm"))
+def dedup_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-substring fraction via a K-token
+    sliding-window hash index (K=8): a window is "shared" when its
+    hash occurs in >= 2 distinct documents; dup_frac is the fraction
+    of a document's window POSITIONS covered by shared windows — the
+    remove-or-keep signal exact-substring pipelines threshold on.
+
+    100 TB shape: three exchanges, no joins — (doc_id, h) partial-agg
+    collapses within-doc repeats BEFORE the h-shuffle (map-side
+    combine bounds boilerplate hot keys), a count window over h scores
+    cross-doc occurrence (one row per doc x distinct-window, never an
+    all-pairs candidate set), and the final doc_id agg is pre-reduced.
+    Window hashing is O(total tokens); a suffix array would need a
+    global sort of every suffix."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _pin_partitions(spark), "doc_id"
+    )
+    win = (
+        docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS t")
+        .filter(F.expr(f"size(t) >= {SUBSTR_K}"))
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(1, size(t) - {SUBSTR_K} + 1), "
+            f"i -> md5(concat_ws(' ', slice(t, i, {SUBSTR_K}))))) AS h",
+        )
+    )
+    grp = win.groupBy("doc_id", "h").agg(F.count("*").alias("c"))
+    from pyspark.sql import Window
+
+    nd = grp.withColumn(
+        "n_docs", F.count("*").over(Window.partitionBy("h"))
+    )
+    shared_c = F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+    return nd.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_windows"),
+        F.sum(shared_c).cast("long").alias("n_shared"),
+        F.round(F.sum(shared_c) / F.sum("c"), 6).alias("dup_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 11. Semantic diversity pruning (SemDeDup-style, LSH-bucketed).
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023) prunes semantically redundant training
+# examples: cluster the embedding space, and within each cluster drop
+# members too close to a representative. The paper clusters with
+# k-means (iterative — not oracle-expressible); this formulation uses
+# the SAME fixed random-hyperplane buckets as dedup_embedding_cosine,
+# keeping every arithmetic step deterministic and hash-checkable. The
+# trained-k-means analog is similarity_ivf_kmeans's cell assignment.
+SEMANTIC_PRUNE_MIN = 0.2  # drop bar: cosine-to-representative
+
+
+_SEMANTIC_PRUNE_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+sig AS (
+  SELECT vec_id, emb,
+         {_bucket_expr('duck')} AS bucket,
+         sqrt(list_dot_product(emb, emb)) AS nrm
+  FROM v
+),
+rep AS (
+  SELECT bucket, MIN(vec_id) AS rep_id FROM sig GROUP BY bucket
+),
+repv AS (
+  SELECT s.bucket, r.rep_id, s.emb AS rep_emb, s.nrm AS rep_nrm
+  FROM sig s JOIN rep r ON s.bucket = r.bucket AND s.vec_id = r.rep_id
+)
+SELECT s.vec_id, s.bucket,
+       CASE WHEN s.vec_id = rv.rep_id THEN 'rep'
+            WHEN list_dot_product(s.emb, rv.rep_emb)
+                 / (s.nrm * rv.rep_nrm) >= {SEMANTIC_PRUNE_MIN} THEN 'drop'
+            ELSE 'keep' END AS verdict,
+       ROUND(list_dot_product(s.emb, rv.rep_emb)
+             / (s.nrm * rv.rep_nrm), 6) AS cos_to_rep
+FROM sig s JOIN repv rv ON s.bucket = rv.bucket
+"""
+
+
+@register(
+    "dedup_semantic_prune",
+    oracle=_SEMANTIC_PRUNE_ORACLE,
+    tags=("dedup", "llm", "ann"),
+)
+def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style diversity pruning: bucket embeddings with the
+    fixed hyperplane LSH, pick the min-vec_id member as each bucket's
+    representative, and mark members with cosine >= 0.2 to the
+    representative as 'drop' (semantically redundant), else 'keep'.
+
+    100 TB shape: representative selection is a partial-aggregated
+    groupBy over 2^N_PLANES buckets (map-side combine, tiny result),
+    and BOTH joins broadcast the representative table — the corpus is
+    scanned once with no bucket-partitioned window (which would cap
+    parallelism at bucket count). Scale plane count with corpus size,
+    exactly like dedup_embedding_cosine."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        _pin_partitions(spark), "vec_id"
+    )
+    sig = (
+        emb.selectExpr(
+            "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb"
+        )
+        .selectExpr(
+            "vec_id",
+            "emb",
+            f"{_bucket_expr('spark')} AS bucket",
+            "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, "
+            "(acc, x) -> acc + x)) AS nrm",
+        )
+        .persist()
+    )
+    rep_ids = sig.groupBy("bucket").agg(F.min("vec_id").alias("rep_id"))
+    # rename every repv column so the final sig-vs-repv self-join has
+    # no shared attribute names (Spark's ambiguous-self-join check)
+    repv = (
+        sig.alias("m")
+        .join(
+            F.broadcast(rep_ids.alias("r")),
+            (F.col("m.bucket") == F.col("r.bucket"))
+            & (F.col("m.vec_id") == F.col("r.rep_id")),
+        )
+        .select(
+            F.col("m.bucket").alias("rbucket"),
+            F.col("r.rep_id").alias("rep_id"),
+            F.col("m.emb").alias("rep_emb"),
+            F.col("m.nrm").alias("rep_nrm"),
+        )
+    )
+    s = sig.alias("s")
+    rv = F.broadcast(repv).alias("rv")
+    cos = (
+        F.expr(
+            "aggregate(zip_with(s.emb, rv.rep_emb, (x, y) -> x * y), 0D, "
+            "(acc, x) -> acc + x)"
+        )
+        / (F.col("s.nrm") * F.col("rv.rep_nrm"))
+    )
+    return s.join(rv, F.col("s.bucket") == F.col("rv.rbucket")).select(
+        F.col("s.vec_id").alias("vec_id"),
+        F.col("s.bucket").alias("bucket"),
+        F.when(F.col("s.vec_id") == F.col("rv.rep_id"), F.lit("rep"))
+        .when(cos >= SEMANTIC_PRUNE_MIN, F.lit("drop"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+        F.round(cos, 6).alias("cos_to_rep"),
+    )

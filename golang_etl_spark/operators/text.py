@@ -1134,3 +1134,82 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "ngram")
         .limit(BOILERPLATE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-language quality gate: keep the top half of each language by TTR.
+# ---------------------------------------------------------------------------
+# Production curation thresholds are set PER LANGUAGE (a fixed global
+# cutoff over-prunes low-resource languages whose raw score
+# distributions differ). The gate is deliberately ordinal — rank by
+# type-token ratio with a doc_id tiebreak and keep cume_dist <= 0.5 —
+# so the keep/cut decision depends only on ordering, which replays
+# exactly across engines (a fixed float threshold on an interpolated
+# per-group median would not).
+QUALITY_GATE_KEEP = 0.5  # keep the top half of each language
+
+_QUALITY_GATE_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, {_words_expr_duck()} AS w FROM documents
+),
+scored AS (
+  SELECT doc_id, lang,
+         ROUND(len(list_distinct(w)) * 1.0 / len(w), 4) AS ttr
+  FROM toks WHERE len(w) > 0
+),
+ranked AS (
+  SELECT doc_id, lang, ttr,
+         ROUND(cume_dist() OVER (PARTITION BY lang
+                                 ORDER BY ttr DESC, doc_id), 6) AS pct
+  FROM scored
+)
+SELECT doc_id, lang, ttr, pct,
+       CASE WHEN pct <= {QUALITY_GATE_KEEP} THEN 'keep' ELSE 'cut' END
+         AS verdict
+FROM ranked
+"""
+
+
+@register(
+    "text_quality_gate_per_lang",
+    oracle=_QUALITY_GATE_ORACLE,
+    tags=("text", "llm", "window", "sampling"),
+)
+def text_quality_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality gate: score each document's type-token
+    ratio, rank WITHIN its language (ttr desc, doc_id tiebreak), and
+    keep the top half (cume_dist <= 0.5) — per-group relative
+    thresholds instead of one global cutoff.
+
+    100 TB shape: one window shuffle partitioned by lang. Language is
+    a low-cardinality skewed key (English dominates real corpora) —
+    at scale, swap the exact cume_dist for the mergeable quantile
+    sketch (sketch_percentile_approx) to get per-lang cutoffs without
+    a per-lang global sort; this exact formulation is the verification
+    pairing."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    scored = (
+        docs.select("doc_id", "lang", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias(
+                "ttr"
+            ),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy(F.desc("ttr"), "doc_id")
+    ranked = scored.withColumn(
+        "pct", F.round(F.cume_dist().over(win), 6)
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "ttr",
+        "pct",
+        F.when(F.col("pct") <= QUALITY_GATE_KEEP, F.lit("keep"))
+        .otherwise(F.lit("cut"))
+        .alias("verdict"),
+    )

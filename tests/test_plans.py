@@ -530,3 +530,55 @@ def test_incremental_agg_pushes_cutoff_to_scan(spark, sf_dir):
     plan = _plan(spark, sf_dir, "etl_incremental_agg")
     assert "PushedFilters" in plan
     assert "l_shipdate" in plan.split("PushedFilters")[1][:300], plan
+
+
+def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
+    """Runtime row-level filtering: a selective predicate on the
+    creation side of a shuffle join should inject a bloom filter into
+    the application side's scan stage (bloom_filter_agg feeding a
+    might_contain predicate). At 100 TB this is the difference between
+    scanning all of lineitem and skipping every row group whose keys
+    miss the filter — proves the optimizer feature works on this
+    session's config, not just that the flag is set.
+
+    Thresholds are fixture-scaled: applicationSideScanSizeThreshold=0
+    (default 10GB) lets the tiny fixture qualify; the mechanism is
+    identical at production sizes."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "bloom_filter_agg" in plan, "no bloom filter was created"
+        assert "might_contain" in plan, "bloom filter not applied to probe side"
+        # the might_contain must guard the APPLICATION side's scan
+        # (lineitem), i.e. reference the probe join key
+        probe = plan.split("might_contain")[1]
+        assert "l_orderkey" in probe[:200], probe[:200]
+        # and the result must still be correct with the filter active
+        rows = j.collect()
+        assert len(rows) == 1 and rows[0]["o_orderpriority"] == "1-URGENT"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
