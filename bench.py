@@ -122,6 +122,7 @@ HEADLINE = [
     "dedup_exact_substring",
     "dedup_semantic_prune",
     "text_quality_gate_per_lang",
+    "curation_source_filter",
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",

@@ -1213,3 +1213,106 @@ def text_quality_gate_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("cut"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-level (domain) curation: ban whole sources, not single docs.
+# ---------------------------------------------------------------------------
+# Web-scale pipelines make a KEEP/BAN decision per domain before
+# per-document filtering (a spam domain's every page wastes the
+# per-doc pipeline). The verdict here is integer-only arithmetic —
+# duplicate rate from exact-hash distinct counts, low-quality rate
+# from per-doc TTR — so it replays exactly across engines with no
+# float-threshold boundary risk.
+SOURCE_BAN_DUP_PCT = 30   # ban when >30% of docs are exact dups
+SOURCE_BAN_LOW_PCT = 50   # ban when >50% of docs have TTR < LOW_TTR
+LOW_TTR = 0.45
+
+_SOURCE_FILTER_ORACLE = f"""
+WITH scored AS (
+  SELECT source,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS h,
+         ROUND(len(list_distinct({_words_expr_duck()})) * 1.0
+               / len({_words_expr_duck()}), 4) AS ttr
+  FROM documents
+  WHERE len({_words_expr_duck()}) > 0
+),
+per_source AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique,
+         CAST(SUM(CASE WHEN ttr < {LOW_TTR} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_low_ttr,
+         ROUND(AVG(ttr), 4) AS avg_ttr
+  FROM scored GROUP BY source
+)
+SELECT source, n_docs, n_unique, n_low_ttr, avg_ttr,
+       CASE WHEN (n_docs - n_unique) * 100 > n_docs * {SOURCE_BAN_DUP_PCT}
+              THEN 'ban_dup'
+            WHEN n_low_ttr * 100 > n_docs * {SOURCE_BAN_LOW_PCT}
+              THEN 'ban_quality'
+            ELSE 'keep' END AS verdict
+FROM per_source
+"""
+
+
+@register(
+    "curation_source_filter",
+    oracle=_SOURCE_FILTER_ORACLE,
+    tags=("text", "llm", "dedup", "aggregation"),
+)
+def curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation verdicts: per source, count docs, exact
+    duplicates (normalized-text md5) and low-TTR docs, then ban the
+    source when the duplicate share exceeds 30% or the low-quality
+    share exceeds 50%. Verdict thresholds are integer cross-products
+    (n*100 > total*pct) — no float comparisons anywhere in the
+    decision.
+
+    100 TB shape: one scan, one partial-agg'd groupBy over source
+    (domain cardinality << doc count; COUNT(DISTINCT h) shuffles one
+    hash per doc, the unavoidable cost of an exact dup rate — swap in
+    approx_count_distinct at production scale, same plan otherwise).
+    The verdict table is tiny and broadcast-joins back onto the corpus
+    as the actual filter step."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    scored = (
+        docs.select(
+            "source",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ).alias("h"),
+            w.alias("w"),
+        )
+        .filter(F.size("w") > 0)
+        .select(
+            "source",
+            "h",
+            F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias(
+                "ttr"
+            ),
+        )
+    )
+    low = F.when(F.col("ttr") < LOW_TTR, 1).otherwise(0)
+    per_source = scored.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.countDistinct("h").alias("n_unique"),
+        F.sum(low).cast("long").alias("n_low_ttr"),
+        F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+    )
+    dup_ban = (F.col("n_docs") - F.col("n_unique")) * 100 > F.col(
+        "n_docs"
+    ) * SOURCE_BAN_DUP_PCT
+    low_ban = F.col("n_low_ttr") * 100 > F.col("n_docs") * SOURCE_BAN_LOW_PCT
+    return per_source.select(
+        "source",
+        "n_docs",
+        "n_unique",
+        "n_low_ttr",
+        "avg_ttr",
+        F.when(dup_ban, F.lit("ban_dup"))
+        .when(low_ban, F.lit("ban_quality"))
+        .otherwise(F.lit("keep"))
+        .alias("verdict"),
+    )

@@ -348,3 +348,61 @@ def test_cdc_apply_converges_across_batches(spark, sf_dir, tmp_path):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_checkpoint_recovery_resumes_state_and_offsets(spark, sf_dir, tmp_path):
+    """Kill/restart semantics: a second run over the SAME checkpoint
+    must (a) skip files already committed to the source log instead of
+    reprocessing them, and (b) restore the dropDuplicates state store,
+    so duplicates arriving AFTER the restart of rows seen BEFORE it
+    are still dropped. This is the recovery property a 100 TB
+    always-on pipeline actually relies on — exactly-once across
+    process death, not just within one run."""
+    split = str(tmp_path / "stream_in")
+    os.makedirs(split)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    tbl = pq.read_table(f"{sf_dir}/events.parquet").sort_by("ts")
+    n = tbl.num_rows
+    half = n // 2
+    c0, c1 = tbl.slice(0, half), tbl.slice(half)
+    pq.write_table(c0, f"{split}/c0.parquet")
+
+    def run_once():
+        ev = _stream_events(
+            spark, sf_dir, max_files_per_trigger=1, dir_override=split
+        )
+        dd = ev.dropDuplicates(["event_id"])  # no watermark: keep all state
+
+        def _sink(batch_df, batch_id):
+            batch_df.write.mode("overwrite").parquet(
+                f"{out}/batch_id={batch_id}"
+            )
+
+        q = (
+            dd.writeStream.foreachBatch(_sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == half
+    batches_before = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+
+    # restart input: an exact duplicate of chunk 0 plus the new chunk 1
+    pq.write_table(c0, f"{split}/c0_dup.parquet")
+    pq.write_table(c1, f"{split}/c1.parquet")
+    run_once()
+
+    got = spark.read.parquet(out)
+    # c0 was not reprocessed (offsets) and c0_dup was fully dropped by
+    # the RESTORED state store (batch-2 dropDuplicates alone couldn't
+    # know about chunk-0 ids from the first run)
+    assert got.count() == n
+    assert got.select("event_id").distinct().count() == n
+    # the first run's batch directories were left untouched
+    after = {d for d in os.listdir(out) if d.startswith("batch_id=")}
+    assert batches_before <= after and len(after) > len(batches_before)
