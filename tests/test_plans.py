@@ -582,3 +582,24 @@ def test_runtime_bloom_filter_prunes_application_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_exact_substring_is_joinless(spark, sf_dir):
+    """The window-hash formulation must stay aggregation-only: three
+    exchanges (doc repartition, (doc,h) agg + h window, final doc
+    agg) and NO join operator — a join-based inverted-index variant
+    would materialize doc pairs and die on boilerplate hot keys."""
+    plan = _plan(spark, sf_dir, "dedup_exact_substring")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 4, plan
+
+
+def test_semantic_prune_broadcasts_representatives(spark, sf_dir):
+    """Both representative joins must broadcast (the rep table is
+    2^N_PLANES rows): a sort-merge or shuffled-hash join here would
+    re-shuffle the whole corpus twice at 100 TB."""
+    plan = _plan(spark, sf_dir, "dedup_semantic_prune")
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan

@@ -184,3 +184,23 @@ def test_editdistance_blocked_scales_subquadratically(spark, scaled_dir):
     assert t_big / big <= t_base / base, (
         f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
     )
+
+
+def test_exact_substring_scales_linearly(spark, scaled_dir):
+    """Window-hash exact-substring dedup at 10x docs: output rows are
+    per-document (exactly 10x), and the work is O(total windows) — the
+    groupBy/window pipeline never materializes document PAIRS, so a
+    10x corpus costs ~10x, not 100x. The absolute ceiling catches an
+    accidental all-pairs reformulation (50k docs sharing boilerplate
+    windows would join into ~1e9 pairs — minutes)."""
+    from golang_etl_spark.operators.dedup import dedup_exact_substring
+
+    base, t_base = _timed_count(spark, dedup_exact_substring, SF_BIG)
+    big, t_big = _timed_count(spark, dedup_exact_substring, scaled_dir)
+
+    assert big == base * REPLICAS, f"per-doc rows wrong: {base} -> {big}"
+    assert t_big < 120, f"blowup: {t_big:.1f}s at {REPLICAS}x docs"
+    # per-row cost must not grow with corpus size (sub-quadratic gate)
+    assert t_big / big <= 2 * t_base / base, (
+        f"per-doc cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
+    )
