@@ -123,6 +123,8 @@ HEADLINE = [
     "dedup_semantic_prune",
     "text_quality_gate_per_lang",
     "curation_source_filter",
+    "text_bpe_pair_counts",
+    "pipeline_multimodal_curation",
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",

@@ -1316,3 +1316,153 @@ def curation_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("keep"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge candidates: the tokenizer-training counting step.
+# ---------------------------------------------------------------------------
+# One BPE training iteration = count adjacent symbol pairs across the
+# corpus and merge the most frequent. The scalable formulation counts
+# the VOCABULARY first (corpus tokens -> distinct words with
+# frequencies — a partial-agg'd groupBy that collapses 100 TB of text
+# to vocab size) and then explodes character pairs over the vocabulary
+# only, weighting by word frequency — exactly how production BPE
+# trainers avoid touching raw text more than once per iteration.
+BPE_TOP = 20
+
+
+_BPE_ORACLE = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+vocab AS (
+  SELECT w, COUNT(*) AS freq FROM words GROUP BY w
+),
+pairs AS (
+  SELECT substr(w, i, 2) AS pair, freq
+  FROM vocab, UNNEST(generate_series(1, length(w) - 1)) AS g(i)
+  WHERE length(w) >= 2
+)
+SELECT pair, CAST(SUM(freq) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY pair
+ORDER BY n_pairs DESC, pair
+LIMIT {BPE_TOP}
+"""
+
+
+@register(
+    "text_bpe_pair_counts", oracle=_BPE_ORACLE, tags=("text", "llm", "topk")
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top BPE merge candidates: frequency-weighted adjacent character
+    pairs, counted over the distinct-word vocabulary instead of the
+    raw token stream. Deterministic total order (count desc, pair) so
+    the top-K cut is stable.
+
+    100 TB shape: the only corpus-sized exchange is the vocabulary
+    groupBy (map-side combined to vocab cardinality); the pair
+    explosion and final agg run over vocab-sized data. Subsequent BPE
+    iterations would re-run the pair count over the re-segmented
+    vocabulary — same plan, never re-reading the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.selectExpr(
+            "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    pairs = vocab.filter(F.length("w") >= 2).selectExpr(
+        "explode(transform(sequence(1, length(w) - 1), "
+        "i -> substring(w, i, 2))) AS pair",
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").cast("long").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal curation: text quality x embedding-space redundancy.
+# ---------------------------------------------------------------------------
+# Real curation gates compose signals from different modalities: a
+# document survives only if its TEXT passes quality AND its EMBEDDING
+# is not semantically redundant. documents.doc_id and
+# embeddings.vec_id share an id space in the fixtures; where the
+# embedding table is smaller (sf0.1: 2000 vecs vs 5000 docs) the
+# pipeline scores only the intersection — the production analog of
+# "only embedded docs are candidates".
+_XMODAL_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, lang, n_chars,
+         ROUND(len(list_distinct({{words}})) * 1.0 / len({{words}}), 4) AS ttr
+  FROM documents WHERE len({{words}}) > 0
+),
+sem AS ({{semantic}})
+SELECT s.lang,
+       CAST(COUNT(*) AS BIGINT) AS n_candidates,
+       CAST(SUM(CASE WHEN s.ttr >= {LOW_TTR} AND sem.verdict <> 'drop'
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN s.ttr >= {LOW_TTR} AND sem.verdict <> 'drop'
+                     THEN s.n_chars ELSE 0 END) AS BIGINT) AS char_budget
+FROM scored s JOIN sem ON s.doc_id = sem.vec_id
+GROUP BY s.lang
+"""
+
+
+def _xmodal_oracle() -> str:
+    from golang_etl_spark.operators.dedup import _SEMANTIC_PRUNE_ORACLE
+
+    return _XMODAL_ORACLE.format(
+        words=_words_expr_duck(), semantic=_SEMANTIC_PRUNE_ORACLE
+    )
+
+
+@register(
+    "pipeline_multimodal_curation",
+    oracle=_xmodal_oracle(),
+    tags=("text", "llm", "dedup", "ann", "aggregation"),
+)
+def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compose the per-document TTR quality bar with the SemDeDup
+    verdict (dedup_semantic_prune) over the shared id space and report
+    the surviving per-language character budget — the cross-modal
+    version of pipeline_training_export's budget table.
+
+    100 TB shape: reuses the semantic-prune plan (broadcast rep
+    joins), one id-keyed equi-join between the two corpuses, one
+    partial-agg'd lang rollup. Nothing new shuffles except the
+    doc<->vec join, which co-partitions on the shared id."""
+    from golang_etl_spark.operators.dedup import dedup_semantic_prune
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr(_words_expr_spark())
+    scored = (
+        docs.select("doc_id", "lang", "n_chars", w.alias("w"))
+        .filter(F.size("w") > 0)
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.round(F.size(F.array_distinct("w")) / F.size("w"), 4).alias(
+                "ttr"
+            ),
+        )
+    )
+    sem = dedup_semantic_prune(spark, sf_dir).select("vec_id", "verdict")
+    keep = (F.col("ttr") >= LOW_TTR) & (F.col("verdict") != "drop")
+    return (
+        scored.join(sem, scored["doc_id"] == sem["vec_id"])
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_candidates"),
+            F.sum(F.when(keep, 1).otherwise(0)).cast("long").alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars")).otherwise(0))
+            .cast("long")
+            .alias("char_budget"),
+        )
+    )
