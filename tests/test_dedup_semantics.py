@@ -55,8 +55,12 @@ def test_semantic_prune_invariants(spark, sf_dir):
         reps = [m for m in members if m["verdict"] == "rep"]
         assert len(reps) == 1, f"bucket {bucket}: {len(reps)} reps"
         assert reps[0]["vec_id"] == min(m["vec_id"] for m in members)
+        # cos_to_rep is round(cos, 6) while the verdict thresholds the
+        # UNROUNDED cosine — allow the rounding step's half-ulp slack
+        # so a cosine just under the bar that rounds onto it can't
+        # flake the gate on a regenerated fixture
         for m in members:
             if m["verdict"] == "drop":
-                assert m["cos_to_rep"] >= SEMANTIC_PRUNE_MIN
+                assert m["cos_to_rep"] >= SEMANTIC_PRUNE_MIN - 5e-7
             elif m["verdict"] == "keep":
-                assert m["cos_to_rep"] < SEMANTIC_PRUNE_MIN
+                assert m["cos_to_rep"] < SEMANTIC_PRUNE_MIN + 5e-7
