@@ -125,6 +125,7 @@ HEADLINE = [
     "curation_source_filter",
     "text_bpe_pair_counts",
     "pipeline_multimodal_curation",
+    "similarity_hard_negatives",
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",

@@ -1285,3 +1285,94 @@ def similarity_funnel_mrl_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. Hard-negative mining (contrastive-training data prep).
+# ---------------------------------------------------------------------------
+# Contrastive/embedding training wants, per anchor, the most-similar
+# examples with a DIFFERENT label — "hard" negatives near the decision
+# boundary (easy random negatives teach nothing). Same broadcast-
+# anchors shape as the brute-force top-k, with the cross-label
+# predicate folded into the join, so the corpus is scanned once and
+# only cross-label pairs are ever scored.
+HARD_NEG_K = 5
+
+
+_HARD_NEG_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+scored AS (
+  SELECT q.vec_id AS anchor_id, q.label AS anchor_label,
+         v.vec_id AS negative_id, v.label AS negative_label,
+         list_dot_product(q.emb, v.emb) / (q.nrm * v.nrm) AS cos
+  FROM v q JOIN v ON v.label <> q.label
+  WHERE q.vec_id < {N_QUERIES}
+),
+ranked AS (
+  SELECT anchor_id, anchor_label, negative_id, negative_label, cos,
+         ROW_NUMBER() OVER (PARTITION BY anchor_id
+                            ORDER BY cos DESC, negative_id) AS rank
+  FROM scored
+)
+SELECT anchor_id, anchor_label, negative_id, negative_label,
+       CAST(rank AS BIGINT) AS rank, ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {HARD_NEG_K}
+"""
+
+
+@register(
+    "similarity_hard_negatives", oracle=_HARD_NEG_ORACLE, tags=("ann", "llm")
+)
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-anchor hard negatives: the HARD_NEG_K most-cosine-similar
+    vectors whose label differs from the anchor's. Anchors broadcast,
+    corpus scanned once, cross-label predicate inside the join so
+    same-label pairs are never materialized; per-anchor ranking ties
+    break on negative_id.
+
+    100 TB shape: identical to similarity_topk_bruteforce — at scale
+    swap the exact scan for the IVF/PQ candidate tiers and keep this
+    ranking stage; mining typically runs per training epoch over the
+    refreshed embedding table."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("emb"),
+    ).select("vec_id", "label", "emb", V.l2_norm("emb").alias("nrm"))
+    q = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS anchor_id",
+        "label AS anchor_label",
+        "emb AS q_emb",
+        "nrm AS q_nrm",
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("label") != F.col("anchor_label")
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        F.col("vec_id").alias("negative_id"),
+        F.col("label").alias("negative_label"),
+        (V.dot("q_emb", "emb") / (F.col("q_nrm") * F.col("nrm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cos").desc(), F.col("negative_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= HARD_NEG_K)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "negative_id",
+            "negative_label",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
