@@ -126,6 +126,7 @@ HEADLINE = [
     "text_bpe_pair_counts",
     "pipeline_multimodal_curation",
     "similarity_hard_negatives",
+    "sample_token_budget",
     "dedup_fuzzy_keep_one",
     "timeseries_rollup_hierarchy",
     "etl_scd2_intervals",

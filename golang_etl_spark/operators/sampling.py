@@ -268,3 +268,128 @@ def sample_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("draw_rank") <= RESERVOIR_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget mixture: allocate a TOKEN budget across languages.
+# ---------------------------------------------------------------------------
+# Training mixes are specified in TOKENS, not documents (a 50-word doc
+# and a 5000-word doc are not the same unit of data). The budget is
+# split across languages by sqrt-weights (temperature 0.5 rebalancing,
+# like sample_temperature_mix) and filled per language in deterministic
+# md5-priority order until the allocation is exhausted. Every decision
+# is integer arithmetic — isqrt weights (IEEE sqrt is correctly
+# rounded, so floor(sqrt(bigint)) is engine-identical), integer
+# division for allocations, cumulative-sum cutoffs — no float
+# threshold anywhere.
+TOKEN_BUDGET = 20_000
+
+_TOKENBUDGET_WORDS_SPARK = "size(split(trim(text), '\\\\s+'))"
+_TOKENBUDGET_WORDS_DUCK = "len(string_split_regex(trim(text), '\\s+'))"
+
+_TOKENBUDGET_ORACLE = f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         CAST({_TOKENBUDGET_WORDS_DUCK} AS BIGINT) AS ntok,
+         {_PRIORITY_DUCK} AS prio
+  FROM documents
+),
+tot AS (
+  SELECT lang, SUM(ntok) AS lang_tokens FROM d GROUP BY lang
+),
+w AS (
+  SELECT lang, lang_tokens,
+         CAST(floor(sqrt(lang_tokens)) AS BIGINT) AS isq
+  FROM tot
+),
+a AS (
+  SELECT lang, lang_tokens,
+         ({TOKEN_BUDGET} * isq) // (SELECT SUM(isq) FROM w) AS alloc_tokens
+  FROM w
+),
+cum AS (
+  SELECT doc_id, lang, ntok,
+         SUM(ntok) OVER (PARTITION BY lang ORDER BY prio, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM d
+)
+SELECT a.lang,
+       CAST(a.lang_tokens AS BIGINT) AS lang_tokens,
+       CAST(a.alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(COUNT(c.doc_id) AS BIGINT) AS n_sampled,
+       CAST(COALESCE(SUM(c.ntok), 0) AS BIGINT) AS sampled_tokens
+FROM a LEFT JOIN cum c ON c.lang = a.lang AND c.cum_tok <= a.alloc_tokens
+GROUP BY a.lang, a.lang_tokens, a.alloc_tokens
+"""
+
+
+@register(
+    "sample_token_budget", oracle=_TOKENBUDGET_ORACLE, tags=("sampling", "llm")
+)
+def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget fill: sqrt-weighted allocations of a
+    global TOKEN_BUDGET, languages filled in md5-priority order until
+    each allocation runs out; reports per-language allocation vs
+    actual sampled tokens/docs.
+
+    100 TB shape: the language totals are a partial-agg'd 5-row
+    aggregate (broadcast everywhere), the fill order is one window
+    shuffle partitioned by lang, and membership is reproducible across
+    engines/runs/partitionings because the priority is the md5 hash,
+    not an RNG."""
+    from pyspark.sql.window import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.selectExpr(
+        "doc_id",
+        "lang",
+        f"CAST({_TOKENBUDGET_WORDS_SPARK} AS bigint) AS ntok",
+        f"{_PRIORITY_SPARK} AS prio",
+    )
+    tot = d.groupBy("lang").agg(F.sum("ntok").alias("lang_tokens"))
+    w = tot.selectExpr(
+        "lang",
+        "lang_tokens",
+        "CAST(floor(sqrt(lang_tokens)) AS bigint) AS isq",
+    )
+    sum_isq = w.agg(F.sum("isq").alias("sum_isq"))
+    a = (
+        w.crossJoin(F.broadcast(sum_isq))
+        .selectExpr(
+            "lang",
+            "lang_tokens",
+            f"({TOKEN_BUDGET} * isq) DIV sum_isq AS alloc_tokens",
+        )
+    )
+    cum = d.withColumn(
+        "cum_tok",
+        F.sum("ntok").over(
+            W.partitionBy("lang")
+            .orderBy("prio", "doc_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        ),
+    )
+    c = cum.alias("c")
+    al = F.broadcast(a).alias("a")
+    return (
+        al.join(
+            c,
+            (F.col("c.lang") == F.col("a.lang"))
+            & (F.col("c.cum_tok") <= F.col("a.alloc_tokens")),
+            "left",
+        )
+        .groupBy("a.lang", "a.lang_tokens", "a.alloc_tokens")
+        .agg(
+            F.count("c.doc_id").alias("n_sampled"),
+            F.coalesce(F.sum("c.ntok"), F.lit(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+        )
+        .select(
+            F.col("lang"),
+            F.col("lang_tokens"),
+            F.col("alloc_tokens"),
+            F.col("n_sampled"),
+            F.col("sampled_tokens"),
+        )
+    )
