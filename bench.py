@@ -151,6 +151,9 @@ HEADLINE = [
     "sink_partition_backfill",
     "window_gaps_islands",
     "etl_deadletter_routing",
+    # round 5: persistent IVF index store (offline build + pruned search)
+    "similarity_index_build",
+    "similarity_index_search",
 ]
 
 

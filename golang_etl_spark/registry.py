@@ -188,6 +188,7 @@ def _load_all() -> None:
         text,
         timeseries,
         topk,
+        vector_index,
         windows,
     )
     from golang_etl_spark.sources import sinks  # noqa: F401

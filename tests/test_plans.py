@@ -603,3 +603,50 @@ def test_semantic_prune_broadcasts_representatives(spark, sf_dir):
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_index_search_prunes_postings(spark, sf_dir):
+    """The persisted-IVF search must read ONLY the probed inverted
+    lists: the postings scan needs a planning-time PartitionFilter on
+    cell_id (directory pruning), not a row-level filter after reading
+    all 16 lists — at 100 TB that's nprobe/cells of the I/O."""
+    plan = _plan(spark, sf_dir, "similarity_index_search")
+    parts = [
+        seg[:200] for seg in plan.split("PartitionFilters: [")[1:]
+    ]
+    posting_filters = [p for p in parts if "cell_id" in p]
+    assert posting_filters, plan
+    # the literal IN list is what lets Catalyst prune at plan time
+    assert any("cell_id IN" in p or "cell_id#" in p for p in posting_filters)
+
+
+def test_index_build_assignment_partial_aggregates(spark, sf_dir):
+    """Index build must keep the minimal-shuffle assignment: the
+    exchange carries one row per vector (partial max over the 16
+    centroid candidates runs map-side), and the 16-row centroid join
+    broadcasts."""
+    from golang_etl_spark.operators import vector_index as VI
+    from golang_etl_spark.operators.similarity import (
+        _EMB_DOUBLE_SPARK,
+        IVF_CENTROID_IDS,
+        _dot_spark,
+    )
+    from golang_etl_spark.sources.catalog import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    cent = v.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).selectExpr(
+        "vec_id AS cell_id", "emb AS c_emb", "nrm AS c_nrm"
+    )
+    scored = v.join(F.broadcast(cent)).selectExpr(
+        "vec_id", "emb", "nrm", "cell_id",
+        f"{_dot_spark('emb', 'c_emb')} / (nrm * c_nrm) AS ccos",
+    )
+    plan = (
+        scored.groupBy("vec_id").count()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
