@@ -154,6 +154,11 @@ HEADLINE = [
     # round 5: persistent IVF index store (offline build + pruned search)
     "similarity_index_build",
     "similarity_index_search",
+    # round 5: robust stats, n-gram LM, graph kernel, arrow UDF tier
+    "profile_winsorized_stats",
+    "text_bigram_lm",
+    "graph_triangle_count",
+    "udf_arrow_scalar",
 ]
 
 

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from golang_etl_spark.operators.dedup import _simhash_oracle, simhash_pairs
 from golang_etl_spark.registry import register
+from golang_etl_spark.sources.catalog import load_table
 
 MAX_CC_ITERS = 20
 
@@ -343,4 +344,104 @@ def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count("*") - F.count("_removed")).cast("long").alias("n_kept"),
             F.count("_removed").cast("long").alias("n_removed"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (graph analytics beyond connected components).
+# ---------------------------------------------------------------------------
+_TRI_MIN_ORDERS = 40  # edge threshold: brands co-purchased this often
+
+_TRI_ORACLE = f"""
+WITH ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+edges AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
+),
+tri AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+  FROM edges e1
+  JOIN edges e2 ON e2.u = e1.v
+  JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+per_vertex AS (
+  SELECT vertex, COUNT(*) AS n_triangles FROM (
+    SELECT a AS vertex FROM tri
+    UNION ALL SELECT b FROM tri
+    UNION ALL SELECT c FROM tri
+  ) GROUP BY vertex
+)
+SELECT vertex AS p_brand, CAST(n_triangles AS BIGINT) AS n_triangles
+FROM per_vertex
+ORDER BY n_triangles DESC, p_brand
+"""
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_TRI_ORACLE,
+    tags=("join", "aggregation", "analytic"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex triangle counts on the brand co-purchase graph
+    (edges = brand pairs co-purchased in >= {thr} orders) — the local
+    clustering-coefficient numerator, and the standard second graph
+    kernel after connected components (clustering.py:120).
+
+    100 TB shape: edges build with the same one-exchange basket
+    pipeline as agg_brand_cooccurrence; the triangle enumeration is
+    the classic oriented edge-edge-edge join (each edge stored once as
+    u < v), which shuffles the EDGE table on its endpoints — never the
+    fact table. Orienting edges low->high makes each triangle counted
+    exactly once and bounds the wedge fan-out by forward-degree; on
+    power-law graphs, orient by (degree, id) instead to cap the
+    heaviest wedge list (same plan, different comparator).
+    """.format(thr=_TRI_MIN_ORDERS)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(brands, b1 -> "
+                "transform(filter(brands, b2 -> b2 > b1), "
+                "b2 -> struct(b1 AS u, b2 AS v))))"
+            )
+        ).alias("e")
+    ).select("e.u", "e.v")
+    edges = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
+        .select("u", "v")
+        .persist()  # consumed three times by the triangle join
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
+        .select("a", "b", "c")
+    )
+    verts = (
+        tri.select(F.col("a").alias("vertex"))
+        .unionAll(tri.select(F.col("b").alias("vertex")))
+        .unionAll(tri.select(F.col("c").alias("vertex")))
+    )
+    return (
+        verts.groupBy("vertex")
+        .agg(F.count("*").alias("n_triangles"))
+        .select(F.col("vertex").alias("p_brand"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "p_brand")
     )

@@ -279,3 +279,75 @@ def profile_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized (percentile-clipped) robust statistics.
+# ---------------------------------------------------------------------------
+_WINSOR_ORACLE = """
+WITH b AS (
+  SELECT o_orderpriority,
+         quantile_cont(o_totalprice, 0.01) AS lo,
+         quantile_cont(o_totalprice, 0.99) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CASE WHEN o.o_totalprice < b.lo OR o.o_totalprice > b.hi
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+       ROUND(b.lo, 4) AS p01,
+       ROUND(b.hi, 4) AS p99,
+       ROUND(AVG(LEAST(GREATEST(o.o_totalprice, b.lo), b.hi)), 4)
+         AS avg_winsorized,
+       ROUND(AVG(o.o_totalprice), 4) AS avg_raw
+FROM orders o JOIN b ON b.o_orderpriority = o.o_orderpriority
+GROUP BY o.o_orderpriority, b.lo, b.hi
+"""
+
+
+@register(
+    "profile_winsorized_stats",
+    oracle=_WINSOR_ORACLE,
+    tags=("profiling", "aggregation", "llm"),
+)
+def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier-robust group statistics: clip each group's values to its
+    own [p01, p99] (winsorization) before averaging — the standard
+    guard when corpus metrics (doc length, score, price) have heavy
+    tails that a plain mean would follow. Spark's ``percentile`` and
+    DuckDB's ``quantile_cont`` share linear interpolation, so the clip
+    bounds hash-match exactly.
+
+    100 TB shape: pass 1 computes two exact percentiles per group
+    (group count is 5 — the value buffer is per-group bounded; for
+    high-cardinality keys swap in ``approx_percentile``, same plan);
+    the 5-row bounds table broadcasts back onto the scan, so pass 2
+    is one map-side clamp + partial agg. Two scans, one tiny shuffle.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.groupBy("o_orderpriority").agg(
+        F.expr("percentile(o_totalprice, 0.01)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.99)").alias("hi"),
+    )
+    clipped = orders.join(F.broadcast(bounds), "o_orderpriority").select(
+        "o_orderpriority",
+        "o_totalprice",
+        "lo",
+        "hi",
+        F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+        .alias("w"),
+    )
+    return clipped.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(
+                (F.col("o_totalprice") < F.col("lo"))
+                | (F.col("o_totalprice") > F.col("hi")),
+                1,
+            ).otherwise(0)
+        ).alias("n_clipped"),
+        F.round(F.first("lo"), 4).alias("p01"),
+        F.round(F.first("hi"), 4).alias("p99"),
+        F.round(F.avg("w"), 4).alias("avg_winsorized"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_raw"),
+    )

@@ -294,3 +294,48 @@ def pandasudaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wavg_price"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Arrow-optimized Python UDF (Spark 4 `useArrow=True`).
+# ---------------------------------------------------------------------------
+def _digit_sum(s: str) -> int:
+    # deliberately row-at-a-time Python: the point is the TRANSPORT —
+    # with useArrow=True the rows move JVM<->Python as Arrow batches
+    # (one serialization per batch) instead of pickled one at a time.
+    return sum(int(ch) for ch in s if ch.isdigit())
+
+
+_ARROW_UDF_ORACLE = """
+SELECT c_custkey,
+       CAST(list_aggregate(
+         list_transform(regexp_extract_all(c_name, '[0-9]'), x -> x::INT),
+         'sum') AS BIGINT) AS digit_sum
+FROM customer
+WHERE c_custkey <= 1000
+"""
+
+
+@register(
+    "udf_arrow_scalar", oracle=_ARROW_UDF_ORACLE, tags=("udf", "pandas_udf")
+)
+def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-optimized scalar Python UDF (``F.udf(..., useArrow=True)``,
+    Spark 4): the function body is ordinary per-row Python, but rows
+    cross the JVM/Python boundary as Arrow record batches — closing
+    most of the 10-100x gap between pickled row-at-a-time UDFs and
+    pandas UDFs while keeping the simple scalar signature.
+
+    Placement in the UDF ladder (all registered surfaces): built-in
+    functions >> pandas_udf (vectorized body, pandasudf_scalar_score)
+    > arrow-optimized udf (scalar body, THIS) >> legacy pickled udf
+    (never used in this repo). Use this tier when the body resists
+    vectorization (deep branching, per-row library calls)."""
+    import pyspark.sql.functions as SF
+
+    digit_sum = SF.udf(_digit_sum, returnType="long", useArrow=True)
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") <= 1000)
+        .select("c_custkey", digit_sum("c_name").alias("digit_sum"))
+    )

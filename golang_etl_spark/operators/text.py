@@ -1466,3 +1466,80 @@ def pipeline_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("char_budget"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model counts (n-gram LM statistics).
+# ---------------------------------------------------------------------------
+_BIGRAM_TOP = 50
+
+_BIGRAM_ORACLE = f"""
+WITH toks AS (
+  SELECT list_transform({_words_expr_duck()}, x -> lower(x)) AS w
+  FROM documents
+),
+pairs AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+counts AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM pairs GROUP BY w1, w2
+),
+tot AS (
+  SELECT w1, w2, n_pair,
+         SUM(n_pair) OVER (PARTITION BY w1) AS n_prefix
+  FROM counts
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_prefix AS BIGINT) AS n_prefix,
+       ROUND(n_pair / n_prefix, 6) AS p_cond
+FROM tot
+ORDER BY n_pair DESC, w1, w2
+LIMIT {_BIGRAM_TOP}
+"""
+
+
+@register(
+    "text_bigram_lm",
+    oracle=_BIGRAM_ORACLE,
+    tags=("text", "llm", "aggregation"),
+)
+def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram statistics with conditional probabilities
+    P(w2 | w1) = c(w1,w2) / c(w1,·) — the count table behind n-gram
+    LMs, domain-shift diagnostics, and repeated-phrase mining. Top
+    pairs by frequency with deterministic tie-breaks.
+
+    100 TB shape: bigram expansion is a map-side Generate (zip of the
+    token array with its own tail — no join, no index arithmetic in
+    the shuffle); pair counting partial-aggregates, so the exchange
+    carries one row per DISTINCT pair per partition, not one per
+    token. The prefix normalizer is a window over the vocab²-bounded
+    count table, far smaller than the corpus. Prefix skew ("the ...")
+    lives in that small table, not in the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = f"transform({_words_expr_spark()}, x -> lower(x))"
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"zip_with(slice({w}, 1, greatest(size({w}) - 1, 0)), "
+                f"slice({w}, 2, greatest(size({w}) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    counts = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n_pair"))
+    tot = counts.withColumn(
+        "n_prefix", F.sum("n_pair").over(Window.partitionBy("w1"))
+    )
+    return (
+        tot.select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_prefix",
+            F.round(F.col("n_pair") / F.col("n_prefix"), 6).alias("p_cond"),
+        )
+        .orderBy(F.desc("n_pair"), "w1", "w2")
+        .limit(_BIGRAM_TOP)
+    )
