@@ -159,6 +159,10 @@ HEADLINE = [
     "text_bigram_lm",
     "graph_triangle_count",
     "udf_arrow_scalar",
+    # round 5: DPP, pseudonymization, outer stream-stream join
+    "sink_dpp_join",
+    "etl_pseudonymize",
+    "streaming_stream_stream_left_outer",
 ]
 
 

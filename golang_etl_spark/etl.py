@@ -833,3 +833,71 @@ def etl_deadletter_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("disposition")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudonymization: salted-hash tokenization that preserves joins.
+# ---------------------------------------------------------------------------
+_PSEUDO_PEPPER = "pepper-v1"  # in production: a secret from a KMS, rotated
+
+_PSEUDO_ORACLE = f"""
+WITH c AS (
+  SELECT c_custkey, c_mktsegment,
+         sha256('{_PSEUDO_PEPPER}:' || CAST(c_custkey AS VARCHAR)) AS cust_token
+  FROM customer
+),
+o AS (
+  SELECT sha256('{_PSEUDO_PEPPER}:' || CAST(o_custkey AS VARCHAR)) AS cust_token,
+         o_totalprice
+  FROM orders
+)
+SELECT c.c_mktsegment, substr(c.cust_token, 1, 16) AS token_prefix,
+       CAST(COUNT(o.o_totalprice) AS BIGINT) AS n_orders,
+       ROUND(SUM(o.o_totalprice), 4) AS total_spend
+FROM c JOIN o ON o.cust_token = c.cust_token
+GROUP BY c.c_mktsegment, substr(c.cust_token, 1, 16)
+ORDER BY n_orders DESC, token_prefix
+LIMIT 100
+"""
+
+
+@register(
+    "etl_pseudonymize",
+    oracle=_PSEUDO_ORACLE,
+    tags=("etl-parity", "llm", "join"),
+)
+def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-preserving tokenization: replace the natural key with a
+    peppered SHA-256 token in EVERY table that carries it, then prove
+    referential integrity survives — orders still join to customers on
+    the token alone, with the raw key nowhere in the output. This is
+    the de-identification step a training-data pipeline runs before
+    text ever reaches a model (PII redaction handles free text —
+    text_pii_redact; tokenization handles the keyed columns).
+
+    100 TB shape: tokenization is a map-side JVM sha2 projection on
+    each scan (no exchange added); the downstream join shuffles on the
+    token exactly as it would on the raw key — same cardinality, same
+    plan, because the token is a bijection of the key under a fixed
+    pepper. Deterministic tokens (vs random) are what keep cross-table
+    and cross-day joins working; rotating the pepper re-keys the whole
+    corpus."""
+    token = lambda col: F.sha2(  # noqa: E731
+        F.concat(F.lit(f"{_PSEUDO_PEPPER}:"), F.col(col).cast("string")), 256
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        token("c_custkey").alias("cust_token"), "c_mktsegment"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        token("o_custkey").alias("cust_token"), "o_totalprice"
+    )
+    return (
+        orders.join(cust, "cust_token")
+        .groupBy("c_mktsegment", F.substring("cust_token", 1, 16).alias("token_prefix"))
+        .agg(
+            F.count("o_totalprice").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+        )
+        .orderBy(F.desc("n_orders"), "token_prefix")
+        .limit(100)
+    )

@@ -576,3 +576,64 @@ def sink_partition_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning: runtime pruning from a dim-side filter.
+# ---------------------------------------------------------------------------
+_EVENT_CATEGORIES = [
+    ("view", "browse"),
+    ("click", "browse"),
+    ("signup", "conversion"),
+    ("purchase", "conversion"),
+    ("error", "ops"),
+]
+
+_DPP_ORACLE = """
+WITH dim AS (
+  SELECT * FROM (VALUES
+    ('view', 'browse'), ('click', 'browse'), ('signup', 'conversion'),
+    ('purchase', 'conversion'), ('error', 'ops')
+  ) AS d(event_type, category)
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(e.value), 4) AS total_value
+FROM events e JOIN dim ON dim.event_type = e.event_type
+WHERE dim.category = 'conversion'
+GROUP BY e.event_type
+"""
+
+
+@register(
+    "sink_dpp_join", oracle=_DPP_ORACLE, tags=("sink", "layout", "join")
+)
+def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning: the fact table is partitioned on the
+    join key, the dim-side predicate (`category = 'conversion'`) is
+    NOT on the partition column — so static pruning can't fire. Spark
+    runs the filtered dim first and injects its join keys into the
+    fact scan as a runtime ``dynamicpruningexpression`` partition
+    filter: only the conversion-type directories are ever read.
+
+    At 100 TB this is THE date-dim pattern ("this quarter's" rows of a
+    date-partitioned fact via a dim filter) — without DPP the scan
+    reads every partition and discards rows post-join. Plan-gated in
+    tests/test_plans.py::test_dpp_prunes_fact_partitions. Oracle
+    replays the join over the unpartitioned fixture (pruning is
+    invisible to results)."""
+    out = _layout_dir("events_dpp", sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ev.write.mode("overwrite").partitionBy("event_type").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = spark.createDataFrame(
+        _EVENT_CATEGORIES, "event_type string, category string"
+    )
+    j = fact.join(
+        F.broadcast(dim.filter(F.col("category") == "conversion")),
+        "event_type",
+    )
+    return j.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )

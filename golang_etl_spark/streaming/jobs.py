@@ -833,3 +833,121 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     atexit.register(shutil.rmtree, out_root, ignore_errors=True)
     ev = _stream_events(spark, sf_dir)
     return cdc_apply_pipeline(ev, out_root)
+
+
+# ---------------------------------------------------------------------------
+# 7b. Stream-stream LEFT OUTER interval join (watermark-gated nulls).
+# ---------------------------------------------------------------------------
+# Outer rows only become final when the watermark passes the end of
+# their join window: a click can emit (click, NULL) only once no
+# matching purchase can still arrive. Clicks younger than
+# min-across-streams max(ts) - (watermark 60min + window 10min) are
+# therefore still
+# pending in state when an AvailableNow run drains — not wrong, not
+# yet final. Both engines restrict to finalized clicks (71min guard:
+# one minute of slack keeps the boundary strict) so the hash compares
+# settled results only. This cutoff IS the outer-join semantics under
+# watermarking, not a workaround.
+_SS_LEFT_OUTER_ORACLE = """
+WITH cutoff AS (
+  -- the global watermark is the MIN across both streams' maxima
+  SELECT LEAST(
+    (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+    (SELECT MAX(ts) FROM events WHERE event_type = 'purchase')
+  ) - INTERVAL 71 MINUTE AS lim
+),
+c AS (
+  SELECT user_id, ts AS click_ts FROM events, cutoff
+  WHERE event_type = 'click' AND ts <= cutoff.lim
+),
+p AS (
+  SELECT user_id, ts AS purchase_ts FROM events WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.user_id, c.click_ts, p.purchase_ts
+  FROM c LEFT JOIN p ON p.user_id = c.user_id
+   AND p.purchase_ts >= c.click_ts
+   AND p.purchase_ts <= c.click_ts + INTERVAL 10 MINUTE
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN purchase_ts IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+         AS n_matched,
+       CAST(SUM(CASE WHEN purchase_ts IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unmatched
+FROM j GROUP BY user_id
+"""
+
+
+@register(
+    "streaming_stream_stream_left_outer",
+    oracle=_SS_LEFT_OUTER_ORACLE,
+    tags=("streaming",),
+)
+def streaming_stream_stream_left_outer(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Watermarked LEFT OUTER stream-stream join: every click pairs
+    with its following-10-minute purchases, and clicks with none emit
+    a NULL-padded row — but only after the watermark proves no match
+    can still arrive (state eviction = outer-row emission, the part an
+    inner join never exercises). Per-user matched/unmatched counts
+    over finalized clicks; the batch oracle applies the same
+    finality cutoff.
+
+    100 TB shape: identical state bound to the inner variant (both
+    sides watermarked, interval-bounded); the outer rows add no state
+    — they ARE the evictions."""
+    ev = _stream_events(spark, sf_dir)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("p_user_id") == F.col("user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 10 MINUTES")
+        ),
+        "leftOuter",
+    )
+    tbl = _run_to_table(joined, "stream_stream_left_outer", "append")
+    # finality filter over the materialized sink (batch): keep only
+    # clicks whose outer verdict was settle-able before the stream
+    # drained. The cutoff comes from the same fixture the stream read.
+    from golang_etl_spark.sources.catalog import load_table
+
+    lim = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(F.max("ts").alias("mx"))
+        .agg(
+            (F.min("mx") - F.expr("INTERVAL 71 MINUTES")).alias("lim")
+        )
+        .collect()[0]["lim"]
+    )
+    return (
+        tbl.filter(F.col("click_ts") <= F.lit(lim))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(
+                F.when(F.col("purchase_ts").isNull(), 0).otherwise(1)
+            ).alias("n_matched"),
+            F.sum(
+                F.when(F.col("purchase_ts").isNull(), 1).otherwise(0)
+            ).alias("n_unmatched"),
+        )
+    )

@@ -650,3 +650,14 @@ def test_index_build_assignment_partial_aggregates(spark, sf_dir):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dpp_prunes_fact_partitions(spark, sf_dir):
+    """The dim-side category filter must reach the partitioned fact
+    scan as a RUNTIME partition filter (dynamicpruningexpression) —
+    static planning cannot prune on a predicate that only exists on
+    the dim side of the join."""
+    plan = _plan(spark, sf_dir, "sink_dpp_join")
+    assert "dynamicpruning" in plan, plan
+    pf = plan.split("PartitionFilters: [")[1][:250]
+    assert "event_type" in pf and "dynamicpruning" in pf
