@@ -163,6 +163,7 @@ HEADLINE = [
     "sink_dpp_join",
     "etl_pseudonymize",
     "streaming_stream_stream_left_outer",
+    "graph_pagerank_fixed",
 ]
 
 

@@ -445,3 +445,127 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("vertex").alias("p_brand"), "n_triangles")
         .orderBy(F.desc("n_triangles"), "p_brand")
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank, fixed iteration count (oracle-checked iterative algorithm).
+# ---------------------------------------------------------------------------
+_PR_DAMPING = 0.85
+_PR_ITERS = 3
+
+_PR_EDGE_CTE = f"""
+ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+und AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
+),
+edges AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+),
+deg AS (SELECT u, COUNT(*) AS d FROM edges GROUP BY u),
+n AS (SELECT COUNT(*) AS n_v FROM deg)
+"""
+
+
+def _pr_iter_sql(k: int) -> str:
+    """One unrolled PageRank step: r{k} from r{k-1}."""
+    return f"""
+r{k} AS (
+  SELECT e.v AS vertex,
+         (1 - {_PR_DAMPING}) / MAX(n.n_v) +
+         {_PR_DAMPING} * SUM(r.rank / d.d) AS rank
+  FROM edges e
+  JOIN r{k - 1} r ON r.vertex = e.u
+  JOIN deg d ON d.u = e.u
+  CROSS JOIN n
+  GROUP BY e.v
+)"""
+
+
+_PR_ORACLE = (
+    "WITH "
+    + _PR_EDGE_CTE.strip()
+    + ",\nr0 AS (SELECT u AS vertex, 1.0 / n_v AS rank FROM deg CROSS JOIN n),"
+    + ",".join(_pr_iter_sql(k) for k in range(1, _PR_ITERS + 1))
+    + f"""
+SELECT vertex AS p_brand, ROUND(rank, 8) AS pagerank
+FROM r{_PR_ITERS}
+ORDER BY pagerank DESC, p_brand
+"""
+)
+
+
+@register(
+    "graph_pagerank_fixed",
+    oracle=_PR_ORACLE,
+    tags=("analytic", "join", "aggregation"),
+)
+def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the brand co-purchase graph, exactly
+    {it} iterations at damping {d} — an ITERATIVE algorithm under the
+    hash gate: the oracle unrolls the same three steps as chained SQL
+    CTEs, so every intermediate rank vector is replayed exactly
+    (contrast similarity_ivf_kmeans, whose engine-divergent iteration
+    order forces a rows-only check).
+
+    100 TB shape: each step is one join of the rank vector against the
+    edge list partitioned on vertex — pre-partition both on vertex and
+    the join is exchange-free after the first step. The driver-side
+    ``for`` loop builds a 3-step LINEAGE, not 3 jobs; at larger
+    iteration counts checkpoint each step (clustering.py:120's
+    pointer-jumping does exactly that) to stop plan growth. Ranks stay
+    unnormalized by out-degree dangling mass because the undirected
+    thresholded graph has none — every vertex has degree >= 1.
+    """.format(it=_PR_ITERS, d=_PR_DAMPING)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+    )
+    und = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, b1 -> "
+                    "transform(filter(brands, b2 -> b2 > b1), "
+                    "b2 -> struct(b1 AS u, b2 AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
+        .select("u", "v")
+    )
+    edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    deg = edges.groupBy("u").agg(F.count("*").alias("d"))
+    n_v = deg.count()  # bounded: vertex count of the thresholded graph
+    ranks = deg.select(
+        F.col("u").alias("vertex"), (F.lit(1.0) / F.lit(n_v)).alias("rank")
+    )
+    contrib_deg = F.broadcast(deg)
+    for _ in range(_PR_ITERS):
+        ranks = (
+            edges.join(ranks, edges.u == ranks.vertex)
+            .join(contrib_deg, "u")
+            .groupBy(F.col("v").alias("dst"))
+            .agg(
+                (
+                    F.lit((1 - _PR_DAMPING) / n_v)
+                    + F.lit(_PR_DAMPING) * F.sum(F.col("rank") / F.col("d"))
+                ).alias("rank")
+            )
+            .select(F.col("dst").alias("vertex"), "rank")
+        )
+    return ranks.select(
+        F.col("vertex").alias("p_brand"), F.round("rank", 8).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "p_brand")
