@@ -661,3 +661,16 @@ def test_dpp_prunes_fact_partitions(spark, sf_dir):
     assert "dynamicpruning" in plan, plan
     pf = plan.split("PartitionFilters: [")[1][:250]
     assert "event_type" in pf and "dynamicpruning" in pf
+
+
+def test_graph_kernels_broadcast_dims_no_cartesian(spark, sf_dir):
+    """Triangle counting and PageRank build their edge lists through
+    the basket pipeline: the part dim must broadcast onto lineitem and
+    nothing in either plan may degenerate into a cartesian /
+    broadcast-nested-loop join (the PageRank iteration joins are all
+    equi-joins on vertex)."""
+    for name in ("graph_triangle_count", "graph_pagerank_fixed"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name

@@ -204,3 +204,24 @@ def test_exact_substring_scales_linearly(spark, scaled_dir):
     assert t_big / big <= 2 * t_base / base, (
         f"per-doc cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
     )
+
+
+def test_bigram_lm_scales_linearly(spark, scaled_dir):
+    """Bigram LM counts at 10x docs: expansion is a map-side Generate
+    over each token array and counting partial-aggregates, so the cost
+    is O(total tokens). The result is top-50 in both runs (same
+    corpus text repeated, so the same pairs win, 10x the counts); the
+    gate is wall time — an accidental pair-materializing formulation
+    (e.g. a positions self-join) would pay tokens^2 within a doc and
+    blow the ceiling."""
+    from golang_etl_spark.operators.text import text_bigram_lm
+
+    base, t_base = _timed_count(spark, text_bigram_lm, SF_BIG)
+    big, t_big = _timed_count(spark, text_bigram_lm, scaled_dir)
+
+    assert base == big == 50
+    assert t_big < 60, f"blowup: {t_big:.1f}s at {REPLICAS}x docs"
+    # 10x tokens should cost ~10x; allow 3x slack for fixed overheads
+    assert t_big <= 3 * REPLICAS * t_base, (
+        f"cost grew superlinearly: {t_base:.2f}s -> {t_big:.2f}s"
+    )
