@@ -164,6 +164,8 @@ HEADLINE = [
     "etl_pseudonymize",
     "streaming_stream_stream_left_outer",
     "graph_pagerank_fixed",
+    "sample_epoch_repeat",
+    "profile_join_skew",
 ]
 
 

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
@@ -350,4 +351,83 @@ def profile_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.first("hi"), 4).alias("p99"),
         F.round(F.avg("w"), 4).alias("avg_winsorized"),
         F.round(F.avg("o_totalprice"), 4).alias("avg_raw"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnostics.
+# ---------------------------------------------------------------------------
+_SKEW_TOP = 10
+
+_SKEW_ORACLE = f"""
+WITH freq AS (
+  SELECT o_custkey AS key, COUNT(*) AS n FROM orders GROUP BY o_custkey
+),
+gstats AS (
+  SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows, MAX(n) AS max_freq,
+         SUM(n) * 1.0 / COUNT(*) AS avg_freq
+  FROM freq
+),
+ranked AS (
+  SELECT key, n,
+         ROW_NUMBER() OVER (ORDER BY n DESC, key) AS rank,
+         SUM(n) OVER (ORDER BY n DESC, key
+                      ROWS UNBOUNDED PRECEDING) AS cum_n
+  FROM freq
+)
+SELECT r.key, CAST(r.n AS BIGINT) AS n_rows_key,
+       CAST(r.rank AS BIGINT) AS rank,
+       ROUND(r.n * 1.0 / g.n_rows, 6) AS share,
+       ROUND(r.cum_n * 1.0 / g.n_rows, 6) AS cum_share,
+       CAST(g.n_keys AS BIGINT) AS n_keys,
+       ROUND(g.max_freq / g.avg_freq, 4) AS skew_ratio
+FROM ranked r CROSS JOIN gstats g
+WHERE r.rank <= {_SKEW_TOP}
+"""
+
+
+@register(
+    "profile_join_skew",
+    oracle=_SKEW_ORACLE,
+    tags=("profiling", "skew", "aggregation"),
+)
+def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic: the top hot keys of a prospective
+    join/shuffle key with their row share, cumulative share, and the
+    global max/avg frequency ratio — the numbers that decide between
+    a plain shuffle (ratio ~1), AQE skew-join splitting (a few hot
+    keys), and explicit salting (join_skew_salted) or hot-key
+    broadcast isolation (pathological ratio). Run this BEFORE the big
+    join; it is one partial-aggregated pass over the key column.
+
+    100 TB shape: the frequency table is keys-sized, the global stats
+    a single row joined back broadcast-style; the only wide operation
+    is the top-k window over the keys table (bounded, never corpus-
+    sized). At extreme key cardinality swap the exact frequency table
+    for a count-min sketch and keep the same report shape."""
+    orders = load_table(spark, sf_dir, "orders")
+    freq = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    glob = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+        (F.sum("n") / F.count("*")).alias("avg_freq"),
+    )
+    w = Window.orderBy(F.desc("n"), "key")
+    ranked = freq.select(
+        "key",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum_n"),
+    ).filter(F.col("rank") <= _SKEW_TOP)
+    return ranked.crossJoin(F.broadcast(glob)).select(
+        "key",
+        F.col("n").alias("n_rows_key"),
+        F.col("rank").cast("long"),
+        F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+        F.round(F.col("cum_n") / F.col("n_rows"), 6).alias("cum_share"),
+        "n_keys",
+        F.round(F.col("max_freq") / F.col("avg_freq"), 4).alias("skew_ratio"),
     )

@@ -393,3 +393,123 @@ def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sampled_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch-repeat expansion: deterministic upsampling past one epoch.
+# ---------------------------------------------------------------------------
+# Per-language token TARGETS, deliberately above some languages'
+# corpus size: low-resource languages repeat (up to the 4-epoch cap
+# diminishing-returns guidance suggests), high-resource ones stay at
+# or under one epoch (fractional epoch = hash-selected subset).
+_EPOCH_TARGETS = [("en", 40_000), ("de", 60_000), ("fr", 80_000), ("es", 90_000)]
+_EPOCH_CAP_MILLI = 4_000  # 4.0 epochs, in integer milli-epochs
+
+_EPOCH_BUCKET_SPARK = (
+    "cast(conv(substr(md5(cast(doc_id AS string)), 1, 15), 16, 10) AS bigint)"
+    " % 1000"
+)
+_EPOCH_BUCKET_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000"
+
+_EPOCH_ORACLE = f"""
+WITH targets AS (
+  SELECT * FROM (VALUES
+    ('en', 40000), ('de', 60000), ('fr', 80000), ('es', 90000)
+  ) AS t(lang, target_tokens)
+),
+docs AS (
+  SELECT doc_id, lang,
+         {_TOKENBUDGET_WORDS_DUCK} AS n_tokens,
+         {_EPOCH_BUCKET_DUCK} AS bucket
+  FROM documents
+),
+corpus AS (
+  SELECT lang, SUM(n_tokens) AS corpus_tokens FROM docs GROUP BY lang
+),
+factors AS (
+  SELECT t.lang, t.target_tokens, c.corpus_tokens,
+         LEAST({_EPOCH_CAP_MILLI},
+               (1000 * t.target_tokens) // c.corpus_tokens) AS f_milli
+  FROM targets t JOIN corpus c ON c.lang = t.lang
+),
+expanded AS (
+  SELECT d.doc_id, d.lang, d.n_tokens,
+         (f.f_milli // 1000)
+           + CASE WHEN d.bucket < (f.f_milli % 1000) THEN 1 ELSE 0 END
+           AS n_copies
+  FROM docs d JOIN factors f ON f.lang = d.lang
+)
+SELECT e.lang,
+       CAST(f.f_milli AS BIGINT) AS f_milli,
+       CAST(SUM(e.n_copies) AS BIGINT) AS n_rows_emitted,
+       CAST(SUM(e.n_copies * e.n_tokens) AS BIGINT) AS n_tokens_emitted,
+       CAST(f.corpus_tokens AS BIGINT) AS corpus_tokens
+FROM expanded e JOIN factors f ON f.lang = e.lang
+GROUP BY e.lang, f.f_milli, f.corpus_tokens
+"""
+
+
+@register(
+    "sample_epoch_repeat",
+    oracle=_EPOCH_ORACLE,
+    tags=("sampling", "llm"),
+)
+def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-repetition: when a language's token target
+    exceeds its corpus, emit each document floor(f) times plus one
+    hash-selected extra copy for the fractional epoch — integer
+    milli-epoch arithmetic end to end, capped at 4.0 epochs (repeating
+    further buys little). The physical expansion is a map-side
+    ``explode(sequence(1, n_copies))`` — rows multiply AFTER the
+    factor join, never through a shuffle, and the summary proves the
+    emitted token mass per language.
+
+    100 TB shape: corpus sizing is one partial agg; the 4-row factor
+    table broadcasts back; expansion adds zero exchanges (Generate in
+    the scan stage). Repetition factors are stable under re-runs and
+    re-partitioning (md5 of doc_id, not row position) — the property
+    that makes the mixture reproducible across training restarts."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id",
+        "lang",
+        f"{_TOKENBUDGET_WORDS_SPARK} AS n_tokens",
+        f"{_EPOCH_BUCKET_SPARK} AS bucket",
+    )
+    targets = spark.createDataFrame(
+        _EPOCH_TARGETS, "lang string, target_tokens long"
+    )
+    corpus = docs.groupBy("lang").agg(
+        F.sum("n_tokens").alias("corpus_tokens")
+    )
+    factors = (
+        targets.join(corpus, "lang")
+        .select(
+            "lang",
+            "corpus_tokens",
+            F.least(
+                F.lit(_EPOCH_CAP_MILLI),
+                F.floor(
+                    (F.lit(1000) * F.col("target_tokens"))
+                    / F.col("corpus_tokens")
+                ),
+            ).alias("f_milli"),
+        )
+    )
+    expanded = (
+        docs.join(F.broadcast(factors), "lang")
+        .withColumn(
+            "n_copies",
+            F.floor(F.col("f_milli") / 1000)
+            + F.when(
+                F.col("bucket") < F.col("f_milli") % 1000, 1
+            ).otherwise(0),
+        )
+        .filter(F.col("n_copies") > 0)
+        .withColumn("copy", F.explode(F.expr("sequence(1, n_copies)")))
+    )
+    return expanded.groupBy("lang").agg(
+        F.first("f_milli").alias("f_milli"),
+        F.count("*").alias("n_rows_emitted"),
+        F.sum("n_tokens").alias("n_tokens_emitted"),
+        F.first("corpus_tokens").alias("corpus_tokens"),
+    )
