@@ -166,6 +166,9 @@ HEADLINE = [
     "graph_pagerank_fixed",
     "sample_epoch_repeat",
     "profile_join_skew",
+    "sql_recursive_bfs",
+    "sql_lateral_topk",
+    "profile_psi_drift",
 ]
 
 

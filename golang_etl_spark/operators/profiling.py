@@ -431,3 +431,108 @@ def profile_join_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_keys",
         F.round(F.col("max_freq") / F.col("avg_freq"), 4).alias("skew_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distribution drift between snapshots: Population Stability Index.
+# ---------------------------------------------------------------------------
+_PSI_BINS = 10
+_PSI_LO, _PSI_HI = 0.0, 600_000.0  # fixed o_totalprice bin range
+_PSI_SPLIT = "1996-01-01"  # vintage A before, vintage B from this date
+
+_PSI_ORACLE = f"""
+WITH binned AS (
+  SELECT LEAST({_PSI_BINS - 1},
+               GREATEST(0, CAST(FLOOR((o_totalprice - {_PSI_LO}) /
+                 (({_PSI_HI} - {_PSI_LO}) / {_PSI_BINS})) AS INT))) AS bin,
+         CASE WHEN o_orderdate < TIMESTAMP '{_PSI_SPLIT} 00:00:00'
+              THEN 'a' ELSE 'b' END AS vintage
+  FROM orders
+),
+counts AS (
+  SELECT bin,
+         SUM(CASE WHEN vintage = 'a' THEN 1 ELSE 0 END) AS n_a,
+         SUM(CASE WHEN vintage = 'b' THEN 1 ELSE 0 END) AS n_b
+  FROM binned GROUP BY bin
+),
+tot AS (
+  SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts
+),
+sm AS (
+  -- Laplace-smoothed shares: zero-count bins stay finite in the log
+  SELECT c.bin, c.n_a, c.n_b,
+         (c.n_a + 1.0) / (t.t_a + {_PSI_BINS}) AS p_a,
+         (c.n_b + 1.0) / (t.t_b + {_PSI_BINS}) AS p_b
+  FROM counts c CROSS JOIN tot t
+)
+SELECT bin, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       ROUND((p_a - p_b) * LN(p_a / p_b), 6) AS psi_contrib,
+       ROUND(SUM((p_a - p_b) * LN(p_a / p_b)) OVER (), 6) AS psi_total
+FROM sm
+ORDER BY bin
+"""
+
+
+@register(
+    "profile_psi_drift",
+    oracle=_PSI_ORACLE,
+    tags=("profiling", "stats", "llm"),
+)
+def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between two order vintages: fixed-
+    width bins over o_totalprice, Laplace-smoothed shares, per-bin
+    contribution and the total PSI (>0.25 = retrain/alert in the
+    standard reading). This is the drift monitor a corpus pipeline
+    runs between snapshots — has the quality-score / length / price
+    distribution moved since the data the model was tuned on?
+
+    100 TB shape: one scan, map-side bin assignment (fixed edges — no
+    percentile pass), a {b}-row count table, and the PSI arithmetic on
+    that table; the window-total is over {b} rows. Nothing downstream
+    of the scan depends on data size."""
+    orders = load_table(spark, sf_dir, "orders")
+    width = (_PSI_HI - _PSI_LO) / _PSI_BINS
+    binned = orders.select(
+        F.least(
+            F.lit(_PSI_BINS - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col("o_totalprice") - _PSI_LO) / width).cast("int"),
+            ),
+        ).alias("bin"),
+        F.when(
+            F.col("o_orderdate") < F.lit(f"{_PSI_SPLIT} 00:00:00").cast("timestamp"),
+            "a",
+        )
+        .otherwise("b")
+        .alias("vintage"),
+    )
+    counts = binned.groupBy("bin").agg(
+        F.sum(F.when(F.col("vintage") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("vintage") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
+    )
+    sm = counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_a",
+        "n_b",
+        ((F.col("n_a") + 1.0) / (F.col("t_a") + _PSI_BINS)).alias("p_a"),
+        ((F.col("n_b") + 1.0) / (F.col("t_b") + _PSI_BINS)).alias("p_b"),
+    )
+    contrib = (F.col("p_a") - F.col("p_b")) * F.log(F.col("p_a") / F.col("p_b"))
+    return sm.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round(contrib, 6).alias("psi_contrib"),
+        F.round(
+            F.sum(contrib).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bin")

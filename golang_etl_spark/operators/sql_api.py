@@ -506,3 +506,84 @@ for _name, _sql, _doc in (
     )
     _fn.__name__ = _name
     register(_name, oracle=_sql, tags=("sql", "tpch"))(_fn)
+
+
+# ---------------------------------------------------------------------------
+# Modern-SQL surfaces beyond TPC-H: recursive CTE + LATERAL (Spark 4).
+# ---------------------------------------------------------------------------
+# Recursive BFS over the brand co-purchase graph: hop distance from a
+# seed brand, identical WITH RECURSIVE text on both engines. The
+# depth < 3 guard bounds the unrolling (cycle-safe under UNION ALL);
+# MIN(depth) collapses the path multiset to shortest-hop distance.
+_RECURSIVE_BFS = """
+WITH RECURSIVE ob AS (
+  SELECT DISTINCT l.l_orderkey, p.p_brand
+  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+),
+und AS (
+  SELECT a.p_brand AS u, b.p_brand AS v
+  FROM ob a JOIN ob b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY a.p_brand, b.p_brand
+  HAVING COUNT(*) >= 60
+),
+edges AS (
+  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
+),
+walk(brand, depth) AS (
+  SELECT CAST('Brand#11' AS STRING) AS brand, 0 AS depth
+  UNION ALL
+  SELECT e.v AS brand, w.depth + 1 AS depth
+  FROM walk w JOIN edges e ON e.u = w.brand
+  WHERE w.depth < 3
+)
+SELECT brand AS p_brand, CAST(MIN(depth) AS BIGINT) AS hops
+FROM walk
+GROUP BY brand
+ORDER BY hops, p_brand
+"""
+
+# Per-segment top-2 customers by account balance through a correlated
+# LATERAL subquery — the "top-N per row of the outer table" idiom that
+# needs no window function.
+_LATERAL_TOPK = """
+SELECT s.c_mktsegment, t.c_custkey, t.c_acctbal
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (
+  SELECT c_custkey, ROUND(c_acctbal, 4) AS c_acctbal
+  FROM customer c
+  WHERE c.c_mktsegment = s.c_mktsegment
+  ORDER BY c.c_acctbal DESC, c_custkey
+  LIMIT 2
+) t
+ORDER BY s.c_mktsegment, t.c_acctbal DESC, t.c_custkey
+"""
+
+for _name, _sql, _doc, _tags in (
+    (
+        "sql_recursive_bfs",
+        _RECURSIVE_BFS,
+        "WITH RECURSIVE breadth-first hop distance over the brand "
+        "co-purchase graph (Spark 4 recursive CTE; depth-guarded, "
+        "cycle-safe). Scale: each recursion step is one equi-join of "
+        "the frontier against the edge list — the engine materializes "
+        "per-step results, so state is frontier-sized, not path-sized.",
+        ("sql", "analytic", "subquery"),
+    ),
+    (
+        "sql_lateral_topk",
+        _LATERAL_TOPK,
+        "Correlated LATERAL top-N per outer row (Spark 4 lateral "
+        "subquery). Catalyst decorrelates this into a ranked window "
+        "under the hood — same plan family as topk_orders_per_segment, "
+        "written in the join idiom.",
+        ("sql", "subquery", "topk"),
+    ),
+):
+    _fn = _passthrough(_sql)
+    _fn.__doc__ = (
+        f"{_doc} The oracle executes the IDENTICAL SQL text — no "
+        "dialect translation."
+    )
+    _fn.__name__ = _name
+    register(_name, oracle=_sql, tags=_tags)(_fn)
