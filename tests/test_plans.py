@@ -674,3 +674,37 @@ def test_graph_kernels_broadcast_dims_no_cartesian(spark, sf_dir):
         assert "BroadcastHashJoin" in plan, name
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_winsorize_broadcasts_bounds(spark, sf_dir):
+    """The 5-row per-group percentile bounds must broadcast back onto
+    the orders scan — a sort-merge join here would shuffle the whole
+    fact table to clip it."""
+    plan = _plan(spark, sf_dir, "profile_winsorized_stats")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_epoch_repeat_expansion_is_map_side(spark, sf_dir):
+    """Epoch repetition must multiply rows via a Generate AFTER the
+    broadcast factor join — the expansion itself adds no exchange (a
+    shuffle of the expanded rows would move f x corpus bytes)."""
+    plan = _plan(spark, sf_dir, "sample_epoch_repeat")
+    assert "Generate" in plan
+    assert "SortMergeJoin" not in plan, plan
+    gen_pos = plan.index("Generate")
+    # no Exchange between the Generate and the scan below it: the
+    # segment BELOW the Generate node may contain the broadcast
+    # exchange only
+    below = plan[gen_pos:]
+    assert "Exchange hashpartitioning" not in below.split("Scan parquet")[0], plan
+
+
+def test_bigram_expansion_is_joinless(spark, sf_dir):
+    """Bigram pair expansion is a per-row zip of the token array with
+    its own tail: any join (e.g. positions self-join) or more than
+    ~3 exchanges means the operator acquired a pair materialization
+    it doesn't need."""
+    plan = _plan(spark, sf_dir, "text_bigram_lm")
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 3, plan
