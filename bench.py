@@ -169,6 +169,7 @@ HEADLINE = [
     "sql_recursive_bfs",
     "sql_lateral_topk",
     "profile_psi_drift",
+    "sink_targeted_erasure",
 ]
 
 

@@ -637,3 +637,105 @@ def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 4).alias("total_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Targeted erasure: delete keyed rows by rewriting only their buckets.
+# ---------------------------------------------------------------------------
+_ERASE_BUCKETS = 16
+_ERASE_USERS = (11, 42, 77)  # the right-to-be-forgotten request
+
+_ERASE_ORACLE = f"""
+WITH bucketed AS (
+  SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
+           % {_ERASE_BUCKETS} AS user_bucket,
+         user_id, value
+  FROM events
+),
+target AS (
+  SELECT DISTINCT user_bucket FROM bucketed
+  WHERE user_id IN {_ERASE_USERS}
+)
+SELECT b.user_bucket,
+       CAST(COUNT(*) FILTER (WHERE b.user_id NOT IN {_ERASE_USERS})
+            AS BIGINT) AS n_rows_after,
+       CAST(COUNT(*) FILTER (WHERE b.user_id IN {_ERASE_USERS})
+            AS BIGINT) AS n_erased,
+       CASE WHEN b.user_bucket IN (SELECT user_bucket FROM target)
+            THEN 1 ELSE 0 END AS rewritten
+FROM bucketed b
+GROUP BY b.user_bucket
+ORDER BY b.user_bucket
+"""
+
+@register(
+    "sink_targeted_erasure",
+    oracle=_ERASE_ORACLE,
+    tags=("sink", "layout", "etl-parity", "llm"),
+)
+def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion at O(affected buckets), not
+    O(table): events land partitioned by a hash bucket of user_id, so
+    an erasure request rewrites ONLY the directories that can contain
+    the target users (dynamic partition overwrite, same mechanism as
+    sink_partition_backfill) — every other bucket's files are
+    untouched bytes. The report per bucket: surviving rows, rows
+    erased (from the pre-image), and whether the bucket was rewritten;
+    the oracle recomputes all three from the fixture.
+
+    100 TB shape: the erase job reads and writes |targets|/BUCKETS of
+    the table. Bucketing the layout ON the deletion key is what makes
+    deletion cheap — the same reasoning that picks partition columns
+    for query pruning applies to compliance deletes. The bucket id is
+    the engine-portable 60-bit md5-prefix mod shared with sampling.py
+    (native hash() differs across engines and would break the oracle
+    replay)."""
+    bucket_spark = (
+        f"cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
+        f"AS bigint) % {_ERASE_BUCKETS}"
+    )
+    out = _layout_dir("events_erasure", sf_dir)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "value", f"{bucket_spark} AS user_bucket"
+    )
+    ev.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
+
+    users = list(_ERASE_USERS)
+    target_buckets = [
+        r["user_bucket"]
+        for r in ev.filter(F.col("user_id").isin(users))
+        .select("user_bucket")
+        .distinct()
+        .collect()  # bounded: <= len(users) buckets
+    ]
+    survivors = ev.filter(
+        F.col("user_bucket").isin(target_buckets)
+        & ~F.col("user_id").isin(users)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        survivors.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    back = spark.read.parquet(out)
+    erased_counts = (
+        ev.filter(F.col("user_id").isin(users))
+        .groupBy("user_bucket")
+        .agg(F.count("*").alias("n_erased"))
+    )
+    return (
+        back.groupBy("user_bucket")
+        .agg(F.count("*").alias("n_rows_after"))
+        .join(F.broadcast(erased_counts), "user_bucket", "left")
+        .select(
+            "user_bucket",
+            "n_rows_after",
+            F.coalesce(F.col("n_erased"), F.lit(0)).alias("n_erased"),
+            F.when(F.col("user_bucket").isin(target_buckets), 1)
+            .otherwise(0)
+            .alias("rewritten"),
+        )
+        .orderBy("user_bucket")
+    )

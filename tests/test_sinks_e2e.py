@@ -377,3 +377,80 @@ def test_backfill_rewrites_only_target_partition(spark, sf_dir, tmp_path):
     # replaced, not appended: row count unchanged, values halved
     err = spark.read.parquet(out).filter("event_type = 'error'")
     assert err.count() == n_error_before
+
+
+def test_erasure_rewrites_only_target_buckets(spark, sf_dir, tmp_path):
+    """Targeted erasure must rewrite ONLY the hash buckets that can
+    contain the requested users: every other bucket's files stay
+    byte-identical (path, size, mtime), and the target buckets end up
+    with zero rows for the erased users and all their other rows
+    intact."""
+    import os
+
+    from golang_etl_spark.operators.layout import (
+        _ERASE_BUCKETS,
+        _ERASE_USERS,
+    )
+
+    def _stat_tree(root, skip_dirs):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            if any(s in dirpath for s in skip_dirs):
+                continue
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(dirpath, f)
+                    st = os.stat(p)
+                    out[p] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    bucket_spark = (
+        f"cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
+        f"AS bigint) % {_ERASE_BUCKETS}"
+    )
+    out = str(tmp_path / "events_erase")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
+        "user_id", "value", f"{bucket_spark} AS user_bucket"
+    )
+    ev.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
+    users = list(_ERASE_USERS)
+    targets = sorted(
+        r["user_bucket"]
+        for r in ev.filter(F.col("user_id").isin(users))
+        .select("user_bucket")
+        .distinct()
+        .collect()
+    )
+    assert targets, "fixture must contain at least one requested user"
+    skip = [f"user_bucket={b}" for b in targets]
+    before = _stat_tree(out, skip)
+    n_other_before = (
+        spark.read.parquet(out)
+        .filter(
+            F.col("user_bucket").isin(targets)
+            & ~F.col("user_id").isin(users)
+        )
+        .count()
+    )
+
+    survivors = ev.filter(
+        F.col("user_bucket").isin(targets) & ~F.col("user_id").isin(users)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        survivors.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+    after = _stat_tree(out, skip)
+    assert before == after, "non-target bucket files were touched"
+    back = spark.read.parquet(out)
+    assert back.filter(F.col("user_id").isin(users)).count() == 0
+    assert (
+        back.filter(
+            F.col("user_bucket").isin(targets)
+            & ~F.col("user_id").isin(users)
+        ).count()
+        == n_other_before
+    )
