@@ -170,6 +170,7 @@ HEADLINE = [
     "sql_lateral_topk",
     "profile_psi_drift",
     "sink_targeted_erasure",
+    "profile_quantile_normalize",
 ]
 
 

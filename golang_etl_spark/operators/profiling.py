@@ -536,3 +536,84 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_total"),
     ).orderBy("bin")
+
+
+# ---------------------------------------------------------------------------
+# Cross-source quantile normalization (score calibration).
+# ---------------------------------------------------------------------------
+_QNORM_DECILES = 10
+
+_QNORM_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         len(string_split_regex(trim(text), '\\s+')) AS score
+  FROM documents
+),
+gridded AS (
+  SELECT doc_id, source, score,
+         NTILE({_QNORM_DECILES}) OVER (ORDER BY score, doc_id) AS gdec
+  FROM scored
+),
+ref AS (
+  SELECT gdec, AVG(score) AS ref_score FROM gridded GROUP BY gdec
+),
+per_src AS (
+  SELECT doc_id, source, score,
+         NTILE({_QNORM_DECILES}) OVER (
+           PARTITION BY source ORDER BY score, doc_id) AS sdec
+  FROM scored
+)
+SELECT p.source, CAST(p.sdec AS BIGINT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(AVG(p.score), 4) AS raw_avg,
+       ROUND(MAX(r.ref_score), 4) AS calibrated
+FROM per_src p JOIN ref r ON r.gdec = p.sdec
+GROUP BY p.source, p.sdec
+ORDER BY p.source, decile
+"""
+
+
+@register(
+    "profile_quantile_normalize",
+    oracle=_QNORM_ORACLE,
+    tags=("profiling", "stats", "llm", "window"),
+)
+def profile_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a per-document score across sources:
+    each source's decile d is remapped onto the GLOBAL decile-d mean,
+    so 'top 10% of source X' and 'top 10% of source Y' land on the
+    same calibrated scale even when the sources' raw score
+    distributions differ wildly — the calibration step before mixing
+    quality-filtered sources with one shared threshold. NTILE with a
+    (score, doc_id) tie-break keeps bucket membership deterministic
+    in both engines.
+
+    100 TB shape: two rank passes over (score, id) pairs — a global
+    NTILE (at scale: range-partitioned rank like window_global_rank,
+    or approx_percentile cutpoints) and a per-source NTILE whose
+    partitions are source-sized; the decile reference table is 10
+    rows, broadcast back. Scores, not documents, move through every
+    exchange."""
+    docs = load_table(spark, sf_dir, "documents").selectExpr(
+        "doc_id", "source", "size(split(trim(text), '\\\\s+')) AS score"
+    )
+    wg = Window.orderBy("score", "doc_id")
+    ref = (
+        docs.select(F.ntile(_QNORM_DECILES).over(wg).alias("gdec"), "score")
+        .groupBy("gdec")
+        .agg(F.avg("score").alias("ref_score"))
+    )
+    ws = Window.partitionBy("source").orderBy("score", "doc_id")
+    per_src = docs.select(
+        "source", "score", F.ntile(_QNORM_DECILES).over(ws).alias("sdec")
+    )
+    return (
+        per_src.join(F.broadcast(ref), per_src.sdec == ref.gdec)
+        .groupBy("source", F.col("sdec").cast("long").alias("decile"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("score"), 4).alias("raw_avg"),
+            F.round(F.max("ref_score"), 4).alias("calibrated"),
+        )
+        .orderBy("source", "decile")
+    )

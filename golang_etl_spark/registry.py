@@ -108,8 +108,10 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
 def _ordered() -> dict[str, QuerySpec]:
     """Registry ordered for driver-sample priority (stable within ties):
 
-    1. never driver-checked (new queries need their first row),
-    2. latest row non-green (re-verify landed fixes),
+    1. latest row non-green (re-verify landed fixes — a fix that
+       never gets re-sampled stays unproven forever, while a new
+       query merely waits a round for its first row),
+    2. never driver-checked (new queries need their first row),
     3. everything else, oldest-checked round first.
     """
     specs = all_queries()
@@ -118,9 +120,9 @@ def _ordered() -> dict[str, QuerySpec]:
 
     def key(name: str) -> tuple[int, int, int]:
         if name not in history:
-            return (0, 0, insertion[name])
+            return (1, 0, insertion[name])
         rnd, green = history[name]
-        return (1 if not green else 2, rnd, insertion[name])
+        return (0 if not green else 2, rnd, insertion[name])
 
     return {n: specs[n] for n in sorted(specs, key=key)}
 

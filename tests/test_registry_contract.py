@@ -13,13 +13,13 @@ def test_rotation_priority_order():
 
     def group(n):
         if n not in history:
-            return 0  # never checked: first
+            return 1  # never checked: after landed-but-unproven fixes
         rnd, green = history[n]
-        return 1 if not green else 2
+        return 0 if not green else 2
 
     groups = [group(n) for n in names]
     assert groups == sorted(groups), (
-        "rotation must order never-checked, then non-green-latest, "
+        "rotation must order non-green-latest, then never-checked, "
         "then green (stalest first)"
     )
     # within the green group, ordered oldest-checked-round first
