@@ -348,9 +348,40 @@ def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Triangle counting (graph analytics beyond connected components).
+# Shared brand-graph edge builder + triangle counting counting (graph analytics beyond connected components).
 # ---------------------------------------------------------------------------
 _TRI_MIN_ORDERS = 40  # edge threshold: brands co-purchased this often
+
+
+def _brand_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
+    """Undirected brand co-purchase edges (u < v), thresholded at
+    ``min_orders`` shared orders: the one-exchange basket pipeline
+    (broadcast part dim, collect_set per order, map-side HOF pair
+    expansion) shared by the triangle and PageRank kernels. Kept in
+    lockstep with the SQL twin CTEs (_TRI_ORACLE / _PR_EDGE_CTE)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("p_brand").alias("brands"))
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(brands, b1 -> "
+                    "transform(filter(brands, b2 -> b2 > b1), "
+                    "b2 -> struct(b1 AS u, b2 AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select("u", "v")
+    )
 
 _TRI_ORACLE = f"""
 WITH ob AS (
@@ -403,29 +434,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law graphs, orient by (degree, id) instead to cap the
     heaviest wedge list (same plan, different comparator).
     """.format(thr=_TRI_MIN_ORDERS)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("p_brand").alias("brands"))
-    )
-    pairs = baskets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(brands, b1 -> "
-                "transform(filter(brands, b2 -> b2 > b1), "
-                "b2 -> struct(b1 AS u, b2 AS v))))"
-            )
-        ).alias("e")
-    ).select("e.u", "e.v")
-    edges = (
-        pairs.groupBy("u", "v")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
-        .select("u", "v")
-        .persist()  # consumed three times by the triangle join
-    )
+    edges = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS).persist()
+    # persisted: consumed three times by the triangle join
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
     e3 = edges.select(F.col("u").alias("a3"), F.col("v").alias("c3"))
@@ -523,29 +533,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     unnormalized by out-degree dangling mass because the undirected
     thresholded graph has none — every vertex has degree >= 1.
     """.format(it=_PR_ITERS, d=_PR_DAMPING)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
-    baskets = (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("p_brand").alias("brands"))
-    )
-    und = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(brands, b1 -> "
-                    "transform(filter(brands, b2 -> b2 > b1), "
-                    "b2 -> struct(b1 AS u, b2 AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= _TRI_MIN_ORDERS)
-        .select("u", "v")
-    )
+    und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
     edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     n_v = deg.count()  # bounded: vertex count of the thresholded graph

@@ -589,13 +589,12 @@ _EVENT_CATEGORIES = [
     ("error", "ops"),
 ]
 
-_DPP_ORACLE = """
+_DPP_VALUES = ", ".join(f"('{t}', '{c}')" for t, c in _EVENT_CATEGORIES)
+
+_DPP_ORACLE = f"""
 WITH dim AS (
-  SELECT * FROM (VALUES
-    ('view', 'browse'), ('click', 'browse'), ('signup', 'conversion'),
-    ('purchase', 'conversion'), ('error', 'ops')
-  ) AS d(event_type, category)
-)
+  SELECT * FROM (VALUES {_DPP_VALUES}) AS d(event_type, category)
+)""" + """
 SELECT e.event_type,
        CAST(COUNT(*) AS BIGINT) AS n_events,
        ROUND(SUM(e.value), 4) AS total_value
@@ -645,6 +644,15 @@ def sink_dpp_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ERASE_BUCKETS = 16
 _ERASE_USERS = (11, 42, 77)  # the right-to-be-forgotten request
 
+# Engine-portable bucket id (60-bit md5-prefix mod, shared idiom with
+# sampling.py): native hash() differs across engines and would break
+# the oracle replay. Module-level so the e2e test drives the SAME
+# layout the registered query writes.
+ERASE_BUCKET_EXPR = (
+    f"cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
+    f"AS bigint) % {_ERASE_BUCKETS}"
+)
+
 _ERASE_ORACLE = f"""
 WITH bucketed AS (
   SELECT ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT
@@ -668,39 +676,20 @@ GROUP BY b.user_bucket
 ORDER BY b.user_bucket
 """
 
-@register(
-    "sink_targeted_erasure",
-    oracle=_ERASE_ORACLE,
-    tags=("sink", "layout", "etl-parity", "llm"),
-)
-def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Right-to-be-forgotten deletion at O(affected buckets), not
-    O(table): events land partitioned by a hash bucket of user_id, so
-    an erasure request rewrites ONLY the directories that can contain
-    the target users (dynamic partition overwrite, same mechanism as
-    sink_partition_backfill) — every other bucket's files are
-    untouched bytes. The report per bucket: surviving rows, rows
-    erased (from the pre-image), and whether the bucket was rewritten;
-    the oracle recomputes all three from the fixture.
-
-    100 TB shape: the erase job reads and writes |targets|/BUCKETS of
-    the table. Bucketing the layout ON the deletion key is what makes
-    deletion cheap — the same reasoning that picks partition columns
-    for query pruning applies to compliance deletes. The bucket id is
-    the engine-portable 60-bit md5-prefix mod shared with sampling.py
-    (native hash() differs across engines and would break the oracle
-    replay)."""
-    bucket_spark = (
-        f"cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
-        f"AS bigint) % {_ERASE_BUCKETS}"
-    )
-    out = _layout_dir("events_erasure", sf_dir)
-    ev = load_table(spark, sf_dir, "events").selectExpr(
-        "user_id", "value", f"{bucket_spark} AS user_bucket"
-    )
+def targeted_erasure(ev: "DataFrame", out: str, users: list) -> "DataFrame":
+    """Core erasure job over an already-bucketed frame ``(user_id,
+    value, user_bucket)``: write the bucketed layout, rewrite only the
+    buckets containing ``users`` (dynamic partition overwrite),
+    explicitly delete any target bucket with zero survivors (dynamic
+    overwrite replaces a partition only when the NEW data has rows for
+    it — an all-erased bucket would otherwise silently keep its old
+    files, the exact compliance failure this operator exists to
+    prevent; on object storage the same prefix delete applies, and
+    transactional table formats make it a metadata-only DELETE).
+    Returns the per-bucket report, including zero-survivor buckets."""
+    spark = ev.sparkSession
     ev.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
 
-    users = list(_ERASE_USERS)
     target_buckets = [
         r["user_bucket"]
         for r in ev.filter(F.col("user_id").isin(users))
@@ -718,20 +707,34 @@ def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    surviving_buckets = {
+        r["user_bucket"]
+        for r in survivors.select("user_bucket").distinct().collect()
+    }
+    emptied = [b for b in target_buckets if b not in surviving_buckets]
+    for b in emptied:
+        shutil.rmtree(os.path.join(out, f"user_bucket={b}"), ignore_errors=True)
 
-    back = spark.read.parquet(out)
+    # report from the POST-IMAGE, padded with the pre-image bucket set
+    # so fully-emptied buckets still report (n_rows_after=0) — the
+    # oracle groups the pre-image and must see the same rows.
+    pre_buckets = ev.select("user_bucket").distinct()
+    back_counts = (
+        spark.read.parquet(out)
+        .groupBy("user_bucket")
+        .agg(F.count("*").alias("n_rows_after"))
+    )
     erased_counts = (
         ev.filter(F.col("user_id").isin(users))
         .groupBy("user_bucket")
         .agg(F.count("*").alias("n_erased"))
     )
     return (
-        back.groupBy("user_bucket")
-        .agg(F.count("*").alias("n_rows_after"))
+        pre_buckets.join(F.broadcast(back_counts), "user_bucket", "left")
         .join(F.broadcast(erased_counts), "user_bucket", "left")
         .select(
             "user_bucket",
-            "n_rows_after",
+            F.coalesce(F.col("n_rows_after"), F.lit(0)).alias("n_rows_after"),
             F.coalesce(F.col("n_erased"), F.lit(0)).alias("n_erased"),
             F.when(F.col("user_bucket").isin(target_buckets), 1)
             .otherwise(0)
@@ -739,3 +742,33 @@ def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_bucket")
     )
+
+
+@register(
+    "sink_targeted_erasure",
+    oracle=_ERASE_ORACLE,
+    tags=("sink", "layout", "etl-parity", "llm"),
+)
+def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten deletion at O(affected buckets), not
+    O(table): events land partitioned by a hash bucket of user_id, so
+    an erasure request rewrites ONLY the directories that can contain
+    the target users (dynamic partition overwrite, same mechanism as
+    sink_partition_backfill) — every other bucket's files are
+    untouched bytes, asserted byte-identical in
+    tests/test_sinks_e2e.py. The report per bucket: surviving rows,
+    rows erased (from the pre-image), and whether the bucket was
+    rewritten; the oracle recomputes all three from the fixture.
+
+    100 TB shape: the erase job reads and writes |targets|/BUCKETS of
+    the table. Bucketing the layout ON the deletion key is what makes
+    deletion cheap — the same reasoning that picks partition columns
+    for query pruning applies to compliance deletes. The bucket id is
+    the engine-portable 60-bit md5-prefix mod shared with sampling.py
+    (native hash() differs across engines and would break the oracle
+    replay)."""
+    out = _layout_dir("events_erasure", sf_dir)
+    ev = load_table(spark, sf_dir, "events").selectExpr(
+        "user_id", "value", f"{ERASE_BUCKET_EXPR} AS user_bucket"
+    )
+    return targeted_erasure(ev, out, list(_ERASE_USERS))

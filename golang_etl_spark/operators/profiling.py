@@ -28,6 +28,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from golang_etl_spark.operators.sampling import (
+    _TOKENBUDGET_WORDS_DUCK,
+    _TOKENBUDGET_WORDS_SPARK,
+)
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
 
@@ -449,11 +453,20 @@ WITH binned AS (
               THEN 'a' ELSE 'b' END AS vintage
   FROM orders
 ),
-counts AS (
+spine AS (
+  SELECT UNNEST(generate_series(0, {_PSI_BINS} - 1)) AS bin
+),
+observed AS (
   SELECT bin,
          SUM(CASE WHEN vintage = 'a' THEN 1 ELSE 0 END) AS n_a,
          SUM(CASE WHEN vintage = 'b' THEN 1 ELSE 0 END) AS n_b
   FROM binned GROUP BY bin
+),
+counts AS (
+  -- all {_PSI_BINS} bins, zero-filled: an empty bin still contributes
+  -- its Laplace-smoothed term, and shares sum to 1
+  SELECT s.bin, COALESCE(o.n_a, 0) AS n_a, COALESCE(o.n_b, 0) AS n_b
+  FROM spine s LEFT JOIN observed o ON o.bin = s.bin
 ),
 tot AS (
   SELECT SUM(n_a) AS t_a, SUM(n_b) AS t_b FROM counts
@@ -507,9 +520,18 @@ def profile_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("b")
         .alias("vintage"),
     )
-    counts = binned.groupBy("bin").agg(
+    observed = binned.groupBy("bin").agg(
         F.sum(F.when(F.col("vintage") == "a", 1).otherwise(0)).alias("n_a"),
         F.sum(F.when(F.col("vintage") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    spine = spark.range(_PSI_BINS).select(F.col("id").cast("int").alias("bin"))
+    counts = (
+        spine.join(F.broadcast(observed), "bin", "left")
+        .select(
+            "bin",
+            F.coalesce(F.col("n_a"), F.lit(0)).alias("n_a"),
+            F.coalesce(F.col("n_b"), F.lit(0)).alias("n_b"),
+        )
     )
     tot = counts.agg(
         F.sum("n_a").alias("t_a"), F.sum("n_b").alias("t_b")
@@ -545,8 +567,7 @@ _QNORM_DECILES = 10
 
 _QNORM_ORACLE = f"""
 WITH scored AS (
-  SELECT doc_id, source,
-         len(string_split_regex(trim(text), '\\s+')) AS score
+  SELECT doc_id, source, {_TOKENBUDGET_WORDS_DUCK} AS score
   FROM documents
 ),
 gridded AS (
@@ -595,7 +616,7 @@ def profile_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows, broadcast back. Scores, not documents, move through every
     exchange."""
     docs = load_table(spark, sf_dir, "documents").selectExpr(
-        "doc_id", "source", "size(split(trim(text), '\\\\s+')) AS score"
+        "doc_id", "source", f"{_TOKENBUDGET_WORDS_SPARK} AS score"
     )
     wg = Window.orderBy("score", "doc_id")
     ref = (

@@ -411,11 +411,13 @@ _EPOCH_BUCKET_SPARK = (
 )
 _EPOCH_BUCKET_DUCK = "('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 1000"
 
+_EPOCH_VALUES = ", ".join(
+    f"('{lang}', {tok})" for lang, tok in _EPOCH_TARGETS
+)
+
 _EPOCH_ORACLE = f"""
 WITH targets AS (
-  SELECT * FROM (VALUES
-    ('en', 40000), ('de', 60000), ('fr', 80000), ('es', 90000)
-  ) AS t(lang, target_tokens)
+  SELECT * FROM (VALUES {_EPOCH_VALUES}) AS t(lang, target_tokens)
 ),
 docs AS (
   SELECT doc_id, lang,
@@ -507,9 +509,20 @@ def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_copies") > 0)
         .withColumn("copy", F.explode(F.expr("sequence(1, n_copies)")))
     )
-    return expanded.groupBy("lang").agg(
-        F.first("f_milli").alias("f_milli"),
+    emitted = expanded.groupBy("lang").agg(
         F.count("*").alias("n_rows_emitted"),
         F.sum("n_tokens").alias("n_tokens_emitted"),
-        F.first("corpus_tokens").alias("corpus_tokens"),
+    )
+    # summarize from the FACTOR table so a language whose factor
+    # floors to 0 milli-epochs still reports a zero row (the oracle
+    # groups all targeted languages; deriving the summary from the
+    # surviving exploded rows alone would drop it)
+    return factors.join(F.broadcast(emitted), "lang", "left").select(
+        "lang",
+        F.col("f_milli").cast("long").alias("f_milli"),
+        F.coalesce(F.col("n_rows_emitted"), F.lit(0)).alias("n_rows_emitted"),
+        F.coalesce(F.col("n_tokens_emitted"), F.lit(0)).alias(
+            "n_tokens_emitted"
+        ),
+        F.col("corpus_tokens").cast("long").alias("corpus_tokens"),
     )

@@ -62,9 +62,9 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
 
     The driver samples a 50-query subset per round and records results
     in CORRECTNESS_r{N}.json. Parsing the round number from the
-    filename lets the rotation prioritise (a) names never checked,
-    (b) names whose LATEST row is non-green (a fix landed but is
-    unproven until re-sampled), (c) the stalest green names — instead
+    filename lets the rotation prioritise (a) names whose LATEST row
+    is non-green (a fix landed but is unproven until re-sampled),
+    (b) names never checked, (c) the stalest green names — instead
     of degrading to insertion order once every name has one row.
     """
     import json

@@ -616,8 +616,13 @@ def test_index_search_prunes_postings(spark, sf_dir):
     ]
     posting_filters = [p for p in parts if "cell_id" in p]
     assert posting_filters, plan
-    # the literal IN list is what lets Catalyst prune at plan time
-    assert any("cell_id IN" in p or "cell_id#" in p for p in posting_filters)
+    # the filter must be a planning-time literal IN list (renders as
+    # `cell_id#N IN (100,130,...)`), not a runtime/dynamic expression
+    import re
+
+    assert any(
+        re.search(r"cell_id#\d+ IN \(\d", p) for p in posting_filters
+    ), posting_filters
 
 
 def test_index_build_assignment_partial_aggregates(spark, sf_dir):

@@ -388,7 +388,7 @@ def test_erasure_rewrites_only_target_buckets(spark, sf_dir, tmp_path):
     import os
 
     from golang_etl_spark.operators.layout import (
-        _ERASE_BUCKETS,
+        ERASE_BUCKET_EXPR,
         _ERASE_USERS,
     )
 
@@ -404,13 +404,9 @@ def test_erasure_rewrites_only_target_buckets(spark, sf_dir, tmp_path):
                     out[p] = (st.st_size, st.st_mtime_ns)
         return out
 
-    bucket_spark = (
-        f"cast(conv(substr(md5(cast(user_id AS string)), 1, 15), 16, 10) "
-        f"AS bigint) % {_ERASE_BUCKETS}"
-    )
     out = str(tmp_path / "events_erase")
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").selectExpr(
-        "user_id", "value", f"{bucket_spark} AS user_bucket"
+        "user_id", "value", f"{ERASE_BUCKET_EXPR} AS user_bucket"
     )
     ev.write.mode("overwrite").partitionBy("user_bucket").parquet(out)
     users = list(_ERASE_USERS)
@@ -454,3 +450,34 @@ def test_erasure_rewrites_only_target_buckets(spark, sf_dir, tmp_path):
         ).count()
         == n_other_before
     )
+
+
+def test_erasure_deletes_fully_erased_bucket(spark, tmp_path):
+    """Dynamic partition overwrite cannot delete a partition the new
+    data has no rows for: when EVERY row of a bucket belongs to the
+    erased users, the operator must remove the directory explicitly
+    and still report the bucket with n_rows_after=0 — otherwise the
+    forgotten users' files silently survive."""
+    from golang_etl_spark.operators.layout import targeted_erasure
+
+    out = str(tmp_path / "erase_all")
+    # bucket 0 holds ONLY users 100/101; bucket 1 holds user 200
+    rows = [(100, 1.0, 0), (101, 2.0, 0), (200, 3.0, 1), (201, 4.0, 1)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, value double, user_bucket int"
+    )
+    report = {
+        r["user_bucket"]: r
+        for r in targeted_erasure(ev, out, [100, 101]).collect()
+    }
+    assert report[0]["n_rows_after"] == 0
+    assert report[0]["n_erased"] == 2
+    assert report[0]["rewritten"] == 1
+    assert report[1]["n_rows_after"] == 2
+    assert report[1]["rewritten"] == 0
+    import os
+
+    assert not os.path.exists(os.path.join(out, "user_bucket=0"))
+    back = spark.read.parquet(out)
+    assert back.filter("user_id IN (100, 101)").count() == 0
+    assert back.count() == 2
