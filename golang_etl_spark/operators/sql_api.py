@@ -517,8 +517,14 @@ for _name, _sql, _doc in (
 # MIN(depth) collapses the path multiset to shortest-hop distance.
 _RECURSIVE_BFS = """
 WITH RECURSIVE ob AS (
+  -- bounded order range: Spark's recursive-CTE loop (UnionLoop)
+  -- re-evaluates the non-recursive prelude on every iteration, so the
+  -- graph-construction subtree must be iteration-cheap; the pushed
+  -- l_orderkey predicate keeps it a fixed-size slice at any SF (the
+  -- DataFrame PageRank kernel shows the materialize-once alternative)
   SELECT DISTINCT l.l_orderkey, p.p_brand
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+  WHERE l.l_orderkey < 60000
 ),
 und AS (
   SELECT a.p_brand AS u, b.p_brand AS v
