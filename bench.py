@@ -171,6 +171,7 @@ HEADLINE = [
     "profile_psi_drift",
     "sink_targeted_erasure",
     "profile_quantile_normalize",
+    "similarity_index_incremental",
 ]
 
 

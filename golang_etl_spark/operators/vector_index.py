@@ -236,3 +236,91 @@ def similarity_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     while the physical plan touches only nprobe of 16 lists."""
     root = build_ivf_index(spark, sf_dir)
     return search_ivf_index(spark, root)
+
+
+# ---------------------------------------------------------------------------
+# Incremental index ingestion: append a new batch without a rebuild.
+# ---------------------------------------------------------------------------
+_INGEST_BATCH_MAX = 50  # vec_id < this = "the newly arrived vectors"
+
+
+@register(
+    "similarity_index_incremental",
+    oracle=_INDEX_BUILD_ORACLE,
+    tags=("ann", "llm", "sink", "layout"),
+)
+def similarity_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN-index ingestion: build the base index WITHOUT
+    the newest batch (vec_id < {b}), then assign ONLY the batch
+    against the existing centroids file and APPEND its rows to the
+    cell directories — no rebuild, no touch of the base postings. The
+    final inventory hash-matches the full-rebuild oracle, proving
+    append-ingestion converges to the same index.
+
+    100 TB shape: daily ingestion cost is O(batch), not O(corpus) —
+    the batch joins the broadcast 16-row centroids and appends
+    |batch| rows across nprobe-bounded directories. The quantizer
+    stays FROZEN (same centroids file); production re-trains the
+    coarse quantizer only when drift (profile_psi_drift on cell
+    occupancies) demands it, because re-clustering forces exactly the
+    full rebuild this operator avoids.""".format(b=_INGEST_BATCH_MAX)
+    root = _layout_dir("ivf_index_incr", sf_dir)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    cent = v.filter(F.col("vec_id").isin(*IVF_CENTROID_IDS)).selectExpr(
+        "vec_id AS cell_id", "emb AS c_emb", "nrm AS c_nrm"
+    )
+    cent.coalesce(1).write.mode("overwrite").parquet(f"{root}/centroids")
+
+    def _assign(vectors):
+        scored = vectors.join(F.broadcast(cent)).selectExpr(
+            "vec_id",
+            "emb",
+            "nrm",
+            "cell_id",
+            f"{_dot_spark('emb', 'c_emb')} / (nrm * c_nrm) AS ccos",
+        )
+        best = F.max(
+            F.struct(
+                F.col("ccos").alias("ccos"),
+                (-F.col("cell_id")).alias("ncell"),
+                F.col("emb").alias("emb"),
+                F.col("nrm").alias("nrm"),
+            )
+        )
+        return (
+            scored.groupBy("vec_id")
+            .agg(best.alias("s"))
+            .select(
+                "vec_id",
+                (-F.col("s.ncell")).alias("cell_id"),
+                F.col("s.emb").alias("emb"),
+                F.col("s.nrm").alias("nrm"),
+            )
+        )
+
+    base = v.filter(F.col("vec_id") >= _INGEST_BATCH_MAX)
+    batch = v.filter(F.col("vec_id") < _INGEST_BATCH_MAX)
+    (
+        _assign(base)
+        .write.mode("overwrite")
+        .partitionBy("cell_id")
+        .parquet(f"{root}/postings")
+    )
+    # the increment: batch-only assignment, appended into the same
+    # cell-directory layout (existing base files never rewritten)
+    (
+        _assign(batch)
+        .write.mode("append")
+        .partitionBy("cell_id")
+        .parquet(f"{root}/postings")
+    )
+    postings = spark.read.parquet(f"{root}/postings")
+    return postings.groupBy("cell_id").agg(
+        F.count("*").alias("n_vectors"),
+        F.min("vec_id").alias("min_vec_id"),
+        F.max("vec_id").alias("max_vec_id"),
+    )
