@@ -421,7 +421,7 @@ ORDER BY n_triangles DESC, p_brand
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vertex triangle counts on the brand co-purchase graph
-    (edges = brand pairs co-purchased in >= {thr} orders) — the local
+    (edges = brand pairs co-purchased in >= _TRI_MIN_ORDERS orders) — the local
     clustering-coefficient numerator, and the standard second graph
     kernel after connected components (clustering.py:120).
 
@@ -433,7 +433,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly once and bounds the wedge fan-out by forward-degree; on
     power-law graphs, orient by (degree, id) instead to cap the
     heaviest wedge list (same plan, different comparator).
-    """.format(thr=_TRI_MIN_ORDERS)
+    """
     edges = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS).persist()
     # persisted: consumed three times by the triangle join
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
@@ -518,7 +518,7 @@ ORDER BY pagerank DESC, p_brand
 )
 def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the brand co-purchase graph, exactly
-    {it} iterations at damping {d} — an ITERATIVE algorithm under the
+    _PR_ITERS=3 iterations at damping 0.85 — an ITERATIVE algorithm under the
     hash gate: the oracle unrolls the same three steps as chained SQL
     CTEs, so every intermediate rank vector is replayed exactly
     (contrast similarity_ivf_kmeans, whose engine-divergent iteration
@@ -532,7 +532,7 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     pointer-jumping does exactly that) to stop plan growth. Ranks stay
     unnormalized by out-degree dangling mass because the undirected
     thresholded graph has none — every vertex has degree >= 1.
-    """.format(it=_PR_ITERS, d=_PR_DAMPING)
+    """
     und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
     edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))

@@ -251,7 +251,7 @@ _INGEST_BATCH_MAX = 50  # vec_id < this = "the newly arrived vectors"
 )
 def similarity_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental ANN-index ingestion: build the base index WITHOUT
-    the newest batch (vec_id < {b}), then assign ONLY the batch
+    the newest batch (vec_id < _INGEST_BATCH_MAX), then assign ONLY the batch
     against the existing centroids file and APPEND its rows to the
     cell directories — no rebuild, no touch of the base postings. The
     final inventory hash-matches the full-rebuild oracle, proving
@@ -263,7 +263,7 @@ def similarity_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays FROZEN (same centroids file); production re-trains the
     coarse quantizer only when drift (profile_psi_drift on cell
     occupancies) demands it, because re-clustering forces exactly the
-    full rebuild this operator avoids.""".format(b=_INGEST_BATCH_MAX)
+    full rebuild this operator avoids."""
     root = _layout_dir("ivf_index_incr", sf_dir)
 
     emb = load_table(spark, sf_dir, "embeddings")
