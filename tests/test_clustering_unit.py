@@ -76,3 +76,28 @@ def test_raises_instead_of_silently_splitting_when_cap_hit(spark, monkeypatch):
         # force the distributed loop: the union-find fast path has no
         # iteration cap to hit (single-task DSU always finishes)
         connected_components(df, local_threshold=0).collect()
+
+
+def test_pagerank_conserves_probability_mass(spark, sf_dir):
+    """On a dangling-free graph every PageRank iteration redistributes
+    the full rank mass: after any number of damped steps the ranks
+    still sum to 1 (teleport + propagated mass). Also: every vertex of
+    the thresholded edge set appears, and ranks are positive."""
+    from golang_etl_spark.operators.clustering import (
+        _TRI_MIN_ORDERS,
+        _brand_edges,
+        graph_pagerank_fixed,
+    )
+
+    rows = graph_pagerank_fixed(spark, sf_dir).collect()
+    total = sum(r["pagerank"] for r in rows)
+    assert abs(total - 1.0) < 1e-6, total
+    assert all(r["pagerank"] > 0 for r in rows)
+    n_vertices = (
+        _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
+        .selectExpr("u AS x")
+        .union(_brand_edges(spark, sf_dir, _TRI_MIN_ORDERS).selectExpr("v AS x"))
+        .distinct()
+        .count()
+    )
+    assert len(rows) == n_vertices

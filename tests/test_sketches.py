@@ -74,3 +74,21 @@ def test_approx_profile_matches_exact_profile(spark, sf_dir):
         assert abs(a["n_distinct"] - e["n_distinct"]) <= max(
             1, 0.08 * e["n_distinct"]
         ), (col, a["n_distinct"], e["n_distinct"])
+
+
+def test_psi_total_is_sum_of_contributions(spark, sf_dir):
+    """psi_total must equal the sum of the per-bin contributions (the
+    window total and the bin rows come from the same smoothed shares),
+    and all 10 fixed bins must be present even when empty."""
+    from golang_etl_spark.operators.profiling import (
+        _PSI_BINS,
+        profile_psi_drift,
+    )
+
+    rows = profile_psi_drift(spark, sf_dir).collect()
+    assert len(rows) == _PSI_BINS
+    assert sorted(r["bin"] for r in rows) == list(range(_PSI_BINS))
+    total = rows[0]["psi_total"]
+    assert all(r["psi_total"] == total for r in rows)
+    assert abs(sum(r["psi_contrib"] for r in rows) - total) < 1e-4
+    assert total >= 0  # PSI is a nonnegative divergence
