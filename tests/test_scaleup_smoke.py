@@ -225,3 +225,60 @@ def test_bigram_lm_scales_linearly(spark, scaled_dir):
     assert t_big <= 3 * REPLICAS * t_base, (
         f"cost grew superlinearly: {t_base:.2f}s -> {t_big:.2f}s"
     )
+
+
+@pytest.fixture(scope="module")
+def scaled_tpch_dir(tmp_path_factory):
+    """10x lineitem/orders (plus pass-through dims) by unioning
+    id-shifted copies — the relational-core analog of scaled_dir."""
+    if not os.path.exists(f"{SF_BIG}/lineitem.parquet"):
+        pytest.skip("sf0.1 fixture absent")
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("scaled_tpch")
+    shift = 10_000_000
+    for tbl_name, id_cols in (
+        ("lineitem", ["l_orderkey"]),
+        ("orders", ["o_orderkey"]),
+    ):
+        tbl = pq.read_table(f"{SF_BIG}/{tbl_name}.parquet")
+        copies = []
+        for r in range(REPLICAS):
+            t = tbl
+            for c in id_cols:
+                idx = t.schema.get_field_index(c)
+                vals = pa.array(
+                    [v + r * shift for v in t[c].to_pylist()],
+                    type=t.schema.field(c).type,
+                )
+                t = t.set_column(idx, c, vals)
+            copies.append(t)
+        pq.write_table(pa.concat_tables(copies), str(out / f"{tbl_name}.parquet"))
+    for tbl_name in ("customer", "part", "supplier", "nation", "region"):
+        src = f"{SF_BIG}/{tbl_name}.parquet"
+        if os.path.exists(src):
+            pq.write_table(pq.read_table(src), str(out / f"{tbl_name}.parquet"))
+    return str(out)
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["agg_pricing_summary", "join_revenue_by_segment", "window_running_sum"],
+)
+def test_relational_core_scales_linearly(spark, scaled_tpch_dir, qname):
+    """The relational core at 10x fact rows: partial-aggregated scans,
+    broadcast dim joins, and per-key windows are all O(rows) — wall
+    time may not grow superlinearly (a broadcast that silently flips
+    to SMJ, or an agg that stops partial-aggregating, would)."""
+    from golang_etl_spark.registry import all_queries
+
+    fn = all_queries()[qname].fn
+    base, t_base = _timed_count(spark, fn, SF_BIG)
+    big, t_big = _timed_count(spark, fn, scaled_tpch_dir)
+
+    assert big >= base  # more data, never fewer result rows
+    assert t_big < 90, f"{qname} blowup: {t_big:.1f}s at {REPLICAS}x rows"
+    # 10x rows should cost <= ~10x plus fixed overhead; 3x slack
+    assert t_big <= 3 * REPLICAS * max(t_base, 0.2), (
+        f"{qname} superlinear: {t_base:.2f}s -> {t_big:.2f}s"
+    )
