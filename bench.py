@@ -172,6 +172,7 @@ HEADLINE = [
     "sink_targeted_erasure",
     "profile_quantile_normalize",
     "similarity_index_incremental",
+    "dedup_crosslingual_pairs",
 ]
 
 

@@ -1141,3 +1141,109 @@ def dedup_semantic_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("verdict"),
         F.round(cos, 6).alias("cos_to_rep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-lingual near-duplicate detection (translation contamination).
+# ---------------------------------------------------------------------------
+_XLING_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb
+  FROM embeddings
+),
+sig AS (
+  SELECT s.vec_id, s.emb, s.bucket, s.nrm, d.lang
+  FROM (
+    SELECT vec_id, emb,
+           {{bucket}} AS bucket,
+           sqrt(list_dot_product(emb, emb)) AS nrm
+    FROM v
+  ) s
+  JOIN documents d ON d.doc_id = s.vec_id
+),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) AS cos
+  FROM sig a JOIN sig b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+   AND a.lang <> b.lang
+  WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= {{thr}}
+)
+SELECT LEAST(lang_a, lang_b) AS lang_lo,
+       GREATEST(lang_a, lang_b) AS lang_hi,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(AVG(cos), 6) AS avg_cosine,
+       ROUND(MAX(cos), 6) AS max_cosine
+FROM pairs
+GROUP BY LEAST(lang_a, lang_b), GREATEST(lang_a, lang_b)
+ORDER BY lang_lo, lang_hi
+""".format(bucket=_bucket_expr("duck"), thr=COSINE_MIN)
+
+
+@register(
+    "dedup_crosslingual_pairs",
+    oracle=_XLING_ORACLE,
+    tags=("dedup", "llm", "ann"),
+)
+def dedup_crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Translation-contamination scan: near-duplicate pairs whose two
+    documents carry DIFFERENT language tags — the signature of the
+    same content entering the corpus twice through translation, which
+    monolingual (text-hash / shingle) dedup can never see because the
+    surface forms share no tokens. Embedding-space LSH is the only
+    family that catches it; the report aggregates per language pair.
+
+    100 TB shape: identical cost envelope to dedup_embedding_cosine
+    (one bucket self-join over LSH signatures; the lang tag rides the
+    signature row after a broadcast-scale id join), plus a language-
+    pair-bounded final aggregate. The lang inequality prunes the
+    candidate set map-side — same-language pairs (the vast majority)
+    never reach the cosine verify."""
+    emb = load_table(spark, sf_dir, "embeddings").repartition(
+        _pin_partitions(spark), "vec_id"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "lang"
+    )
+    v = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> cast(x AS double)) AS emb"
+    )
+    sig = (
+        v.selectExpr(
+            "vec_id",
+            "emb",
+            f"{_bucket_expr('spark')} AS bucket",
+            "sqrt(aggregate(zip_with(emb, emb, (x, y) -> x * y), 0D, "
+            "(acc, x) -> acc + x)) AS nrm",
+        )
+        .join(docs, "vec_id")
+        .persist()
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    dot = F.expr(
+        "aggregate(zip_with(a.emb, b.emb, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+    )
+    cos = dot / (F.col("a.nrm") * F.col("b.nrm"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id"))
+            & (F.col("a.lang") != F.col("b.lang")),
+        )
+        .filter(cos >= COSINE_MIN)
+        .select(
+            F.least(F.col("a.lang"), F.col("b.lang")).alias("lang_lo"),
+            F.greatest(F.col("a.lang"), F.col("b.lang")).alias("lang_hi"),
+            cos.alias("cos"),
+        )
+    )
+    return (
+        pairs.groupBy("lang_lo", "lang_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("cos"), 6).alias("avg_cosine"),
+            F.round(F.max("cos"), 6).alias("max_cosine"),
+        )
+        .orderBy("lang_lo", "lang_hi")
+    )
