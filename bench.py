@@ -173,6 +173,7 @@ HEADLINE = [
     "profile_quantile_normalize",
     "similarity_index_incremental",
     "dedup_crosslingual_pairs",
+    "timeseries_ewma",
 ]
 
 

@@ -365,3 +365,71 @@ def timeseries_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_active_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# EWMA: a sequential recurrence as a per-key array fold.
+# ---------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+
+_EWMA_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id,
+         list(value ORDER BY ts, event_id)::DOUBLE[] AS vals
+  FROM events
+  WHERE event_type = 'purchase'
+  GROUP BY user_id
+)
+SELECT user_id,
+       CAST(len(vals) AS BIGINT) AS n_events,
+       ROUND(vals[len(vals)], 4) AS last_value,
+       ROUND(list_reduce(vals,
+             (acc, x) -> {1 - _EWMA_ALPHA} * acc + {_EWMA_ALPHA} * x), 6)
+         AS ewma
+FROM seq
+"""
+
+
+@register(
+    "timeseries_ewma",
+    oracle=_EWMA_ORACLE,
+    tags=("timeseries", "aggregation"),
+)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average per user — a RECURRENCE
+    (ewma_t = (1-α)·ewma_{t-1} + α·x_t), which no window frame can
+    express and no parallel reduction can reorder. The distributed
+    answer: one shuffle groups each key's ordered history, then the
+    fold runs map-side as an array-reduce higher-order function —
+    sequential per key, parallel across keys. DuckDB's list_reduce
+    replays the identical left fold, so the hash gate covers every
+    intermediate step of the recurrence.
+
+    100 TB shape: one exchange on the key; state per key is its event
+    array (bound the history window if keys are unbounded — the fold
+    composes with slice()). The recurrence itself never crosses a
+    partition boundary, which is exactly why it costs nothing beyond
+    the groupBy."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    seq = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(ts, event_id, value))), "
+                "s -> cast(s.value AS double))"
+            ).alias("vals")
+        )
+    )
+    fold = (
+        f"aggregate(slice(vals, 2, greatest(size(vals) - 1, 0)), "
+        f"cast(element_at(vals, 1) AS double), "
+        f"(acc, x) -> {1 - _EWMA_ALPHA}D * acc + {_EWMA_ALPHA}D * x)"
+    )
+    return seq.selectExpr(
+        "user_id",
+        "cast(size(vals) AS bigint) AS n_events",
+        "round(element_at(vals, size(vals)), 4) AS last_value",
+        f"round({fold}, 6) AS ewma",
+    )
