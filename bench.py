@@ -174,6 +174,7 @@ HEADLINE = [
     "similarity_index_incremental",
     "dedup_crosslingual_pairs",
     "timeseries_ewma",
+    "dedup_jaccard_prefix",
 ]
 
 

@@ -24,6 +24,7 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
@@ -1246,4 +1247,139 @@ def dedup_crosslingual_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("cos"), 6).alias("max_cosine"),
         )
         .orderBy("lang_lo", "lang_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# PPJoin-style set-similarity join: prefix filtering + exact verify.
+# ---------------------------------------------------------------------------
+# Jaccard threshold t and the prefix rule: two token sets with
+# J(a,b) >= t MUST share a token within each set's first
+# (|d| - ceil(t*|d|) + 1) tokens under ANY single global token order —
+# the prefix-filtering principle (PPJoin). Ordering rarest-token-first
+# makes those prefixes the least common tokens, so the inverted index
+# over PREFIX tokens alone is far smaller than the full-postings index
+# of dedup_ngram_jaccard while provably missing no qualifying pair.
+PPJ_T = 0.95
+
+_PPJ_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, UNNEST(
+    list_transform(string_split_regex(trim(text), '\\s+'), x -> lower(x))
+  ) AS token
+  FROM documents
+),
+sizes AS (
+  SELECT doc_id, COUNT(*) AS d_size FROM toks GROUP BY doc_id
+),
+freq AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY token
+),
+ranked AS (
+  SELECT t.doc_id, t.token, s.d_size,
+         ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                            ORDER BY f.df, t.token) AS pos
+  FROM toks t JOIN freq f ON f.token = t.token
+  JOIN sizes s ON s.doc_id = t.doc_id
+),
+prefix AS (
+  SELECT doc_id, token, d_size FROM ranked
+  WHERE pos <= d_size - CAST(CEIL({PPJ_T} * d_size) AS INT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.d_size AS size_a, b.d_size AS size_b
+  FROM prefix a JOIN prefix b
+    ON a.token = b.token AND a.doc_id < b.doc_id
+  WHERE b.d_size >= CEIL({PPJ_T} * a.d_size)
+    AND a.d_size >= CEIL({PPJ_T} * b.d_size)
+),
+inter AS (
+  SELECT c.doc_id_a, c.doc_id_b, c.size_a, c.size_b,
+         COUNT(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.doc_id_a
+  JOIN toks tb ON tb.doc_id = c.doc_id_b AND tb.token = ta.token
+  GROUP BY c.doc_id_a, c.doc_id_b, c.size_a, c.size_b
+)
+SELECT doc_id_a, doc_id_b,
+       ROUND(n_inter * 1.0 / (size_a + size_b - n_inter), 6) AS jaccard
+FROM inter
+WHERE n_inter * 1.0 / (size_a + size_b - n_inter) >= {PPJ_T}
+ORDER BY doc_id_a, doc_id_b
+"""
+
+
+@register(
+    "dedup_jaccard_prefix",
+    oracle=_PPJ_ORACLE,
+    tags=("dedup", "llm", "join"),
+)
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style exact Jaccard join: index only each document's
+    PREFIX tokens (rarest-first global order; prefix length
+    |d| - ceil(t|d|) + 1), join candidates on shared prefix tokens
+    with the length filter t|a| <= |b|, then verify exact Jaccard.
+    Provably complete for J >= t — the prefix-filtering principle —
+    while the inverted index holds only the rare heads of each
+    document instead of every token (contrast dedup_ngram_jaccard's
+    full-postings index with a DF cap: that trades recall for skew
+    control; this trades nothing).
+
+    100 TB shape: token-frequency ranking is one agg + one broadcast-
+    scale join on the vocab; the candidate join shuffles PREFIX
+    postings only (skew-immune by construction — prefixes are rare
+    tokens, so no hot posting lists); verification touches candidate
+    pairs, never the corpus square."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.expr("transform(split(trim(text), '\\\\s+'), x -> lower(x))")
+            )
+        ).alias("token"),
+    ).distinct()
+    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("d_size"))
+    freq = toks.groupBy("token").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "token")
+    ranked = (
+        toks.join(freq, "token")
+        .join(F.broadcast(sizes), "doc_id")
+        .withColumn("pos", F.row_number().over(w))
+    )
+    prefix = ranked.filter(
+        F.col("pos")
+        <= F.col("d_size") - F.ceil(PPJ_T * F.col("d_size")).cast("int") + 1
+    ).select("doc_id", "token", "d_size").persist()
+    a = prefix.selectExpr("token", "doc_id AS doc_id_a", "d_size AS size_a")
+    b = prefix.selectExpr("token AS tok_b", "doc_id AS doc_id_b", "d_size AS size_b")
+    cand = (
+        a.join(
+            b,
+            (F.col("token") == F.col("tok_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b"))
+            & (F.col("size_b") >= F.ceil(PPJ_T * F.col("size_a")))
+            & (F.col("size_a") >= F.ceil(PPJ_T * F.col("size_b"))),
+        )
+        .select("doc_id_a", "doc_id_b", "size_a", "size_b")
+        .distinct()
+    )
+    ta = toks.selectExpr("doc_id AS doc_id_a", "token")
+    tb = toks.selectExpr("doc_id AS doc_id_b", "token")
+    inter = (
+        cand.join(ta, "doc_id_a")
+        .join(tb, ["doc_id_b", "token"])
+        .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
+    return (
+        inter.filter(jac >= PPJ_T)
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
     )
