@@ -64,3 +64,46 @@ def test_semantic_prune_invariants(spark, sf_dir):
                 assert m["cos_to_rep"] >= SEMANTIC_PRUNE_MIN - 5e-7
             elif m["verdict"] == "keep":
                 assert m["cos_to_rep"] < SEMANTIC_PRUNE_MIN + 5e-7
+
+
+def test_jaccard_prefix_filter_is_complete(spark, sf_dir):
+    """Prefix filtering must be LOSSLESS at the threshold: the
+    PPJoin-style operator's pairs must equal the brute-force all-pairs
+    exact-Jaccard ground truth (computed without any filtering), not
+    just match an oracle that replays the same pruning."""
+    import duckdb
+
+    from golang_etl_spark.operators.dedup import PPJ_T, dedup_jaccard_prefix
+
+    got = {
+        (r["doc_id_a"], r["doc_id_b"]): r["jaccard"]
+        for r in dedup_jaccard_prefix(spark, sf_dir).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet')"
+    )
+    truth = con.execute(f"""
+        WITH toks AS (
+          SELECT DISTINCT doc_id, UNNEST(list_transform(
+            string_split_regex(trim(text), '\\s+'), x -> lower(x))) AS token
+          FROM documents),
+        sizes AS (SELECT doc_id, COUNT(*) d_size FROM toks GROUP BY doc_id),
+        inter AS (
+          SELECT ta.doc_id a, tb.doc_id b, COUNT(*) n
+          FROM toks ta JOIN toks tb
+            ON tb.token = ta.token AND ta.doc_id < tb.doc_id
+          GROUP BY 1, 2)
+        SELECT a, b, ROUND(n * 1.0 / (sa.d_size + sb.d_size - n), 6) AS j
+        FROM inter i
+        JOIN sizes sa ON sa.doc_id = i.a JOIN sizes sb ON sb.doc_id = i.b
+        WHERE n * 1.0 / (sa.d_size + sb.d_size - n) >= {PPJ_T}
+    """).fetchall()
+    want = {(a, b): j for a, b, j in truth}
+    assert set(got) == set(want), (
+        f"prefix filter lost {len(set(want) - set(got))} / gained "
+        f"{len(set(got) - set(want))} pairs"
+    )
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-6
