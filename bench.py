@@ -175,6 +175,8 @@ HEADLINE = [
     "dedup_crosslingual_pairs",
     "timeseries_ewma",
     "dedup_jaccard_prefix",
+    "json_nested_roundtrip",
+    "source_csv_corrupt_records",
 ]
 
 

@@ -890,3 +890,75 @@ def agg_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Nested-data modeling: build documents, shred them back (JSON).
+# ---------------------------------------------------------------------------
+_NESTED_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l.l_quantity), 4) AS total_qty
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+
+@register(
+    "json_nested_roundtrip",
+    oracle=_NESTED_ORACLE,
+    tags=("json", "aggregation", "etl-parity"),
+)
+def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-document modeling round trip: assemble each order and
+    its line items into ONE nested JSON document (struct + array-of-
+    struct → ``to_json``), then shred the documents back
+    (``from_json`` with an explicit nested schema → explode) and
+    aggregate. The result hash-matches the flat join the documents
+    were built from — the denormalize → document-store → re-normalize
+    cycle is lossless, which is the contract every event-log /
+    API-payload ingestion assumes.
+
+    100 TB shape: nesting is the same one-exchange collect_list
+    grouping every document build pays; shredding is map-side
+    (from_json + Generate). The JSON string is the expensive part —
+    at scale keep the STRUCT columns and skip the serialization
+    unless an external system needs the text form (the reference's
+    row→JSON encode, SURVEY.md §2.2 P5, is that external need)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    nested = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(
+            F.collect_list(
+                F.struct("l_linenumber", "l_quantity")
+            ).alias("lines")
+        )
+        .select(
+            F.to_json(
+                F.struct("o_orderkey", "o_orderpriority", "lines")
+            ).alias("doc")
+        )
+    )
+    schema = (
+        "STRUCT<o_orderkey: BIGINT, o_orderpriority: STRING, "
+        "lines: ARRAY<STRUCT<l_linenumber: BIGINT, l_quantity: DOUBLE>>>"
+    )
+    shredded = nested.select(
+        F.from_json("doc", schema).alias("d")
+    ).select(
+        "d.o_orderkey",
+        "d.o_orderpriority",
+        F.explode("d.lines").alias("line"),
+    )
+    return shredded.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_orderkey").alias("n_orders"),
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("line.l_quantity"), 4).alias("total_qty"),
+    )

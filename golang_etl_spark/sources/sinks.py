@@ -323,3 +323,93 @@ def sink_format_matrix_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-record CSV ingestion (PERMISSIVE mode + corrupt column).
+# ---------------------------------------------------------------------------
+# Every 97th event id is written as a deliberately malformed CSV line;
+# the reader must keep good rows, quarantine bad ones into the corrupt
+# column, and lose NOTHING — the lossless counterpart of the
+# reference's silent row-drop on conversion error (extractor.go:88-91),
+# at the file-format layer. The corruption rule is deterministic so
+# the DuckDB oracle replays the classification arithmetically.
+_CORRUPT_MOD = 97
+
+_CSV_CORRUPT_ORACLE = f"""
+SELECT CAST(COUNT(*) FILTER (WHERE event_id % {_CORRUPT_MOD} <> 0)
+            AS BIGINT) AS n_good,
+       CAST(COUNT(*) FILTER (WHERE event_id % {_CORRUPT_MOD} = 0)
+            AS BIGINT) AS n_corrupt,
+       CAST(SUM(CASE WHEN event_id % {_CORRUPT_MOD} <> 0
+                     THEN event_id END) AS BIGINT) AS good_id_checksum,
+       ROUND(SUM(CASE WHEN event_id % {_CORRUPT_MOD} <> 0
+                      THEN value ELSE 0 END), 4) AS good_value_total
+FROM events
+"""
+
+
+@register(
+    "source_csv_corrupt_records",
+    oracle=_CSV_CORRUPT_ORACLE,
+    tags=("source", "etl-parity"),
+)
+def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE CSV ingestion with a corrupt-record column: write an
+    events CSV where every 97th id is a malformed line, read it back
+    with an explicit schema + ``columnNameOfCorruptRecord``, and
+    report good/quarantined counts with checksums over the good rows.
+    Conservation law: n_good + n_corrupt = n_input — the malformed
+    rows land in the quarantine column instead of vanishing (the
+    reference silently drops conversion failures; this surface plus
+    etl_deadletter_routing is the auditable alternative).
+
+    100 TB shape: the parse + classification is map-side on the scan;
+    PERMISSIVE mode costs nothing over FAILFAST beyond the string
+    column. The corrupt rows stay queryable for the dead-letter
+    pipeline instead of poisoning or aborting the load."""
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    out = _layout_dir("csv_corrupt", sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+    lines = ev.select(
+        F.when(
+            F.col("event_id") % _CORRUPT_MOD == 0,
+            F.concat(F.lit("BROKEN#"), F.col("event_id").cast("string"), F.lit("#x")),
+        )
+        .otherwise(
+            F.concat_ws(
+                ",",
+                F.col("event_id").cast("string"),
+                F.col("user_id").cast("string"),
+                F.col("value").cast("string"),
+            )
+        )
+        .alias("value")
+    )
+    lines.write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema(
+            "event_id LONG, user_id LONG, value DOUBLE, _corrupt STRING"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(out)
+    )
+    return back.agg(
+        F.count(F.when(F.col("_corrupt").isNull(), 1)).alias("n_good"),
+        F.count(F.when(F.col("_corrupt").isNotNull(), 1)).alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt").isNull(), F.col("event_id"))).alias(
+            "good_id_checksum"
+        ),
+        F.round(
+            F.sum(
+                F.when(F.col("_corrupt").isNull(), F.col("value")).otherwise(
+                    0.0
+                )
+            ),
+            4,
+        ).alias("good_value_total"),
+    )
