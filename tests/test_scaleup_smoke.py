@@ -282,3 +282,65 @@ def test_relational_core_scales_linearly(spark, scaled_tpch_dir, qname):
     assert t_big <= 3 * REPLICAS * max(t_base, 0.2), (
         f"{qname} superlinear: {t_base:.2f}s -> {t_big:.2f}s"
     )
+
+
+@pytest.fixture(scope="module")
+def scaled_emb_dir(tmp_path_factory):
+    """10x embeddings by unioning vec_id-shifted copies; documents
+    copied through so doc-joined queries still resolve."""
+    if not os.path.exists(f"{SF_BIG}/embeddings.parquet"):
+        pytest.skip("sf0.1 fixture absent")
+    import pyarrow as pa
+
+    out = tmp_path_factory.mktemp("scaled_emb")
+    tbl = pq.read_table(f"{SF_BIG}/embeddings.parquet")
+    copies = []
+    for r in range(REPLICAS):
+        ids = pa.array(
+            [v + r * 10_000_000 for v in tbl["vec_id"].to_pylist()],
+            type=tbl.schema.field("vec_id").type,
+        )
+        copies.append(tbl.set_column(0, "vec_id", ids))
+    pq.write_table(pa.concat_tables(copies), str(out / "embeddings.parquet"))
+    pq.write_table(
+        pq.read_table(f"{SF_BIG}/documents.parquet"),
+        str(out / "documents.parquet"),
+    )
+    return str(out)
+
+
+def test_ivf_index_build_scales_linearly_search_stays_pruned(
+    spark, scaled_emb_dir
+):
+    """Index build is one linear assignment pass (10x vectors → ~10x,
+    never worse); search must keep reading ONLY the probed cells —
+    candidate volume stays ~nprobe/cells of the corpus instead of
+    following it 1:1 into a full scan."""
+    from golang_etl_spark.operators import vector_index as VI
+    from golang_etl_spark.operators.similarity import IVF_NPROBE
+
+    t0 = time.perf_counter()
+    root_big = VI.build_ivf_index(spark, scaled_emb_dir)
+    t_build = time.perf_counter() - t0
+    assert t_build < 60, f"index build blowup at {REPLICAS}x: {t_build:.1f}s"
+
+    n_total = spark.read.parquet(f"{root_big}/postings").count()
+    cells = (
+        spark.read.parquet(f"{root_big}/postings")
+        .groupBy("cell_id")
+        .count()
+        .collect()
+    )
+    n_cells = len(cells)
+    res = VI.search_ivf_index(spark, root_big)
+    assert res.count() > 0
+    # probed fraction: nprobe cells of n_cells, with 3x slack for
+    # uneven cell occupancy — NOT a full scan
+    sizes = {r["cell_id"]: r["count"] for r in cells}
+    biggest_probe_volume = sum(
+        sorted(sizes.values(), reverse=True)[:IVF_NPROBE]
+    )
+    assert biggest_probe_volume <= 3 * (IVF_NPROBE / n_cells) * n_total, (
+        f"cell skew breaks the IVF cost model: {biggest_probe_volume} of "
+        f"{n_total} rows in the {IVF_NPROBE} largest cells"
+    )
