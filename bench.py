@@ -177,6 +177,9 @@ HEADLINE = [
     "dedup_jaccard_prefix",
     "json_nested_roundtrip",
     "source_csv_corrupt_records",
+    "udtf_polymorphic_unpivot",
+    "sql_groupby_all",
+    "asof_join_nearest",
 ]
 
 

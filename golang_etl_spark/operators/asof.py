@@ -226,3 +226,114 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("ev_us") - F.col("err_us")).alias("micros_after_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Nearest-event as-of join (both directions, bounded tolerance).
+# ---------------------------------------------------------------------------
+_NEAREST_TOL_MIN = 15
+
+_NEAREST_ORACLE = f"""
+WITH clicks AS (
+  SELECT user_id, ts AS cts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+),
+cand AS (
+  SELECT p.event_id, p.user_id, p.ts, c.click_id,
+         ABS(date_diff('microsecond', c.cts, p.ts)) AS dist_us,
+         CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END AS dir
+  FROM purchases p JOIN clicks c ON c.user_id = p.user_id
+   AND c.cts BETWEEN p.ts - INTERVAL {_NEAREST_TOL_MIN} MINUTE
+                 AND p.ts + INTERVAL {_NEAREST_TOL_MIN} MINUTE
+),
+pick AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_id
+    ORDER BY dist_us, dir,
+             CASE WHEN dir = 0 THEN -click_id ELSE click_id END
+  ) AS rn
+  FROM cand
+)
+SELECT event_id, user_id, click_id,
+       CAST(dist_us // 1000000 AS BIGINT) AS dist_sec,
+       CASE WHEN dir = 0 THEN 'back' ELSE 'fwd' END AS direction
+FROM pick WHERE rn = 1
+"""
+
+
+@register(
+    "asof_join_nearest", oracle=_NEAREST_ORACLE, tags=("asof", "join")
+)
+def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-event as-of join: each purchase pairs with its closest
+    click within ±15 minutes in EITHER direction (tie → the earlier
+    click; same-timestamp click ties → highest id backward, lowest id
+    forward — all deterministic). Backward-only as-of
+    (asof_join_purchase_click) models causality; nearest models
+    association — sensor alignment, attribution windows, log joining.
+
+    Implementation: TWO union-merge sweeps (one per direction), each
+    the same single-shuffle carry as the backward as-of — never an
+    inequality join (broadcast-nested-loop at scale). The final pick
+    is a per-row expression over the two carried candidates. DuckDB
+    oracle restates the semantics as a ranked interval join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("tag"),
+        F.col("event_id").alias("click_id"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        "event_id",
+    )
+    merged = clicks.unionByName(purchases)
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "click_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("ts"), F.desc("tag"), F.desc("click_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = merged.select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("back_ts"),
+        F.last("click_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("fwd_ts"),
+    ).filter(F.col("tag") == 1)
+    tol_us = _NEAREST_TOL_MIN * 60 * 1_000_000
+    back_d = F.unix_micros("ts") - F.unix_micros("back_ts")
+    fwd_d = F.unix_micros("fwd_ts") - F.unix_micros("ts")
+    back_ok = F.col("back_ts").isNotNull() & (back_d <= tol_us)
+    fwd_ok = F.col("fwd_ts").isNotNull() & (fwd_d <= tol_us)
+    use_back = back_ok & (~fwd_ok | (back_d <= fwd_d))
+    picked = carried.filter(back_ok | fwd_ok).select(
+        "event_id",
+        "user_id",
+        F.when(use_back, F.col("back_id")).otherwise(F.col("fwd_id"))
+        .alias("click_id"),
+        (
+            F.when(use_back, back_d).otherwise(fwd_d) / F.lit(1_000_000)
+        )
+        .cast("long")
+        .alias("dist_sec"),
+        F.when(use_back, F.lit("back")).otherwise(F.lit("fwd"))
+        .alias("direction"),
+    )
+    return picked

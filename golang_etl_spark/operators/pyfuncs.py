@@ -339,3 +339,69 @@ def udf_arrow_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.filter(F.col("c_custkey") <= 1000)
         .select("c_custkey", digit_sum("c_name").alias("digit_sum"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Polymorphic UDTF (Spark 4 `analyze`): schema computed from arguments.
+# ---------------------------------------------------------------------------
+_POLY_UDTF_ORACLE = """
+SELECT o_orderkey, col_name, val FROM (
+  SELECT o_orderkey, 'o_orderstatus' AS col_name,
+         o_orderstatus AS val FROM orders WHERE o_orderkey <= 500
+  UNION ALL
+  SELECT o_orderkey, 'o_orderpriority', o_orderpriority
+  FROM orders WHERE o_orderkey <= 500
+)
+ORDER BY o_orderkey, col_name
+"""
+
+
+@register(
+    "udtf_polymorphic_unpivot",
+    oracle=_POLY_UDTF_ORACLE,
+    tags=("udtf", "unpivot"),
+)
+def udtf_polymorphic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polymorphic Python UDTF (Spark 4 ``analyze`` static method):
+    the output schema is DERIVED from the input struct at plan time —
+    one generic unpivot UDTF serves any column set, where a plain UDTF
+    must hard-code its returnType. Demonstrated as a dynamic unpivot
+    of two order columns, hash-checked against the UNION ALL oracle.
+
+    Scale note: same execution profile as any Python UDTF (Arrow
+    batches through the Python worker) — the analyze() call happens
+    ONCE on the driver at planning, adding zero per-row cost. Prefer
+    the built-in stack()/unpivot for production unpivots
+    (unpivot_stack); this registers the extensibility surface."""
+    from pyspark.sql.functions import udtf as _udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @_udtf
+    class UnpivotPoly:
+        @staticmethod
+        def analyze(row: AnalyzeArgument) -> AnalyzeResult:
+            # schema derived from the incoming struct: one (name, val)
+            # pair per field — this is what "polymorphic" buys
+            fields = [
+                StructField("col_name", StringType()),
+                StructField("val", StringType()),
+            ]
+            assert row.dataType.fieldNames(), "struct argument required"
+            return AnalyzeResult(StructType(fields))
+
+        def eval(self, row):
+            for k, v in row.asDict().items():
+                yield (k, None if v is None else str(v))
+
+    spark.udtf.register("unpivot_poly_q", UnpivotPoly)
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, u.col_name, u.val
+        FROM orders o,
+        LATERAL unpivot_poly_q(struct(o.o_orderstatus, o.o_orderpriority)) u
+        WHERE o.o_orderkey <= 500
+        ORDER BY o.o_orderkey, u.col_name
+        """
+    )

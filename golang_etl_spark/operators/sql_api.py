@@ -593,3 +593,27 @@ for _name, _sql, _doc, _tags in (
     )
     _fn.__name__ = _name
     register(_name, oracle=_sql, tags=_tags)(_fn)
+
+
+# GROUP BY ALL / ORDER BY ALL: the modern aggregation shorthand —
+# every non-aggregate select item becomes a grouping key. Same text,
+# both engines.
+_GROUPBY_ALL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+"""
+
+_fn = _passthrough(_GROUPBY_ALL)
+_fn.__doc__ = (
+    "GROUP BY ALL + ORDER BY ALL shorthand (Spark 3.4+/DuckDB): "
+    "grouping keys inferred from the select list. The oracle executes "
+    "the IDENTICAL SQL text — no dialect translation. Plans exactly "
+    "like the explicit GROUP BY (partial agg + exchange on the "
+    "inferred keys)."
+)
+_fn.__name__ = "sql_groupby_all"
+register("sql_groupby_all", oracle=_GROUPBY_ALL, tags=("sql", "aggregation"))(_fn)
