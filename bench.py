@@ -180,6 +180,7 @@ HEADLINE = [
     "udtf_polymorphic_unpivot",
     "sql_groupby_all",
     "asof_join_nearest",
+    "window_first_last_nth",
 ]
 
 

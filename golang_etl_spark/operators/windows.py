@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
@@ -371,3 +372,56 @@ def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# first_value / last_value / nth_value over an explicit full frame.
+# ---------------------------------------------------------------------------
+_FIRST_LAST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       ROUND(FIRST_VALUE(o_totalprice) OVER w, 4) AS first_price,
+       ROUND(LAST_VALUE(o_totalprice) OVER w, 4) AS last_price,
+       ROUND(NTH_VALUE(o_totalprice, 2) OVER w, 4) AS second_price
+FROM orders
+WHERE o_custkey <= 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+@register(
+    "window_first_last_nth",
+    oracle=_FIRST_LAST_ORACLE,
+    tags=("window", "frame"),
+)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last/nth_value with an EXPLICIT unbounded frame — the
+    classic last_value trap: the default frame ends at CURRENT ROW, so
+    last_value silently returns the current row's value unless the
+    frame is widened. Every row carries its customer's highest,
+    lowest, and second-highest order price (deterministic ordering
+    with an id tie-break).
+
+    100 TB shape: one shuffle on the partition key like any window;
+    the unbounded-following frame buffers each partition (customer-
+    sized — bounded). For corpus-wide extremes use a groupBy + join
+    instead of a single giant partition."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_custkey") <= 200
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.first("o_totalprice").over(w), 4).alias("first_price"),
+        F.round(F.last("o_totalprice").over(w), 4).alias("last_price"),
+        F.round(F.nth_value("o_totalprice", 2).over(w), 4).alias(
+            "second_price"
+        ),
+    ).orderBy("o_custkey", "o_orderkey")
