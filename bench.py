@@ -181,6 +181,16 @@ HEADLINE = [
     "sql_groupby_all",
     "asof_join_nearest",
     "window_first_last_nth",
+    # round 5: NAAJ, ordered listagg, deterministic mode+median,
+    # regr_* aggregates, linear interpolation, BPE merge training
+    "subquery_not_in_nullaware",
+    "agg_string_agg",
+    "agg_mode_median",
+    "profile_regression_per_flag",
+    "timeseries_interp_linear",
+    "text_bpe_train_merges",
+    "window_running_distinct",
+    "multimodal_shard_manifest",
 ]
 
 

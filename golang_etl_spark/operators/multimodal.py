@@ -261,3 +261,118 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. Shard-packing manifest (WebDataset-style sequential byte packing).
+# ---------------------------------------------------------------------------
+# Assigns each media row to a fixed-byte-budget shard by greedy sequential
+# fill in doc_id order, then emits the per-shard manifest. The running
+# byte sum is computed as a DISTRIBUTED prefix sum — bucket-local
+# window + broadcast bucket offsets (the same shape as the parallel
+# dense-ID assignment, etl.py) — never a single-partition window over
+# the corpus. The oracle replays it as DuckDB's plain
+# SUM() OVER (ORDER BY), so the hash gate proves the two-level prefix
+# sum IS the sequential semantics.
+SHARD_BUDGET_BYTES = 2_000_000
+_SHARD_PREFIX_BUCKET = 1000  # doc_ids per prefix-sum bucket
+
+_EST_BYTES_DUCK = """
+CASE ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT]
+  WHEN 'image' THEN (('0x' || substr(md5(text), 1, 3))::BIGINT % 1920 + 1)
+                  * (('0x' || substr(md5(text), 4, 3))::BIGINT % 1080 + 1) * 3
+  WHEN 'audio' THEN (('0x' || substr(md5(text), 7, 3))::BIGINT % 600 + 1) * 32000
+  ELSE (('0x' || substr(md5(text), 7, 3))::BIGINT % 600 + 1) * 100000
+END
+"""
+
+_SHARD_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id,
+         ['image', 'audio', 'video'][(doc_id % 3 + 1)::INT] AS media_type,
+         {_EST_BYTES_DUCK} AS est_bytes
+  FROM documents
+),
+packed AS (
+  SELECT media_type, doc_id, est_bytes,
+         (SUM(est_bytes) OVER (PARTITION BY media_type ORDER BY doc_id)
+          - est_bytes) // {SHARD_BUDGET_BYTES} AS shard_id
+  FROM sized
+)
+SELECT media_type, CAST(shard_id AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(est_bytes) AS BIGINT) AS shard_bytes,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed
+GROUP BY media_type, shard_id
+"""
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=_SHARD_ORACLE,
+    tags=("multimodal", "llm", "layout", "sink"),
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest: per media type, rows fill
+    shards sequentially in doc_id order until the byte budget spills
+    (greedy — an item may overflow its shard, exactly like tar-shard
+    writers). Estimated encoded size derives from the typed metadata
+    (width x height x 3 / PCM rate / bitrate), so the planner never
+    opens a payload.
+
+    100 TB shape: the prefix sum is two-level — a bucket-local running
+    sum (windows over _SHARD_PREFIX_BUCKET-doc buckets, thousands of
+    concurrent partitions) plus broadcast per-bucket offsets (one tiny
+    cumulative pass) — the single-partition ORDER BY window the naive
+    formulation would use is the one thing this operator exists to
+    avoid."""
+    from pyspark.sql.window import Window
+
+    p = payload_df(spark, sf_dir)
+    sized = p.select(
+        "doc_id",
+        "media_type",
+        F.when(F.col("media_type") == "image",
+               F.col("meta.width") * F.col("meta.height") * 3)
+        .when(F.col("media_type") == "audio",
+              F.col("meta.duration_s") * 32000)
+        .otherwise(F.col("meta.duration_s") * 100000)
+        .alias("est_bytes"),
+        (F.col("doc_id") / _SHARD_PREFIX_BUCKET).cast("long").alias("bkt"),
+    )
+    w_local = (
+        Window.partitionBy("media_type", "bkt")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = sized.withColumn("local_cum", F.sum("est_bytes").over(w_local))
+    # bucket totals are |types| x |buckets| rows — tiny; their running
+    # offset is a window over that aggregate, then broadcast back
+    w_off = (
+        Window.partitionBy("media_type")
+        .orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    offsets = (
+        sized.groupBy("media_type", "bkt")
+        .agg(F.sum("est_bytes").alias("bkt_bytes"))
+        .withColumn(
+            "offset", F.sum("bkt_bytes").over(w_off) - F.col("bkt_bytes")
+        )
+        .select("media_type", "bkt", "offset")
+    )
+    packed = local.join(F.broadcast(offsets), ["media_type", "bkt"]).select(
+        "media_type",
+        "doc_id",
+        "est_bytes",
+        F.expr(
+            f"(offset + local_cum - est_bytes) div {SHARD_BUDGET_BYTES}"
+        ).alias("shard_id"),
+    )
+    return packed.groupBy("media_type", "shard_id").agg(
+        F.count("*").alias("n_items"),
+        F.sum("est_bytes").cast("long").alias("shard_bytes"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -638,3 +638,48 @@ def profile_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group linear regression (built-in regr_* aggregates).
+# ---------------------------------------------------------------------------
+# Fits extendedprice ~ quantity per return flag with the SQL-standard
+# regression aggregates. These are single-pass, partial-aggregable
+# moment sums (the same machinery as AVG/STDDEV), so the whole fit is
+# one map-side-combined exchange — the 100 TB way to fit millions of
+# per-key models, vs. collecting anything or looping a solver.
+# Slope/intercept/r2 are emitted unrounded: both engines compute the
+# same covariance-over-variance formula and the comparator's relative
+# tolerance absorbs summation-order ULPs (a fixed-decimal ROUND would
+# sit on a knife edge instead — see timeseries_resample_ffill).
+_REGR_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       regr_slope(l_extendedprice, l_quantity) AS slope,
+       regr_intercept(l_extendedprice, l_quantity) AS intercept,
+       regr_r2(l_extendedprice, l_quantity) AS r2,
+       corr(l_extendedprice, l_quantity) AS pearson_r
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "profile_regression_per_flag",
+    oracle=_REGR_ORACLE,
+    tags=("profiling", "stats", "aggregation"),
+)
+def profile_regression_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS fit of extended price on quantity: slope,
+    intercept, R², Pearson r via the SQL-standard regr_* aggregates —
+    one scan, map-side partials, no driver math."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.expr("regr_slope(l_extendedprice, l_quantity)").alias("slope"),
+        F.expr("regr_intercept(l_extendedprice, l_quantity)").alias(
+            "intercept"
+        ),
+        F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r2"),
+        F.corr("l_extendedprice", "l_quantity").alias("pearson_r"),
+    )

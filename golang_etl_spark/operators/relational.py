@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
@@ -961,4 +962,157 @@ def json_nested_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_orderkey").alias("n_orders"),
         F.count("*").alias("n_lines"),
         F.round(F.sum("line.l_quantity"), 4).alias("total_qty"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-aware NOT IN (anti join with three-valued-logic semantics).
+# ---------------------------------------------------------------------------
+@register(
+    "subquery_not_in_nullaware",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderstatus
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'BUILDING')
+    """,
+    tags=("subquery", "anti", "join"),
+)
+def subquery_not_in_nullaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN subquery — NOT the same as an anti join: under SQL's
+    three-valued logic a single NULL in the subquery empties the
+    result, and a NULL probe key never qualifies. Catalyst plans the
+    single-column form as a broadcast null-aware anti join (NAAJ)
+    rather than the O(n·m) BroadcastNestedLoopJoin fallback;
+    tests/test_plans.py gates that the NAAJ flag is actually present.
+
+    100 TB shape: build side (the customer-key set) broadcasts; the
+    orders probe streams map-side with no shuffle. If the build side
+    outgrew the broadcast threshold you would rewrite to an explicit
+    anti join after PROVING the subquery column non-null (add a
+    WHERE c_custkey IS NOT NULL guard) — which is also the fix if the
+    planner ever falls back to a nested loop."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_orderstatus
+        FROM orders
+        WHERE o_custkey NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_mktsegment = 'BUILDING')
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered string aggregation (LISTAGG / STRING_AGG).
+# ---------------------------------------------------------------------------
+@register(
+    "agg_string_agg",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           STRING_AGG(s_name, '|' ORDER BY s_name) AS supplier_list
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("aggregation", "functions", "string"),
+)
+def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG: supplier names per nation joined into one
+    '|'-separated string. collect_list's order is
+    partition-arrival-nondeterministic, so the canonical distributed
+    formulation is collect_list -> array_sort -> array_join — the sort
+    happens per GROUP on the already-aggregated array (bounded, local),
+    never as a global ORDER BY.
+
+    100 TB shape: one hash aggregation with map-side partials; the only
+    caveat is group cardinality — a group's concatenated string must
+    fit in memory, so guard with a slice() cap when group sizes are
+    unbounded."""
+    sup = load_table(spark, sf_dir, "supplier").select("s_name", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        sup.join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.array_join(F.array_sort(F.collect_list("s_name")), "|").alias(
+                "supplier_list"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MODE + exact MEDIAN per group.
+# ---------------------------------------------------------------------------
+@register(
+    "agg_mode_median",
+    oracle="""
+    WITH counts AS (
+      SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS qty,
+             COUNT(*) AS c
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority, qty
+    ),
+    ranked AS (
+      SELECT o_orderpriority, qty, c,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY c DESC, qty) AS rk
+      FROM counts
+    ),
+    med AS (
+      SELECT o_orderpriority, MEDIAN(l_quantity) AS median_qty,
+             CAST(COUNT(*) AS BIGINT) AS n_lines
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      GROUP BY o_orderpriority
+    )
+    SELECT m.o_orderpriority, r.qty AS mode_qty,
+           CAST(r.c AS BIGINT) AS mode_count, m.median_qty, m.n_lines
+    FROM med m JOIN ranked r ON r.o_orderpriority = m.o_orderpriority
+    WHERE r.rk = 1
+    """,
+    tags=("aggregation", "stats"),
+)
+def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority modal (integer) quantity and exact median quantity.
+    Spark's built-in mode() breaks ties arbitrarily (engine-dependent),
+    so the mode is computed DETERMINISTICALLY: count per (group, value)
+    then rank by (count DESC, value ASC) — two exchanges, both on
+    low-cardinality keys, and the tie-break is part of the contract so
+    the result hash-matches any engine. Median uses exact
+    percentile(0.5) (linear interpolation, matching DuckDB's MEDIAN);
+    at 100 TB swap in percentile_approx — the sketch_percentile_approx
+    query is that production twin."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.col("l_quantity").cast("long").alias("qty"),
+        "l_quantity",
+    )
+    joined = orders.join(li, orders.o_orderkey == li.l_orderkey)
+    counts = joined.groupBy("o_orderpriority", "qty").agg(
+        F.count("*").alias("c")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("c").desc(), F.col("qty")
+    )
+    mode = (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("qty").alias("mode_qty"),
+            F.col("c").alias("mode_count"),
+        )
+    )
+    med = joined.groupBy("o_orderpriority").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("median_qty"),
+        F.count("*").alias("n_lines"),
+    )
+    return med.join(F.broadcast(mode), "o_orderpriority").select(
+        "o_orderpriority", "mode_qty", "mode_count", "median_qty", "n_lines"
     )

@@ -1543,3 +1543,95 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pair"), "w1", "w2")
         .limit(_BIGRAM_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-rule TRAINING (iterative greedy merges over the vocabulary).
+# ---------------------------------------------------------------------------
+# text_bpe_pair_counts ranks the FIRST merge's candidates; this trains
+# an actual merge table: K rounds of (count adjacent symbol pairs,
+# take the argmax, fuse it everywhere). Iterative + data-dependent
+# argmax per round — not expressible as one SQL statement, so it
+# registers rows-only; tests/test_bpe_train.py replays the identical
+# algorithm in pure Python and asserts rule-for-rule equality.
+BPE_MERGES = 8
+
+
+def _bpe_merge_fold(a: str, b: str) -> str:
+    """SQL higher-order fold fusing adjacent (a, b) -> ab, greedy
+    leftmost non-overlapping — the exact BPE apply step, run JVM-side
+    per vocabulary word (never per corpus token)."""
+    qa, qb = a.replace("'", "''"), b.replace("'", "''")
+    qm = (a + b).replace("'", "''")
+    return (
+        "aggregate(syms, "
+        "named_struct('out', cast(array() AS array<string>), "
+        "'pend', cast(NULL AS string)), "
+        "(acc, x) -> CASE "
+        "WHEN acc.pend IS NULL THEN named_struct('out', acc.out, 'pend', x) "
+        f"WHEN acc.pend = '{qa}' AND x = '{qb}' THEN "
+        f"named_struct('out', array_append(acc.out, '{qm}'), "
+        "'pend', cast(NULL AS string)) "
+        "ELSE named_struct('out', array_append(acc.out, acc.pend), 'pend', x) "
+        "END, "
+        "acc -> CASE WHEN acc.pend IS NULL THEN acc.out "
+        "ELSE array_append(acc.out, acc.pend) END)"
+    )
+
+
+@register(
+    "text_bpe_train_merges", oracle=None, tags=("text", "llm", "analytic")
+)
+def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a BPE merge table: BPE_MERGES greedy rounds, each counting
+    frequency-weighted adjacent symbol pairs over the vocabulary and
+    fusing the (count DESC, pair ASC) argmax everywhere it occurs.
+    Returns the learned rules (rank, left, right, merged, pair_count)
+    — deterministic, so the pure-Python replay in
+    tests/test_bpe_train.py matches rule-for-rule.
+
+    100 TB shape: the corpus is touched ONCE (the word-frequency
+    aggregation, map-side combined down to vocab cardinality — this is
+    how production BPE trainers work); every iteration then runs over
+    the vocab table only. The per-round argmax collect is one row
+    (a planning step, same class as the min/max bounds queries), and
+    localCheckpoint caps the lineage the loop would otherwise stack."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.selectExpr(
+            "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    rules = []
+    for rank in range(1, BPE_MERGES + 1):
+        pairs = vocab.filter(F.expr("size(syms) >= 2")).selectExpr(
+            "explode(transform(slice(syms, 1, size(syms) - 1), "
+            "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))) AS p",
+            "freq",
+        )
+        best = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.desc("c"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        a, b, cnt = best[0]["l"], best[0]["r"], int(best[0]["c"])
+        rules.append((rank, a, b, a + b, cnt))
+        vocab = vocab.selectExpr(
+            f"{_bpe_merge_fold(a, b)} AS syms", "freq"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        rules,
+        "merge_rank INT, left STRING, right STRING, merged STRING, "
+        "pair_count BIGINT",
+    )

@@ -433,3 +433,130 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
         "round(element_at(vals, size(vals)), 4) AS last_value",
         f"round({fold}, 6) AS ewma",
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation across gaps (the ffill twin for continuous series).
+# ---------------------------------------------------------------------------
+# Interpolates the hourly event-count series per type: empty hours get
+# prev + (next - prev) * elapsed/gap between the surrounding observed
+# hours. Counts (exact integers) are interpolated rather than averages
+# so both engines run bit-identical double arithmetic — an AVG input
+# can differ at the ULP between engines and a multiply would amplify it
+# past the driver's canonical formatting.
+_INTERP_ORACLE = """
+WITH ev AS (
+  SELECT date_trunc('hour', ts) AS h, event_type FROM events
+),
+b AS (SELECT MIN(h) AS lo, MAX(h) AS hi FROM ev),
+cal AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM b
+),
+types AS (SELECT DISTINCT event_type FROM ev),
+hourly AS (
+  SELECT event_type, h AS hour, CAST(COUNT(*) AS BIGINT) AS n
+  FROM ev GROUP BY event_type, h
+),
+grid AS (
+  SELECT t.event_type, c.hour, hl.n
+  FROM types t CROSS JOIN cal c
+  LEFT JOIN hourly hl ON hl.event_type = t.event_type AND hl.hour = c.hour
+),
+bounded AS (
+  SELECT event_type, hour, n,
+         last_value(n IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_n,
+         last_value(CASE WHEN n IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_h,
+         first_value(n IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_n,
+         first_value(CASE WHEN n IS NOT NULL THEN hour END IGNORE NULLS) OVER (
+           PARTITION BY event_type ORDER BY hour
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_h
+  FROM grid
+)
+SELECT event_type, hour, n AS n_observed,
+       CASE WHEN n IS NOT NULL THEN CAST(n AS DOUBLE)
+            ELSE CAST(prev_n AS DOUBLE)
+                 + CAST(next_n - prev_n AS DOUBLE)
+                   * (CAST(epoch(hour) - epoch(prev_h) AS DOUBLE)
+                      / CAST(epoch(next_h) - epoch(prev_h) AS DOUBLE))
+       END AS n_interp
+FROM bounded
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+"""
+
+
+@register(
+    "timeseries_interp_linear", oracle=_INTERP_ORACLE, tags=("timeseries",)
+)
+def timeseries_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation of the hourly event-count series per
+    event_type: gap hours get the value linearly interpolated between
+    the surrounding observations (the continuous-series twin of
+    timeseries_resample_ffill's step-function fill). Rows outside the
+    first/last observation are dropped — extrapolation is a modelling
+    choice, not a fill.
+
+    100 TB shape: identical to the other grid queries — one map-side
+    partial aggregation over events, then two windows over the
+    |types| x |hours| grid (whose size is independent of event count).
+    The forward/backward scans are single-pass unbounded row frames,
+    not self-joins."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    )
+    hourly = (
+        ev.groupBy("event_type", "hour")
+        .agg(F.count("*").alias("n"))
+        .persist()
+    )
+    cal = hourly.agg(F.min("hour").alias("lo"), F.max("hour").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = hourly.select("event_type").distinct()
+    grid = types.crossJoin(F.broadcast(cal)).join(
+        hourly, ["event_type", "hour"], "left"
+    )
+    back = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("n").isNotNull(), F.col("hour"))
+    bounded = grid.select(
+        "event_type",
+        "hour",
+        "n",
+        F.last("n", ignorenulls=True).over(back).alias("prev_n"),
+        F.last(obs_hour, ignorenulls=True).over(back).alias("prev_h"),
+        F.first("n", ignorenulls=True).over(fwd).alias("next_n"),
+        F.first(obs_hour, ignorenulls=True).over(fwd).alias("next_h"),
+    )
+    frac = (
+        F.unix_timestamp("hour") - F.unix_timestamp("prev_h")
+    ).cast("double") / (
+        F.unix_timestamp("next_h") - F.unix_timestamp("prev_h")
+    ).cast("double")
+    interp = F.when(
+        F.col("n").isNotNull(), F.col("n").cast("double")
+    ).otherwise(
+        F.col("prev_n").cast("double")
+        + (F.col("next_n") - F.col("prev_n")).cast("double") * frac
+    )
+    return bounded.filter(
+        F.col("prev_n").isNotNull() & F.col("next_n").isNotNull()
+    ).select(
+        "event_type",
+        "hour",
+        F.col("n").alias("n_observed"),
+        interp.alias("n_interp"),
+    )

@@ -425,3 +425,78 @@ def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "second_price"
         ),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Running COUNT(DISTINCT) — the window Spark refuses to evaluate.
+# ---------------------------------------------------------------------------
+# Cumulative distinct users per event_type by day. Spark raises on
+# DISTINCT inside a window frame, so the distributed re-expression is
+# the first-occurrence trick: flag each (type, user)'s first day with
+# ROW_NUMBER, pre-aggregate new-user counts per (type, day), then a
+# plain running SUM over the tiny day grid. DuckDB DOES support
+# count(DISTINCT) over windows — the oracle uses the native form, so
+# the hash gate proves the rewrite IS the distinct window.
+_RUNNING_DISTINCT_ORACLE = """
+WITH daily AS (
+  SELECT DISTINCT event_type, date_trunc('day', ts) AS day, user_id
+  FROM events
+)
+SELECT DISTINCT event_type, day,
+       CAST(count(DISTINCT user_id) OVER (
+         PARTITION BY event_type ORDER BY day
+         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cum_distinct_users
+FROM daily
+"""
+
+
+@register(
+    "window_running_distinct",
+    oracle=_RUNNING_DISTINCT_ORACLE,
+    tags=("window", "frame", "distinct"),
+)
+def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct users per event_type by day, without a
+    distinct window aggregate (Spark has none): rank each (type, user)
+    pair's days, count rank-1 rows per (type, day) — "users new that
+    day" — and running-SUM those.
+
+    100 TB shape: the ROW_NUMBER shuffle partitions on (type, user) —
+    full key cardinality, well-spread; everything after operates on
+    the |types| x |days| grid. The naive alternative (count distinct
+    over an expanding self-join) is quadratic in days and shuffles the
+    corpus per day."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    w_first = Window.partitionBy("event_type", "user_id").orderBy("day")
+    new_users = (
+        ev.withColumn("rn", F.row_number().over(w_first))
+        .filter(F.col("rn") == 1)
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n_new"))
+    )
+    # the output spine must be every day a type has ACTIVITY (the
+    # oracle's daily CTE), not just days with new users
+    days = ev.select("event_type", "day").distinct()
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        days.join(new_users, ["event_type", "day"], "left")
+        .select(
+            "event_type",
+            "day",
+            F.coalesce("n_new", F.lit(0)).alias("n_new"),
+        )
+        .select(
+            "event_type",
+            "day",
+            F.sum("n_new").over(w_run).cast("long").alias(
+                "cum_distinct_users"
+            ),
+        )
+    )

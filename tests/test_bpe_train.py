@@ -1,0 +1,85 @@
+"""text_bpe_train_merges is iterative + data-dependent (rows-only at
+the driver), so its correctness gate lives here: a pure-Python replay
+of the identical algorithm — word-frequency vocab, K rounds of
+(count frequency-weighted adjacent pairs, argmax by (count DESC, pair
+ASC), greedy leftmost non-overlapping fuse) — must match the Spark
+result rule-for-rule, counts included.
+"""
+
+import re
+from collections import Counter
+
+import duckdb
+
+from golang_etl_spark.operators.text import BPE_MERGES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _reference_bpe(texts: list[str], k: int):
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    rules = []
+    for rank in range(1, k + 1):
+        pairs = Counter()
+        for w, syms in words.items():
+            freq = vocab[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        # argmax: count DESC, then (left, right) ASC
+        (a, b), c = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        rules.append((rank, a, b, a + b, c))
+        for w, syms in words.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            words[w] = out
+    return rules
+
+
+def test_bpe_merges_match_pure_python(spark):
+    from golang_etl_spark.operators.text import text_bpe_train_merges
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    expected = _reference_bpe(texts, BPE_MERGES)
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in text_bpe_train_merges(spark, SF_DIR).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_merged_symbols_compose(spark):
+    """Later merges may build on earlier ones — the merged symbol of
+    every rule must be the concatenation of its left/right, and any
+    multi-char left/right must itself be a previously learned merge."""
+    from golang_etl_spark.operators.text import text_bpe_train_merges
+
+    rows = text_bpe_train_merges(spark, SF_DIR).collect()
+    assert len(rows) == BPE_MERGES
+    learned = set()
+    for r in sorted(rows, key=lambda r: r["merge_rank"]):
+        assert r["merged"] == r["left"] + r["right"]
+        for side in (r["left"], r["right"]):
+            if len(side) > 1:
+                assert side in learned, f"{side!r} used before being learned"
+        learned.add(r["merged"])

@@ -713,3 +713,44 @@ def test_bigram_expansion_is_joinless(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bigram_lm")
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN must plan as a broadcast null-aware anti join (the
+    isNullAwareAntiJoin flag is the trailing `true` on the
+    BroadcastHashJoin line), NOT the O(n*m) BroadcastNestedLoopJoin
+    fallback Catalyst uses for multi-column or non-broadcastable
+    NOT IN — at 100 TB that fallback is the difference between a
+    map-side probe and a cluster-melting nested loop."""
+    plan = _plan(spark, sf_dir, "subquery_not_in_nullaware")
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert re.search(r"BroadcastHashJoin .*LeftAnti, BuildRight, true", plan), (
+        "null-aware anti join flag missing:\n" + plan
+    )
+
+
+def test_string_agg_sorts_per_group_not_globally(spark, sf_dir):
+    """The LISTAGG ordering comes from array_sort on each group's
+    aggregated array — there must be NO global Sort/Exchange beyond
+    the one hash aggregation (a per-row pre-sort or global ORDER BY
+    would shuffle the corpus a second time)."""
+    plan = _plan(spark, sf_dir, "agg_string_agg")
+    # one hash exchange (the aggregation); the nation side broadcasts
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    # no SortExec anywhere: ordering lives inside array_sort per group
+    assert "Sort [" not in plan, plan
+
+
+def test_interp_windows_share_one_grid_exchange(spark, sf_dir):
+    """Both direction scans (prev/next) of the linear interpolation
+    partition on event_type with compatible ordering — Spark must not
+    re-exchange the grid between the two Window operators."""
+    plan = _plan(spark, sf_dir, "timeseries_interp_linear")
+    # all four prev/next expressions share (partitionBy event_type,
+    # orderBy hour ASC), so Catalyst must fuse them into a SINGLE
+    # Window operator — two Window nodes would mean an extra sort (and
+    # with mismatched specs, an extra exchange) over the grid.
+    assert plan.count("Window [") == 1, plan
