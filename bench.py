@@ -191,6 +191,8 @@ HEADLINE = [
     "text_bpe_train_merges",
     "window_running_distinct",
     "multimodal_shard_manifest",
+    "sink_observe_audit",
+    "agg_filter_clause",
 ]
 
 

@@ -1365,13 +1365,29 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id_a", "doc_id_b", "size_a", "size_b")
         .distinct()
     )
-    ta = toks.selectExpr("doc_id AS doc_id_a", "token")
-    tb = toks.selectExpr("doc_id AS doc_id_b", "token")
+    # Verification carries each doc's token ARRAY to the candidate
+    # pair and intersects JVM-side: vs the exploded alternative
+    # (join candidates to per-token postings then count), this ships
+    # one row per (pair, side) instead of one per (pair, token) and
+    # drops the counting exchange entirely — same O(|a|+|b|) compare
+    # per pair, two fewer corpus-width shuffles.
+    arrs = toks.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("token")).alias("toks")
+    )
     inter = (
-        cand.join(ta, "doc_id_a")
-        .join(tb, ["doc_id_b", "token"])
-        .groupBy("doc_id_a", "doc_id_b", "size_a", "size_b")
-        .agg(F.count("*").alias("n_inter"))
+        cand.join(
+            arrs.selectExpr("doc_id AS doc_id_a", "toks AS toks_a"), "doc_id_a"
+        )
+        .join(
+            arrs.selectExpr("doc_id AS doc_id_b", "toks AS toks_b"), "doc_id_b"
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "size_a",
+            "size_b",
+            F.size(F.array_intersect("toks_a", "toks_b")).alias("n_inter"),
+        )
     )
     jac = F.col("n_inter") / (F.col("size_a") + F.col("size_b") - F.col("n_inter"))
     return (

@@ -772,3 +772,67 @@ def sink_targeted_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "value", f"{ERASE_BUCKET_EXPR} AS user_bucket"
     )
     return targeted_erasure(ev, out, list(_ERASE_USERS))
+
+
+# ---------------------------------------------------------------------------
+# Observed-metrics export audit (single-pass accounting during a write).
+# ---------------------------------------------------------------------------
+# The reference counts rows AFTER the load with a separate pass over
+# what it moved (log lines in extractor.go's run loop); the Spark-first
+# form is df.observe(): accumulator-backed aggregates collected DURING
+# the export action itself, so the audit costs zero extra scans. The
+# written output is re-counted from parquet footers (metadata-only)
+# and emitted alongside, proving write completeness in the same row.
+_OBSERVE_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(SUM(value), 4) AS total_value,
+       MIN(ts) AS first_ts,
+       MAX(ts) AS last_ts,
+       CAST(COUNT(*) AS BIGINT) AS written_rows
+FROM events
+"""
+
+
+@register(
+    "sink_observe_audit",
+    oracle=_OBSERVE_ORACLE,
+    tags=("sink", "etl-parity", "aggregation"),
+)
+def sink_observe_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Export events to parquet while an Observation collects the
+    audit metrics (row count, value checksum, ts bounds) inside the
+    SAME job — no second scan of the source. 100 TB shape: observe()
+    rides the write's tasks as accumulators; the completeness check
+    re-reads only footer metadata. At scale this replaces the
+    "count the table again after loading it" audit with a free one."""
+    from pyspark.sql import Observation
+
+    ev = load_table(spark, sf_dir, "events")
+    obs = Observation("export_audit")
+    out = _layout_dir("observe_audit", sf_dir)
+    (
+        ev.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    m = obs.get  # blocks on the completed write action
+    written = spark.read.parquet(out).count()
+    return spark.createDataFrame(
+        [
+            (
+                m["n_rows"],
+                float(m["total_value"]),
+                m["first_ts"],
+                m["last_ts"],
+                written,
+            )
+        ],
+        "n_rows BIGINT, total_value DOUBLE, first_ts TIMESTAMP, "
+        "last_ts TIMESTAMP, written_rows BIGINT",
+    )

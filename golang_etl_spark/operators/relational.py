@@ -1116,3 +1116,35 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.join(F.broadcast(mode), "o_orderpriority").select(
         "o_orderpriority", "mode_qty", "mode_count", "median_qty", "n_lines"
     )
+
+
+# ---------------------------------------------------------------------------
+# FILTER-clause aggregation (conditional aggregates without CASE).
+# ---------------------------------------------------------------------------
+_FILTER_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+         AS n_finished,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+         AS n_open,
+       ROUND(SUM(o_totalprice) FILTER (WHERE o_totalprice > 100000), 4)
+         AS big_order_total,
+       CAST(COUNT(*) AS BIGINT) AS n_all
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_filter_clause",
+    oracle=_FILTER_AGG_SQL,
+    tags=("aggregation", "sql"),
+)
+def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard FILTER clause: several differently-predicated
+    aggregates over ONE scan and ONE exchange (the poor-man's
+    alternative — one groupBy per predicate plus joins — multiplies
+    both). Identical text runs on both engines, so the passthrough is
+    its own oracle."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_FILTER_AGG_SQL)
