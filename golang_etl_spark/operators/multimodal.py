@@ -314,12 +314,17 @@ GROUP BY media_type, shard_id
     tags=("multimodal", "llm", "layout", "sink"),
 )
 def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset-style shard manifest: per media type, rows fill
-    shards sequentially in doc_id order until the byte budget spills
-    (greedy — an item may overflow its shard, exactly like tar-shard
-    writers). Estimated encoded size derives from the typed metadata
-    (width x height x 3 / PCM rate / bitrate), so the planner never
-    opens a payload.
+    """WebDataset-style shard manifest by VIRTUAL BYTE-OFFSET
+    bucketing: per media type, items are laid end-to-end in doc_id
+    order and shard k owns the items whose start offset falls in
+    [k*budget, (k+1)*budget). Like tar-shard writers a shard can
+    overflow by its tail item; unlike the sequential close-on-spill
+    recurrence (which is inherently unparallelizable — every boundary
+    depends on every prior size) the offset rule is a pure function of
+    the prefix sum, so it distributes — the price is that an oversize
+    item may leave the following shard ids empty. Estimated encoded
+    size derives from the typed metadata (width x height x 3 /
+    PCM rate / bitrate), so the planner never opens a payload.
 
     100 TB shape: the prefix sum is two-level — a bucket-local running
     sum (windows over _SHARD_PREFIX_BUCKET-doc buckets, thousands of

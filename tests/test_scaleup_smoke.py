@@ -344,3 +344,37 @@ def test_ivf_index_build_scales_linearly_search_stays_pruned(
         f"cell skew breaks the IVF cost model: {biggest_probe_volume} of "
         f"{n_total} rows in the {IVF_NPROBE} largest cells"
     )
+
+
+def test_training_export_scales_linearly(spark, scaled_dir):
+    """The composed gate→dedup→tokens→split→budget pipeline at 10x:
+    output budget rows stay per-(lang, split) shaped while wall time
+    grows sub-quadratically. The pipeline is two exchanges (md5-key
+    window + final agg) — a super-linear time ratio would mean one of
+    the stages regressed into a corpus-squared shape."""
+    from golang_etl_spark.operators.text import pipeline_training_export
+
+    base, t_base = _timed_count(spark, pipeline_training_export, SF_BIG)
+    big, t_big = _timed_count(spark, pipeline_training_export, scaled_dir)
+    assert big >= base, f"budget rows lost at scale: {base} -> {big}"
+    assert t_big < max(t_base, 0.5) * REPLICAS * 3, (
+        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    )
+
+
+def test_shard_manifest_scales_linearly(spark, scaled_dir):
+    """The two-level prefix sum at 10x: shards grow ~linearly with
+    total bytes (same items per copy) and wall time stays sub-
+    quadratic. Bucket count grows with the id range (copies shift ids
+    by 10M), so this also exercises many more offset buckets than the
+    base fixture."""
+    from golang_etl_spark.operators.multimodal import (
+        multimodal_shard_manifest,
+    )
+
+    base, t_base = _timed_count(spark, multimodal_shard_manifest, SF_BIG)
+    big, t_big = _timed_count(spark, multimodal_shard_manifest, scaled_dir)
+    assert big >= base * (REPLICAS - 1), f"shards lost at scale: {base} -> {big}"
+    assert t_big < max(t_base, 0.5) * REPLICAS * 3, (
+        f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
+    )

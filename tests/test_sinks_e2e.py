@@ -481,3 +481,55 @@ def test_erasure_deletes_fully_erased_bucket(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.filter("user_id IN (100, 101)").count() == 0
     assert back.count() == 2
+
+
+def test_shard_manifest_packing_invariants(spark, sf_dir):
+    """Replays the virtual byte-offset bucketing sequentially in
+    pandas (items end-to-end per type, shard = start_offset // budget)
+    and asserts the distributed two-level prefix sum produced the
+    identical manifest — coverage, per-shard counts, bytes and doc
+    bounds."""
+    from golang_etl_spark.operators.multimodal import (
+        SHARD_BUDGET_BYTES,
+        multimodal_shard_manifest,
+        payload_df,
+    )
+
+    got = {
+        (r["media_type"], r["shard_id"]): (
+            r["n_items"], r["shard_bytes"], r["first_doc"], r["last_doc"]
+        )
+        for r in multimodal_shard_manifest(spark, sf_dir).collect()
+    }
+    items = (
+        payload_df(spark, sf_dir)
+        .selectExpr(
+            "doc_id",
+            "media_type",
+            "CASE media_type WHEN 'image' THEN meta.width * meta.height * 3 "
+            "WHEN 'audio' THEN meta.duration_s * 32000 "
+            "ELSE meta.duration_s * 100000 END AS est_bytes",
+        )
+        .collect()
+    )
+    want = {}
+    offsets = {}
+    for r in sorted(items, key=lambda r: (r["media_type"], r["doc_id"])):
+        start = offsets.get(r["media_type"], 0)
+        offsets[r["media_type"]] = start + r["est_bytes"]
+        key = (r["media_type"], start // SHARD_BUDGET_BYTES)
+        n, b, lo, hi = want.get(key, (0, 0, r["doc_id"], r["doc_id"]))
+        want[key] = (n + 1, b + r["est_bytes"], min(lo, r["doc_id"]),
+                     max(hi, r["doc_id"]))
+    assert got == want
+
+
+def test_shard_manifest_no_single_partition_window(spark, sf_dir):
+    """The prefix sum must be the two-level bucket formulation — a
+    naive SUM() OVER (ORDER BY) would show an Exchange SinglePartition
+    feeding a Window, serializing the corpus through one task."""
+    from golang_etl_spark.registry import all_queries
+
+    df = all_queries()["multimodal_shard_manifest"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange SinglePartition" not in plan, plan
