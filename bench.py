@@ -193,6 +193,7 @@ HEADLINE = [
     "multimodal_shard_manifest",
     "sink_observe_audit",
     "agg_filter_clause",
+    "udf_map_in_arrow",
 ]
 
 

@@ -405,3 +405,60 @@ def udtf_polymorphic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o.o_orderkey, u.col_name
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: the zero-conversion tier of the Python boundary.
+# ---------------------------------------------------------------------------
+# mapInPandas converts every Arrow batch to pandas and back; mapInArrow
+# hands the RecordBatch itself to Python. For purely columnar kernels
+# (pyarrow.compute, numpy via zero-copy buffers) that skips two
+# copies/conversions per batch — the fastest Python tier below
+# staying JVM-side entirely.
+_ARROW_NET_ORACLE = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) AS net_price
+FROM lineitem
+WHERE l_quantity >= 45
+"""
+
+
+def _arrow_net_batches(batches):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        net = pc.multiply(
+            b.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), b.column("l_discount")),
+        )
+        yield pa.RecordBatch.from_arrays(
+            [b.column("l_orderkey"), b.column("l_linenumber"), net],
+            names=["l_orderkey", "l_linenumber", "net_price"],
+        )
+
+
+@register(
+    "udf_map_in_arrow",
+    oracle=_ARROW_NET_ORACLE,
+    tags=("udf", "pandas_udf"),
+)
+def udf_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Net price via ``mapInArrow``: the Python worker receives raw
+    Arrow RecordBatches and answers with pyarrow.compute kernels — no
+    pandas materialization at all. The multiply/subtract run the same
+    IEEE double ops as the engines, so results are bit-identical to
+    the oracle with no rounding.
+
+    Scale note: the l_quantity filter and 4-column projection still
+    push to the parquet scan (they precede the Python boundary in the
+    plan); mapInArrow only ever sees the filtered, pruned batches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_discount")
+        .mapInArrow(
+            _arrow_net_batches,
+            "l_orderkey long, l_linenumber int, net_price double",
+        )
+    )

@@ -754,3 +754,16 @@ def test_interp_windows_share_one_grid_exchange(spark, sf_dir):
     # Window operator — two Window nodes would mean an extra sort (and
     # with mismatched specs, an extra exchange) over the grid.
     assert plan.count("Window [") == 1, plan
+
+
+def test_map_in_arrow_filter_precedes_python(spark, sf_dir):
+    """The quantity filter and 4-column projection must reach the
+    parquet scan — the Python (Arrow) boundary only sees filtered,
+    pruned batches. A filter evaluated AFTER mapInArrow would ship the
+    whole table through the Python worker."""
+    plan = _plan(spark, sf_dir, "udf_map_in_arrow")
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "GreaterThanOrEqual(l_quantity,45" in pushed, plan
+    read_schema = plan.split("ReadSchema")[1][:300]
+    assert "l_shipdate" not in read_schema
+    assert "l_tax" not in read_schema
