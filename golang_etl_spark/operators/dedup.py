@@ -1332,6 +1332,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, so no hot posting lists); verification touches candidate
     pairs, never the corpus square."""
     docs = load_table(spark, sf_dir, "documents")
+    # referenced 4x (sizes, document frequencies, the ranked prefix
+    # build, and the verification arrays) — persist once, tokenize once
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1339,7 +1341,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("transform(split(trim(text), '\\\\s+'), x -> lower(x))")
             )
         ).alias("token"),
-    ).distinct()
+    ).distinct().persist()
     sizes = toks.groupBy("doc_id").agg(F.count("*").alias("d_size"))
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
