@@ -194,6 +194,7 @@ HEADLINE = [
     "sink_observe_audit",
     "agg_filter_clause",
     "udf_map_in_arrow",
+    "sink_codec_matrix",
 ]
 
 

@@ -1588,7 +1588,8 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     fusing the (count DESC, pair ASC) argmax everywhere it occurs.
     Returns the learned rules (rank, left, right, merged, pair_count)
     — deterministic, so the pure-Python replay in
-    tests/test_bpe_train.py matches rule-for-rule.
+    tests/test_bpe_train.py matches rule-for-rule (fixture corpus +
+    hypothesis-random corpora).
 
     100 TB shape: the corpus is touched ONCE (the word-frequency
     aggregation, map-side combined down to vocab cardinality — this is
@@ -1597,6 +1598,14 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a planning step, same class as the min/max bounds queries), and
     localCheckpoint caps the lineage the loop would otherwise stack."""
     docs = load_table(spark, sf_dir, "documents")
+    return train_bpe_merges(spark, docs, BPE_MERGES)
+
+
+def train_bpe_merges(
+    spark: SparkSession, docs: DataFrame, k: int
+) -> DataFrame:
+    """The trainer proper, over any DataFrame with a ``text`` column
+    (split out so property tests can drive arbitrary corpora)."""
     vocab = (
         docs.selectExpr(
             "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
@@ -1610,7 +1619,7 @@ def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     rules = []
-    for rank in range(1, BPE_MERGES + 1):
+    for rank in range(1, k + 1):
         pairs = vocab.filter(F.expr("size(syms) >= 2")).selectExpr(
             "explode(transform(slice(syms, 1, size(syms) - 1), "
             "(s, i) -> struct(s AS l, element_at(syms, i + 2) AS r))) AS p",

@@ -413,3 +413,55 @@ def source_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("good_value_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Parquet compression-codec matrix (the reference hardcodes snappy).
+# ---------------------------------------------------------------------------
+# The reference pins snappy at the writer (SURVEY.md §2.1 S4); a
+# 100 TB deployment picks per-table: zstd for cold archives (~2x
+# smaller), snappy/lz4 for hot scan paths (faster decode). This sink
+# proves every codec round-trips values bit-exactly — same checksum
+# row per codec, hash-checked against one oracle aggregate.
+PARQUET_CODECS = ("snappy", "zstd", "gzip", "lz4")
+
+_CODEC_ORACLE = f"""
+WITH agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         CAST(SUM(event_id) AS BIGINT) AS id_checksum,
+         ROUND(SUM(value), 4) AS value_checksum
+  FROM events
+)
+SELECT codec, n_rows, id_checksum, value_checksum
+FROM agg, (VALUES {", ".join(f"('{c}')" for c in PARQUET_CODECS)}) t(codec)
+"""
+
+
+@register(
+    "sink_codec_matrix", oracle=_CODEC_ORACLE, tags=("sink", "etl-parity")
+)
+def sink_codec_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events under each parquet compression codec, read each
+    back, and checksum: one row per codec, all equal to the source
+    aggregate (the oracle emits the same row |codecs| times). The
+    reference's snappy default stays the session default
+    (session.py); this proves the alternatives are drop-in."""
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "value")
+    frames = []
+    for codec in PARQUET_CODECS:
+        out = _layout_dir(f"codec_{codec}", sf_dir)
+        ev.write.mode("overwrite").option("compression", codec).parquet(out)
+        back = spark.read.parquet(out)
+        frames.append(
+            back.agg(
+                F.count("*").alias("n_rows"),
+                F.sum("event_id").cast("long").alias("id_checksum"),
+                F.round(F.sum("value"), 4).alias("value_checksum"),
+            ).select(F.lit(codec).alias("codec"), "*")
+        )
+    out_df = frames[0]
+    for f in frames[1:]:
+        out_df = out_df.unionByName(f)
+    return out_df

@@ -83,3 +83,33 @@ def test_bpe_merged_symbols_compose(spark):
             if len(side) > 1:
                 assert side in learned, f"{side!r} used before being learned"
         learned.add(r["merged"])
+
+
+# ---------------------------------------------------------------------------
+# Property: the distributed trainer equals the pure-Python reference on
+# ARBITRARY corpora, not just the fixture (tie-heavy tiny vocabularies
+# are exactly where an argmax tie-break bug would hide).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORD = st.text(alphabet="abc", min_size=1, max_size=5)
+_DOC = st.lists(_WORD, min_size=1, max_size=8).map(" ".join)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=6))
+def test_bpe_property_random_corpora(spark, docs):
+    from golang_etl_spark.operators.text import train_bpe_merges
+
+    k = 4
+    df = spark.createDataFrame([(t,) for t in docs], "text STRING")
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in train_bpe_merges(spark, df, k).collect()
+    ]
+    assert got == _reference_bpe(docs, k)
