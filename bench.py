@@ -195,6 +195,8 @@ HEADLINE = [
     "agg_filter_clause",
     "udf_map_in_arrow",
     "sink_codec_matrix",
+    "join_null_safe_eq",
+    "etl_audit_columns",
 ]
 
 

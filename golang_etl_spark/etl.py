@@ -901,3 +901,46 @@ def etl_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_orders"), "token_prefix")
         .limit(100)
     )
+
+
+# ---------------------------------------------------------------------------
+# Audit-column injection (lineage stamping at load time).
+# ---------------------------------------------------------------------------
+# The oracle runs against the driver's pre-registered views (no
+# filename pseudo-column), but the fixture layout makes the basename a
+# constant — asserting it literally still proves the Spark side
+# resolves input_file_name to the right file.
+_AUDIT_ORACLE = """
+SELECT event_id,
+       'events.parquet' AS src_file,
+       md5(CAST(event_id AS VARCHAR) || '|' || event_type) AS row_md5
+FROM events
+"""
+
+
+@register(
+    "etl_audit_columns",
+    oracle=_AUDIT_ORACLE,
+    tags=("etl-parity", "scan"),
+)
+def etl_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stamps every loaded row with its provenance: source file
+    basename (input_file_name — free task-level metadata, no I/O) and
+    a deterministic row fingerprint (md5 over the stable key columns;
+    NOT float columns — float-to-string rendering is engine-specific).
+    The audit projection every warehouse load adds and the reference's
+    channel rows lose (extractor.go's GenericRow carries no
+    provenance).
+
+    100 TB shape: pure map-side projection fused into the scan —
+    zero exchanges, zero extra reads."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias(
+            "src_file"
+        ),
+        F.md5(
+            F.concat_ws("|", F.col("event_id").cast("string"), "event_type")
+        ).alias("row_md5"),
+    )

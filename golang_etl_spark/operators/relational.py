@@ -1148,3 +1148,52 @@ def agg_filter_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
     its own oracle."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_FILTER_AGG_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM).
+# ---------------------------------------------------------------------------
+@register(
+    "join_null_safe_eq",
+    oracle="""
+    WITH l AS (
+      SELECT o_orderkey, NULLIF(o_custkey % 50, 0) AS k FROM orders
+      WHERE o_orderkey <= 2000
+    ),
+    r AS (
+      SELECT NULLIF(c_custkey % 50, 0) AS k,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    )
+    SELECT l.o_orderkey, l.k,
+           CAST(COALESCE(r.n_cust, 0) AS BIGINT) AS n_cust
+    FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+    """,
+    tags=("join",),
+)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join: NULL keys MATCH each other (<=> /
+    IS NOT DISTINCT FROM), where plain equi-join drops them. The keys
+    are made sparse-null with NULLIF so the semantics actually fire.
+
+    100 TB shape: Spark plans <=> as a regular hash join on the
+    null-safe-wrapped key (all NULLs co-locate in one partition — a
+    skew hazard if nulls dominate; pre-split or COALESCE-tag them
+    when they do)."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") <= 2000
+    ).select(
+        "o_orderkey",
+        F.nullif(F.col("o_custkey") % 50, F.lit(0)).alias("k"),
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.nullif(F.col("c_custkey") % 50, F.lit(0)).alias("k"))
+        .groupBy("k")
+        .agg(F.count("*").alias("n_cust"))
+    )
+    return orders.join(cust, orders.k.eqNullSafe(cust.k)).select(
+        "o_orderkey",
+        orders.k.alias("k"),
+        F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
+    )
