@@ -197,6 +197,7 @@ HEADLINE = [
     "sink_codec_matrix",
     "join_null_safe_eq",
     "etl_audit_columns",
+    "text_bpe_apply_stats",
 ]
 
 

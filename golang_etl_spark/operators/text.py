@@ -1644,3 +1644,59 @@ def train_bpe_merges(
         "merge_rank INT, left STRING, right STRING, merged STRING, "
         "pair_count BIGINT",
     )
+
+
+@register(
+    "text_bpe_apply_stats", oracle=None, tags=("text", "llm", "analytic")
+)
+def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Close the tokenizer loop: train the BPE_MERGES-rule merge table
+    (text_bpe_train_merges), APPLY the rules in rank order to the
+    corpus vocabulary, and report the compression they bought —
+    frequency-weighted token counts before/after and tokens-per-word.
+    Iterative like the trainer (rows-only at the driver);
+    tests/test_bpe_train.py replays it in pure Python.
+
+    100 TB shape: identical to training — the corpus feeds ONE
+    word-frequency aggregation; every apply step is a JVM fold over
+    the vocab table. Token counts are frequency-weighted sums, so the
+    stats describe the real token stream without rescanning it."""
+    docs = load_table(spark, sf_dir, "documents")
+    rules = train_bpe_merges(spark, docs, BPE_MERGES).collect()
+    vocab = (
+        docs.selectExpr(
+            "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    before = vocab.selectExpr(
+        "CAST(sum(size(syms) * freq) AS BIGINT) AS t",
+        "CAST(sum(freq) AS BIGINT) AS n_words",
+    ).first()
+    for r in sorted(rules, key=lambda r: r["merge_rank"]):
+        vocab = vocab.selectExpr(
+            f"{_bpe_merge_fold(r['left'], r['right'])} AS syms", "freq"
+        ).localCheckpoint()
+    after = vocab.selectExpr(
+        "CAST(sum(size(syms) * freq) AS BIGINT) AS t"
+    ).first()
+    return spark.createDataFrame(
+        [
+            (
+                len(rules),
+                before["n_words"],
+                before["t"],
+                after["t"],
+                round(after["t"] / before["t"], 6),
+                round(after["t"] / before["n_words"], 6),
+            )
+        ],
+        "n_rules INT, n_words BIGINT, tokens_before BIGINT, "
+        "tokens_after BIGINT, compression DOUBLE, tokens_per_word DOUBLE",
+    )

@@ -113,3 +113,48 @@ def test_bpe_property_random_corpora(spark, docs):
         for r in train_bpe_merges(spark, df, k).collect()
     ]
     assert got == _reference_bpe(docs, k)
+
+
+def test_bpe_apply_stats_match_pure_python(spark):
+    """The apply-side stats must equal a pure-Python replay: train,
+    apply every rule in rank order, count frequency-weighted tokens."""
+    from golang_etl_spark.operators.text import (
+        BPE_MERGES,
+        text_bpe_apply_stats,
+    )
+
+    texts = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT text FROM '{SF_DIR}/documents.parquet'"
+        ).fetchall()
+    ]
+    vocab = Counter()
+    for t in texts:
+        for w in re.findall(r"[a-z]+", t.lower()):
+            vocab[w] += 1
+    words = {w: list(w) for w in vocab}
+    before = sum(len(s) * vocab[w] for w, s in words.items())
+    n_words = sum(vocab.values())
+    for rank, a, b, _m, _c in _reference_bpe(texts, BPE_MERGES):
+        for w, syms in words.items():
+            out, pend = [], None
+            for x in syms:
+                if pend is None:
+                    pend = x
+                elif pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            words[w] = out
+    after = sum(len(s) * vocab[w] for w, s in words.items())
+
+    row = text_bpe_apply_stats(spark, SF_DIR).collect()[0]
+    assert row["tokens_before"] == before
+    assert row["tokens_after"] == after
+    assert row["n_words"] == n_words
+    assert row["compression"] == round(after / before, 6)
