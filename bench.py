@@ -198,6 +198,7 @@ HEADLINE = [
     "join_null_safe_eq",
     "etl_audit_columns",
     "text_bpe_apply_stats",
+    "timeseries_rolling_slope",
 ]
 
 

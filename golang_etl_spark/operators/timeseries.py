@@ -560,3 +560,101 @@ def timeseries_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_observed"),
         interp.alias("n_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling trend slope (windowed OLS from compositional sums).
+# ---------------------------------------------------------------------------
+# Per-type slope of the hourly event-count series over the trailing 24
+# observed hours: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), assembled
+# from four plain window SUMs. x is epoch-hours RE-BASED to the
+# window's own first hour — absolute epoch seconds squared overflow
+# the exact-integer range of doubles (and eventually BIGINT) at
+# n*Sxx scale; the rebase keeps every sum small and exact, and slope
+# is translation-invariant so the result is identical.
+_SLOPE_LOOKBACK = 24
+
+_ROLLING_SLOPE_ORACLE = f"""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+rebased AS (
+  SELECT event_type, hour, n,
+         epoch(hour) // 3600
+           - MIN(epoch(hour) // 3600) OVER (PARTITION BY event_type) AS xr
+  FROM hourly
+),
+xy AS (
+  SELECT event_type, hour, n,
+         CAST(COUNT(*) OVER w AS BIGINT) AS cnt,
+         SUM(xr) OVER w AS sx,
+         SUM(n) OVER w AS sy,
+         SUM(xr * xr) OVER w AS sxx,
+         SUM(xr * n) OVER w AS sxy
+  FROM rebased
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN {_SLOPE_LOOKBACK - 1} PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, hour, n,
+       CAST(cnt * sxy - sx * sy AS DOUBLE)
+         / CAST(cnt * sxx - sx * sx AS DOUBLE) AS slope
+FROM xy
+WHERE cnt = {_SLOPE_LOOKBACK} AND cnt * sxx - sx * sx <> 0
+"""
+
+
+@register(
+    "timeseries_rolling_slope",
+    oracle=_ROLLING_SLOPE_ORACLE,
+    tags=("timeseries", "window", "stats"),
+)
+def timeseries_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling OLS slope of hourly volumes per event_type (trailing
+    24 observed hours) from four compositional window SUMs — the
+    trend-detection feature a monitoring/feature pipeline derives
+    without a per-window model fit. Integer sums over rebased x keep
+    both engines' arithmetic exact until the single final division.
+
+    100 TB shape: one map-side aggregation to the hourly grid, one
+    window exchange on event_type — the window never touches raw
+    events, and the four sums share a single frame scan."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-(_SLOPE_LOOKBACK - 1), Window.currentRow)
+    )
+    xh = F.floor(F.unix_timestamp("hour") / 3600).cast("long")
+    rebased = hourly.withColumn(
+        "xr", xh - F.min(xh).over(Window.partitionBy("event_type"))
+    )
+    xr = F.col("xr")
+    scored = rebased.select(
+        "event_type",
+        "hour",
+        "n",
+        F.count("*").over(w).alias("cnt"),
+        F.sum(xr).over(w).alias("sx"),
+        F.sum("n").over(w).alias("sy"),
+        F.sum(xr * xr).over(w).alias("sxx"),
+        F.sum(xr * F.col("n")).over(w).alias("sxy"),
+    )
+    denom = F.col("cnt") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return scored.filter(
+        (F.col("cnt") == _SLOPE_LOOKBACK) & (denom != 0)
+    ).select(
+        "event_type",
+        "hour",
+        "n",
+        (
+            (F.col("cnt") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                "double"
+            )
+            / denom.cast("double")
+        ).alias("slope"),
+    )
