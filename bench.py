@@ -199,6 +199,7 @@ HEADLINE = [
     "etl_audit_columns",
     "text_bpe_apply_stats",
     "timeseries_rolling_slope",
+    "sample_weighted_reservoir",
 ]
 
 

@@ -526,3 +526,73 @@ def sample_epoch_repeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("corpus_tokens").cast("long").alias("corpus_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES).
+# ---------------------------------------------------------------------------
+# k docs per language with inclusion probability proportional to a
+# weight (here n_chars — the "sample long documents more" mixing
+# knob). A-ES turns weighted draws into a rank: each item gets an
+# exponential race time -ln(u)/w from a uniform u; the k smallest per
+# group ARE a weighted sample without replacement. u comes from the
+# same md5 tape as the unweighted reservoir, so the draw is
+# deterministic and both engines replay it; the emitted columns are
+# all integers, so the hash gate compares the SELECTION, not floats.
+WEIGHTED_K = 20
+_U_DENOM = float(1 << 52)
+
+_WEIGHTED_ORACLE = f"""
+WITH keyed AS (
+  SELECT lang, doc_id, CAST(GREATEST(n_chars, 1) AS BIGINT) AS weight,
+         -ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 13))::BIGINT + 1)
+             / {_U_DENOM + 1}) / GREATEST(n_chars, 1) AS race
+  FROM documents
+)
+SELECT lang, doc_id, weight,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY race, doc_id)
+            AS BIGINT) AS draw_rank
+FROM keyed
+QUALIFY draw_rank <= {WEIGHTED_K}
+"""
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=_WEIGHTED_ORACLE,
+    tags=("sampling", "llm", "window"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted k-per-language sample without replacement (A-ES):
+    deterministic md5 uniform -> exponential race -ln(u)/weight ->
+    smallest k win. One shuffle on the group key; the race key is a
+    map-side expression.
+
+    100 TB shape: identical to any grouped top-k — WindowGroupLimit
+    pre-reduces each partition to k candidates before the exchange.
+    The ln() is the only transcendental; it feeds ONLY the ordering
+    (integers are what's emitted), so an ULP divergence between
+    engines could matter only if two race times collided to ~1e-16 —
+    distinct md5 tapes make that astronomically unlikely."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w_ = F.greatest(F.col("n_chars"), F.lit(1))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+        ).cast("double")
+        + 1.0
+    ) / F.lit(_U_DENOM + 1)
+    keyed = docs.select(
+        "lang",
+        "doc_id",
+        w_.cast("long").alias("weight"),
+        (-F.log(u) / w_).alias("race"),
+    )
+    win = Window.partitionBy("lang").orderBy("race", "doc_id")
+    return (
+        keyed.withColumn("draw_rank", F.row_number().over(win))
+        .filter(F.col("draw_rank") <= WEIGHTED_K)
+        .select("lang", "doc_id", "weight", F.col("draw_rank").cast("long").alias("draw_rank"))
+    )
