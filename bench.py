@@ -200,6 +200,7 @@ HEADLINE = [
     "text_bpe_apply_stats",
     "timeseries_rolling_slope",
     "sample_weighted_reservoir",
+    "sessionize_native_window",
 ]
 
 

@@ -252,3 +252,76 @@ def sessionize_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("f.t2").alias("n_view_click"),
         F.count("f.t3").alias("n_view_click_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Built-in session_window (the native API twin of the manual gap logic).
+# ---------------------------------------------------------------------------
+# Boundary semantics differ by ONE microsecond from the lag-based
+# formulation above: session_window closes at last_ts + gap with a
+# half-open window, so an event at exactly prev + gap starts a NEW
+# session (the manual `> gap` test keeps it). The oracle replays the
+# native rule (>= gap) — the hash gate is what proves the two
+# formulations' boundary rules are what their docstrings claim.
+_NATIVE_SESSION_ORACLE = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                      >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts, value,
+         SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL {SESSION_GAP_US} MICROSECONDS AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(SUM(value), 4) AS total_value
+FROM numbered
+GROUP BY user_id, session_idx
+"""
+
+
+@register(
+    "sessionize_native_window",
+    oracle=_NATIVE_SESSION_ORACLE,
+    tags=("session", "window", "aggregation"),
+)
+def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``session_window`` in BATCH mode: one
+    groupBy(session_window(ts, gap), user) replaces the whole
+    lag/flag/running-sum pipeline of sessionize_events. Hash-checked
+    against a gap-logic oracle that replays the native half-open
+    boundary rule (an event at exactly gap distance opens a new
+    session).
+
+    100 TB shape: one exchange on user_id; Spark merges session state
+    in the aggregation operator itself (the same machinery the
+    streaming variant uses), so no window-function sort pass over the
+    events is needed."""
+    ev = load_table(spark, sf_dir, "events")
+    gap_s = SESSION_GAP_US // 1_000_000
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{gap_s} seconds").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
