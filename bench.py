@@ -201,6 +201,8 @@ HEADLINE = [
     "timeseries_rolling_slope",
     "sample_weighted_reservoir",
     "sessionize_native_window",
+    "profile_equidepth_bins",
+    "profile_leading_digit",
 ]
 
 

@@ -683,3 +683,97 @@ def profile_regression_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("regr_r2(l_extendedprice, l_quantity)").alias("r2"),
         F.corr("l_extendedprice", "l_quantity").alias("pearson_r"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth binning (the quantile twin of the equi-width histogram).
+# ---------------------------------------------------------------------------
+_EQUIDEPTH_ORACLE = """
+WITH binned AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS INT) AS decile,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       ROUND(MIN(o_totalprice), 4) AS lo,
+       ROUND(MAX(o_totalprice), 4) AS hi
+FROM binned GROUP BY decile
+"""
+
+
+@register(
+    "profile_equidepth_bins",
+    oracle=_EQUIDEPTH_ORACLE,
+    tags=("profiling", "aggregation", "window"),
+)
+def profile_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile (equi-depth) bins of order price via NTILE with a
+    deterministic tie-break — equal POPULATION per bin where
+    profile_histogram gives equal WIDTH. Bin edges double as a
+    discretizer for feature engineering.
+
+    100 TB caveat (stated, not hidden): a global NTILE is a total
+    order — one range exchange + sort, the same cost class as
+    sink_range_sorted's export. For a cheaper cut at scale use
+    approx_percentile edges (sketch_percentile_approx) and join them
+    as bin bounds; this exact variant is the verification twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Leading-digit (Benford) screen — data-forensics profiling.
+# ---------------------------------------------------------------------------
+_BENFORD_ORACLE = """
+SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+            AS INT) AS leading_digit,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+WHERE o_totalprice >= 1
+GROUP BY leading_digit
+"""
+
+
+@register(
+    "profile_leading_digit",
+    oracle=_BENFORD_ORACLE,
+    tags=("profiling", "aggregation", "stats"),
+)
+def profile_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-significant-digit distribution of order totals — the
+    Benford screen auditors run for fabricated numerics. Integer-only
+    output (digit, count); comparing the shares against log10(1+1/d)
+    is the consumer's one-liner. Pure map-side projection + one tiny
+    aggregation.
+
+    The digit comes from the INTEGER part's decimal rendering —
+    explicit FLOOR before the BIGINT cast on BOTH engines, because the
+    bare double->BIGINT cast truncates in Spark but ROUNDS in DuckDB
+    (a 89999.99 order flips 8 -> 9 without it), and float-to-string is
+    engine-specific while integer-to-string is not."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    return (
+        orders.select(
+            F.substring(
+                F.floor("o_totalprice").cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("leading_digit")
+        )
+        .groupBy("leading_digit")
+        .agg(F.count("*").alias("n_rows"))
+    )
