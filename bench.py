@@ -203,6 +203,7 @@ HEADLINE = [
     "sessionize_native_window",
     "profile_equidepth_bins",
     "profile_leading_digit",
+    "graph_lpa_communities",
 ]
 
 

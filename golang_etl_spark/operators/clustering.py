@@ -557,3 +557,85 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         F.col("vertex").alias("p_brand"), F.round("rank", 8).alias("pagerank")
     ).orderBy(F.desc("pagerank"), "p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (fixed synchronous iterations).
+# ---------------------------------------------------------------------------
+# The fourth graph kernel: LPA finds DENSE communities where connected
+# components finds mere reachability. Each synchronous round every
+# vertex adopts the MOST FREQUENT label among its neighbors, ties
+# broken (count DESC, label ASC) so the iteration is a pure function
+# of the previous labeling — the oracle unrolls the same
+# _LPA_ITERS rounds as chained CTEs and the hash gate replays every
+# intermediate labeling exactly.
+_LPA_ITERS = 3
+
+
+def _lpa_iter_sql(k: int) -> str:
+    return f"""
+l{k} AS (
+  SELECT vertex, label FROM (
+    SELECT e.v AS vertex, l.label,
+           ROW_NUMBER() OVER (PARTITION BY e.v
+                              ORDER BY COUNT(*) DESC, l.label) AS rk
+    FROM edges e JOIN l{k - 1} l ON l.vertex = e.u
+    GROUP BY e.v, l.label
+  ) WHERE rk = 1
+)"""
+
+
+_LPA_ORACLE = (
+    "WITH "
+    + _PR_EDGE_CTE.strip()
+    + ",\nl0 AS (SELECT u AS vertex, u AS label FROM deg),"
+    + ",".join(_lpa_iter_sql(k) for k in range(1, _LPA_ITERS + 1))
+    + f"""
+SELECT vertex AS p_brand, label AS community
+FROM l{_LPA_ITERS}
+ORDER BY p_brand
+"""
+)
+
+
+@register(
+    "graph_lpa_communities",
+    oracle=_LPA_ORACLE,
+    tags=("analytic", "join", "aggregation"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous label propagation on the brand co-purchase graph,
+    exactly _LPA_ITERS rounds: every vertex adopts its neighbors'
+    modal label with a deterministic (count DESC, label ASC)
+    tie-break. Seeds are the vertex names themselves.
+
+    100 TB shape: per round, one join of the label vector against the
+    edge list plus one grouped argmax — the same exchange profile as
+    the PageRank kernel; pre-partitioning both on vertex makes rounds
+    after the first exchange-free. The driver loop builds a 3-round
+    lineage (checkpoint per round past ~5 iterations, as the CC
+    pointer-jumping loop does)."""
+    from pyspark.sql.window import Window
+
+    und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
+    edges = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("vertex"), F.col("u").alias("label")
+    )
+    for _ in range(_LPA_ITERS):
+        counts = (
+            edges.join(labels, edges.u == labels.vertex)
+            .groupBy(F.col("v").alias("dst"), "label")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("dst").orderBy(F.desc("c"), "label")
+        labels = (
+            counts.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("dst").alias("vertex"), "label")
+        )
+    return labels.select(
+        F.col("vertex").alias("p_brand"), F.col("label").alias("community")
+    ).orderBy("p_brand")
