@@ -204,6 +204,7 @@ HEADLINE = [
     "profile_equidepth_bins",
     "profile_leading_digit",
     "graph_lpa_communities",
+    "pipeline_health_report",
 ]
 
 

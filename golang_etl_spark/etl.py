@@ -944,3 +944,162 @@ def etl_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat_ws("|", F.col("event_id").cast("string"), "event_type")
         ).alias("row_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Composed pipeline-health report (the ops twin of the training-export
+# composition): constraints + volumes + anomaly counts + freshness
+# span, one job, one typed alerts relation.
+# ---------------------------------------------------------------------------
+_HEALTH_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+scored AS (
+  SELECT event_type, n,
+         AVG(n) OVER w AS mu, STDDEV_SAMP(n) OVER w AS sigma,
+         COUNT(*) OVER w AS lb
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+),
+anom AS (
+  SELECT s.event_type,
+         CAST(COUNT(*) FILTER (
+           WHERE lb = 24 AND sigma > 0 AND abs((n - mu) / sigma) > 2.0
+         ) AS BIGINT) AS n_anom
+  FROM scored s GROUP BY s.event_type
+)
+SELECT section, entity, metric FROM (
+  SELECT 'constraint' AS section, 'lineitem_orphan_orderkey' AS entity,
+         CAST(COUNT(*) AS BIGINT) AS metric
+  FROM lineitem l WHERE NOT EXISTS (
+    SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+  UNION ALL
+  SELECT 'constraint', 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+  FROM orders o WHERE NOT EXISTS (
+    SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+  UNION ALL
+  SELECT 'constraint', 'orders_duplicate_pk',
+         CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+  FROM (SELECT o_orderkey, COUNT(*) AS cnt FROM orders
+        GROUP BY o_orderkey HAVING COUNT(*) > 1) d
+  UNION ALL
+  SELECT 'row_count', 'events', CAST(COUNT(*) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'row_count', 'orders', CAST(COUNT(*) AS BIGINT) FROM orders
+  UNION ALL
+  SELECT 'row_count', 'lineitem', CAST(COUNT(*) AS BIGINT) FROM lineitem
+  UNION ALL
+  SELECT 'span_hours', 'events',
+         CAST(date_diff('hour', MIN(ts), MAX(ts)) AS BIGINT) FROM events
+  UNION ALL
+  SELECT 'volume_anomaly', event_type, n_anom FROM anom
+) r
+ORDER BY section, entity
+"""
+
+
+@register(
+    "pipeline_health_report",
+    oracle=_HEALTH_ORACLE,
+    tags=("etl-parity", "aggregation", "stats", "llm"),
+)
+def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One job, one typed health relation: referential/PK constraint
+    violation counts, table row counts, the events table's hour span
+    (freshness proxy), and per-type counts of hourly volume anomalies
+    (|z| > 2 against the trailing 24h) — the monitoring composition an
+    ops pipeline schedules after every load, where
+    pipeline_training_export is the training-side composition.
+
+    Scale shape: the branches share nothing and Spark schedules them
+    as independent stages of one job — report latency is max(branch);
+    every branch is a shape proven by its standalone operator
+    (anti-join audit, window z-score, map-side counts)."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    ev = load_table(spark, sf_dir, "events")
+
+    def row(section: str, entity: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(section).alias("section"),
+            F.lit(entity).alias("entity"),
+            F.col("metric").cast("long").alias("metric"),
+        )
+
+    parts = [
+        row(
+            "constraint",
+            "lineitem_orphan_orderkey",
+            li.select("l_orderkey")
+            .join(orders.select("o_orderkey"),
+                  li.l_orderkey == F.col("o_orderkey"), "left_anti")
+            .agg(F.count("*").alias("metric")),
+        ),
+        row(
+            "constraint",
+            "orders_orphan_custkey",
+            orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+            .agg(F.count("*").alias("metric")),
+        ),
+        row(
+            "constraint",
+            "orders_duplicate_pk",
+            orders.groupBy("o_orderkey")
+            .agg(F.count("*").alias("cnt"))
+            .filter(F.col("cnt") > 1)
+            .agg(F.coalesce(F.sum(F.col("cnt") - 1), F.lit(0)).alias("metric")),
+        ),
+        row("row_count", "events", ev.agg(F.count("*").alias("metric"))),
+        row("row_count", "orders", orders.agg(F.count("*").alias("metric"))),
+        row("row_count", "lineitem", li.agg(F.count("*").alias("metric"))),
+        row(
+            "span_hours",
+            "events",
+            ev.agg(
+                (
+                    F.floor(F.unix_timestamp(F.max("ts")) / 3600)
+                    - F.floor(F.unix_timestamp(F.min("ts")) / 3600)
+                ).alias("metric")
+            ),
+        ),
+    ]
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("lb"),
+    )
+    anom = scored.groupBy("event_type").agg(
+        F.count_if(
+            (F.col("lb") == 24)
+            & (F.col("sigma") > 0)
+            & (F.abs((F.col("n") - F.col("mu")) / F.col("sigma")) > 2.0)
+        ).alias("metric")
+    )
+    parts.append(
+        anom.select(
+            F.lit("volume_anomaly").alias("section"),
+            F.col("event_type").alias("entity"),
+            F.col("metric").cast("long").alias("metric"),
+        )
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("section", "entity")
