@@ -205,6 +205,7 @@ HEADLINE = [
     "profile_leading_digit",
     "graph_lpa_communities",
     "pipeline_health_report",
+    "similarity_maxsim_topk",
 ]
 
 

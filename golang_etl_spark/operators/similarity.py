@@ -1376,3 +1376,115 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("cos", 6).alias("cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MaxSim late interaction (ColBERT-style multi-vector retrieval).
+# ---------------------------------------------------------------------------
+# Each embedding is viewed as MAXSIM_TOKENS contiguous sub-vectors
+# ("token embeddings"); relevance is late interaction:
+# score(q, d) = sum over query tokens of the max cosine against any
+# doc token. The point of this operator is the RELATIONAL
+# formulation: explode to (vec, token, subvec), join, MAX per
+# (query, doc, query-token), SUM per (query, doc) — late interaction
+# is two plain aggregations, which is exactly why it scales on an
+# engine like this (contrast a per-pair Python loop).
+MAXSIM_TOKENS = 4
+_MAXSIM_SUBDIM = EMBED_DIM // MAXSIM_TOKENS
+
+_MAXSIM_ORACLE = f"""
+WITH toks AS (
+  SELECT vec_id, t.tok,
+         list_slice(embedding::DOUBLE[],
+                    1 + t.tok * {_MAXSIM_SUBDIM},
+                    (t.tok + 1) * {_MAXSIM_SUBDIM}) AS sub
+  FROM embeddings,
+       (SELECT unnest(range({MAXSIM_TOKENS})) AS tok) t
+),
+normed AS (
+  SELECT vec_id, tok, sub,
+         sqrt(list_dot_product(sub, sub)) AS nrm
+  FROM toks WHERE list_dot_product(sub, sub) > 0
+),
+pertok AS (
+  SELECT q.vec_id AS query_id, d.vec_id AS doc_id, q.tok,
+         MAX(list_dot_product(q.sub, d.sub) / (q.nrm * d.nrm)) AS best
+  FROM normed q JOIN normed d ON d.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, d.vec_id, q.tok
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(best) AS maxsim
+  FROM pertok GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, maxsim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY maxsim DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT query_id, doc_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(maxsim, 6) AS maxsim
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_maxsim_topk", oracle=_MAXSIM_ORACLE, tags=("ann", "llm")
+)
+def similarity_maxsim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MaxSim top-k: explode each vector into MAXSIM_TOKENS
+    normalized sub-vectors, broadcast the query tokens, take the max
+    cosine per (query, doc, query-token) and sum per pair.
+
+    100 TB shape: the corpus token table is scanned once with the
+    query tokens broadcast (|Q| x MAXSIM_TOKENS rows); both
+    aggregations partial-aggregate map-side. This is the exact
+    baseline — the production funnel prefixes it with an ANN
+    candidate stage exactly as similarity_funnel_mrl_pq does for
+    single-vector scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = emb.selectExpr(
+        "vec_id", f"{_EMB_DOUBLE_SPARK} AS emb"
+    ).selectExpr(
+        "vec_id",
+        f"explode(transform(sequence(0, {MAXSIM_TOKENS - 1}), "
+        f"t -> struct(t AS tok, slice(emb, 1 + t * {_MAXSIM_SUBDIM}, "
+        f"{_MAXSIM_SUBDIM}) AS sub))) AS p",
+    ).selectExpr("vec_id", "p.tok AS tok", "p.sub AS sub")
+    normed = toks.selectExpr(
+        "vec_id",
+        "tok",
+        "sub",
+        f"sqrt({_dot_spark('sub', 'sub')}) AS nrm",
+    ).filter(F.expr(f"{_dot_spark('sub', 'sub')} > 0"))
+    q = normed.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "tok AS q_tok", "sub AS q_sub", "nrm AS q_nrm"
+    )
+    pertok = (
+        normed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "vec_id AS doc_id",
+            "q_tok",
+            f"{_dot_spark('q_sub', 'sub')} / (q_nrm * nrm) AS cos",
+        )
+        .groupBy("query_id", "doc_id", "q_tok")
+        .agg(F.max("cos").alias("best"))
+    )
+    scored = pertok.groupBy("query_id", "doc_id").agg(
+        F.sum("best").alias("maxsim")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("maxsim").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.round("maxsim", 6).alias("maxsim"),
+        )
+    )
