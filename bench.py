@@ -206,6 +206,8 @@ HEADLINE = [
     "graph_lpa_communities",
     "pipeline_health_report",
     "similarity_maxsim_topk",
+    "dedup_index_build",
+    "dedup_index_probe",
 ]
 
 

@@ -1401,3 +1401,201 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id_a", "doc_id_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# 12. Persistent MinHash band index (the text-dedup mirror of the IVF
+# vector index store: build once offline, probe every incoming batch).
+# ---------------------------------------------------------------------------
+# dedup_incremental_ingest recomputes corpus signatures per run; at
+# 100 TB the corpus side must be a PRE-BUILT index on disk that probes
+# read but never recompute. Build materializes the corpus band
+# postings partitioned by band_id and row-group-sorted by band_key (so
+# a probe's band-key equi-join prunes at the footer level); probe
+# signatures ONLY the incoming batch, joins it against the store, and
+# exact-verifies candidates with shingle Jaccard.
+_MINHASH_INDEX_BUILT: dict[str, str] = {}
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Write the corpus (doc_id < INGEST_SPLIT) MinHash band postings
+    to parquet. Idempotent per (process, sf_dir); returns the root.
+
+    100 TB shape: one corpus scan -> signature agg -> 4 rows/doc to a
+    partitioned sink. The pay-once cost every later probe amortizes —
+    and the batch never touches corpus text until verification."""
+    if sf_dir in _MINHASH_INDEX_BUILT:
+        return _MINHASH_INDEX_BUILT[sf_dir]
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    root = _layout_dir("minhash_index", sf_dir)
+    posting = _shingle_posting(spark, sf_dir).filter(
+        F.col("doc_id") < INGEST_SPLIT
+    )
+    sig = posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
+    bands = sig.selectExpr("doc_id", *_band_exprs()).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+    (
+        bands.repartition("band_id")
+        .sortWithinPartitions("band_key")
+        .write.mode("overwrite")
+        .partitionBy("band_id")
+        .parquet(root)
+    )
+    _MINHASH_INDEX_BUILT[sf_dir] = root
+    return root
+
+
+def _index_bands_duck(where: str) -> str:
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig"
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents {where})
+),
+sig0 AS (
+  SELECT doc_id,
+    {_minhash_cols_duck()}
+  FROM sh
+),
+sig AS (
+  SELECT doc_id, {", ".join(_band_exprs())} FROM sig0
+),
+bands AS (
+    {band_union}
+)"""
+
+
+_INDEX_BUILD_ORACLE = f"""
+WITH {_index_bands_duck(f"WHERE doc_id < {INGEST_SPLIT}")}
+SELECT CAST(band_id AS INT) AS band_id,
+       CAST(COUNT(*) AS BIGINT) AS n_postings,
+       CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_keys,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM bands GROUP BY band_id
+"""
+
+
+@register(
+    "dedup_index_build",
+    oracle=_INDEX_BUILD_ORACLE,
+    tags=("dedup", "llm", "sink", "layout"),
+)
+def dedup_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the persistent MinHash band index, read the FILES back,
+    and inventory each band partition. The oracle recomputes the
+    postings from raw text, so a green hash proves the materialized
+    index is exactly the signature table — the layout loses nothing."""
+    root = build_minhash_index(spark, sf_dir)
+    idx = spark.read.parquet(root)
+    return idx.groupBy(F.col("band_id").cast("int").alias("band_id")).agg(
+        F.count("*").alias("n_postings"),
+        F.countDistinct("band_key").alias("n_keys"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+_INDEX_PROBE_ORACLE = f"""
+WITH {_index_bands_duck("")},
+cand AS (
+  SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_key = b.band_key
+  WHERE a.doc_id >= {INGEST_SPLIT} AND b.doc_id < {INGEST_SPLIT}
+)
+SELECT c.batch_doc, c.corpus_doc,
+       ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+             / len(list_distinct(sa.shingles || sb.shingles)), 6) AS jaccard
+FROM cand c
+JOIN sh sa ON sa.doc_id = c.batch_doc
+JOIN sh sb ON sb.doc_id = c.corpus_doc
+WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+      / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_MIN}
+"""
+
+
+@register(
+    "dedup_index_probe",
+    oracle=_INDEX_PROBE_ORACLE,
+    tags=("dedup", "llm", "layout"),
+)
+def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the persisted index with the incoming batch (doc_id >=
+    INGEST_SPLIT): signature the BATCH only, equi-join its band keys
+    against the store, exact-verify candidates with shingle Jaccard.
+    Corpus text is touched only for verification of matched ids —
+    the corpus signature pipeline never reruns (plan-gated:
+    tests/test_plans.py asserts the probe reads the index files).
+
+    100 TB shape: probe cost is O(batch signatures) + O(candidate
+    verifications); the index join shuffles batch band keys against a
+    band-partitioned, key-sorted store."""
+    root = build_minhash_index(spark, sf_dir)
+    posting = _shingle_posting(spark, sf_dir).persist()
+    batch_posting = posting.filter(F.col("doc_id") >= INGEST_SPLIT)
+    sig = batch_posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
+    batch_bands = sig.selectExpr("doc_id", *_band_exprs()).selectExpr(
+        "doc_id AS batch_doc",
+        f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)",
+    )
+    idx = spark.read.parquet(root).selectExpr(
+        "doc_id AS corpus_doc",
+        "cast(band_id AS int) AS i_band_id",
+        "band_key AS i_band_key",
+    )
+    cand = (
+        batch_bands.join(
+            idx,
+            (F.col("band_id") == F.col("i_band_id"))
+            & (F.col("band_key") == F.col("i_band_key")),
+        )
+        .select("batch_doc", "corpus_doc")
+        .distinct()
+    )
+    sa = posting.selectExpr("doc_id AS batch_doc", "shingle")
+    sb = posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")
+    inter = (
+        cand.join(sa, "batch_doc")
+        .join(
+            sb,
+            (F.col("corpus_doc") == F.col("sb_doc"))
+            & (F.col("shingle") == F.col("shingle_b")),
+        )
+        .groupBy("batch_doc", "corpus_doc")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    jac = F.col("n_inter") / (
+        F.col("na") + F.col("nb") - F.col("n_inter")
+    )
+    return (
+        inter.join(
+            F.broadcast(sizes.selectExpr("doc_id AS batch_doc", "n_sh AS na")),
+            "batch_doc",
+        )
+        .join(
+            F.broadcast(
+                sizes.selectExpr("doc_id AS corpus_doc", "n_sh AS nb")
+            ),
+            "corpus_doc",
+        )
+        .filter(jac >= JACCARD_MIN)
+        .select("batch_doc", "corpus_doc", F.round(jac, 6).alias("jaccard"))
+    )

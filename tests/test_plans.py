@@ -767,3 +767,12 @@ def test_map_in_arrow_filter_precedes_python(spark, sf_dir):
     read_schema = plan.split("ReadSchema")[1][:300]
     assert "l_shipdate" not in read_schema
     assert "l_tax" not in read_schema
+
+
+def test_minhash_index_probe_reads_store_not_corpus_signatures(spark, sf_dir):
+    """The probe must scan the PERSISTED band index (parquet under
+    minhash_index/) — recomputing corpus signatures per probe is
+    exactly what the store exists to avoid. Corpus text may appear
+    only through the shingle-posting verification subtree."""
+    plan = _plan(spark, sf_dir, "dedup_index_probe")
+    assert "minhash_index" in plan, "probe does not read the persisted index"
