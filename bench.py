@@ -208,6 +208,7 @@ HEADLINE = [
     "similarity_maxsim_topk",
     "dedup_index_build",
     "dedup_index_probe",
+    "text_perplexity_score",
 ]
 
 

@@ -1700,3 +1700,90 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rules INT, n_words BIGINT, tokens_before BIGINT, "
         "tokens_after BIGINT, compression DOUBLE, tokens_per_word DOUBLE",
     )
+
+
+# ---------------------------------------------------------------------------
+# Perplexity-style quality scoring (per-doc NLL under the corpus LM).
+# ---------------------------------------------------------------------------
+# The CCNet-style filter: score every document by its average negative
+# log-likelihood under a Laplace-smoothed corpus bigram model —
+# gibberish and boilerplate sit in the tails. Scores only (no
+# threshold flags): membership at a float cutline is the one thing
+# that can flip on an ULP, so the cut belongs to the consumer.
+_PPLX_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, list_transform({words}, x -> lower(x)) AS w
+  FROM documents
+),
+doc_pairs AS (
+  SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(w) - 1)) AS t(i)
+),
+c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM doc_pairs GROUP BY w1, w2),
+c1 AS (SELECT w1, COUNT(*) AS n1 FROM doc_pairs GROUP BY w1),
+v AS (
+  SELECT COUNT(DISTINCT x.tok) AS vocab
+  FROM (SELECT unnest(w) AS tok FROM toks) x
+)
+SELECT d.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(-ln((c12.n12 + 1.0) / (c1.n1 + v.vocab))), 6) AS nll
+FROM doc_pairs d
+JOIN c12 ON c12.w1 = d.w1 AND c12.w2 = d.w2
+JOIN c1 ON c1.w1 = d.w1
+CROSS JOIN v
+GROUP BY d.doc_id
+""".format(words=_words_expr_duck())
+
+
+@register(
+    "text_perplexity_score",
+    oracle=_PPLX_ORACLE,
+    tags=("text", "llm", "aggregation", "stats"),
+)
+def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram NLL under the corpus's own
+    Laplace-smoothed LM: -ln((c(w1,w2)+1) / (c(w1)+|V|)) averaged over
+    the doc's bigram occurrences. One map-side bigram expansion feeds
+    both the global counts and the per-doc scoring join.
+
+    100 TB shape: the LM tables are vocab-/vocab²-bounded (far smaller
+    than the corpus) and broadcast; the only corpus-scale exchange is
+    the per-doc aggregation. In production the LM comes from a held-in
+    reference corpus — same plan, smaller broadcast."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = f"transform({_words_expr_spark()}, x -> lower(x))"
+    doc_pairs = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"zip_with(slice({w}, 1, greatest(size({w}) - 1, 0)), "
+                f"slice({w}, 2, greatest(size({w}) - 1, 0)), "
+                "(a, b) -> struct(a AS w1, b AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2").persist()
+    c12 = doc_pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
+    c1 = doc_pairs.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        docs.select(F.explode(F.expr(w)).alias("tok"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+        .first()["vocab"]
+    )
+    scored = (
+        doc_pairs.join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c1), "w1")
+        .select(
+            "doc_id",
+            (
+                -F.log(
+                    (F.col("n12") + F.lit(1.0))
+                    / (F.col("n1") + F.lit(float(vocab)))
+                )
+            ).alias("nll_term"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("nll_term"), 6).alias("nll"),
+    )
