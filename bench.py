@@ -209,6 +209,7 @@ HEADLINE = [
     "dedup_index_build",
     "dedup_index_probe",
     "text_perplexity_score",
+    "text_quality_classifier",
 ]
 
 

@@ -1787,3 +1787,79 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("nll_term"), 6).alias("nll"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear quality classifier (fasttext-style scorer, fixed weights).
+# ---------------------------------------------------------------------------
+# A trained quality classifier at inference time is just a dot product
+# over engineered features plus a sigmoid — entirely JVM expressions,
+# scan-speed at any scale. Weights here are fixed literals standing in
+# for a trained model's coefficients; swapping in real ones changes
+# nothing structurally.
+_QC_W = {"bias": -2.0, "ttr": 3.0, "avg_len": 0.4, "len_sat": 1.5}
+_QC_LEN_CAP = 200
+
+_QC_ORACLE = f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         len(list_distinct(w)) * 1.0 / len(w) AS ttr,
+         list_aggregate(list_transform(w, x -> length(x)), 'sum')
+           * 1.0 / len(w) AS avg_len,
+         LEAST(len(w), {_QC_LEN_CAP}) * 1.0 / {_QC_LEN_CAP} AS len_sat
+  FROM (SELECT doc_id, list_transform({{words}}, x -> lower(x)) AS w
+        FROM documents)
+  WHERE len(w) > 0
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       ROUND(ttr, 6) AS ttr,
+       ROUND(avg_len, 6) AS avg_len,
+       ROUND(1.0 / (1.0 + exp(-({_QC_W['bias']}
+             + {_QC_W['ttr']} * ttr
+             + {_QC_W['avg_len']} * avg_len
+             + {_QC_W['len_sat']} * len_sat))), 6) AS quality_score
+FROM feats
+""".format(words=_words_expr_duck())
+
+
+@register(
+    "text_quality_classifier",
+    oracle=_QC_ORACLE,
+    tags=("text", "llm", "stats"),
+)
+def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality classifier at inference: engineered features
+    (type-token ratio, average word length, saturating length) dotted
+    with fixed weights through a sigmoid — one narrow projection, no
+    Python, no shuffle beyond the scan. The production pattern for
+    fasttext-style corpus scoring: features and coefficients both live
+    in the plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = f"transform({_words_expr_spark()}, x -> lower(x))"
+    feats = docs.selectExpr(
+        "doc_id",
+        f"{w} AS w",
+    ).filter(F.expr("size(w) > 0")).selectExpr(
+        "doc_id",
+        "size(w) AS n_words",
+        "size(array_distinct(w)) * 1.0 / size(w) AS ttr",
+        "aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)"
+        " * 1.0 / size(w) AS avg_len",
+        f"least(size(w), {_QC_LEN_CAP}) * 1.0 / {_QC_LEN_CAP} AS len_sat",
+    )
+    z = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["ttr"]) * F.col("ttr")
+        + F.lit(_QC_W["avg_len"]) * F.col("avg_len")
+        + F.lit(_QC_W["len_sat"]) * F.col("len_sat")
+    )
+    return feats.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round("ttr", 6).alias("ttr"),
+        F.round("avg_len", 6).alias("avg_len"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6).alias(
+            "quality_score"
+        ),
+    )
