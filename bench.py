@@ -210,6 +210,7 @@ HEADLINE = [
     "dedup_index_probe",
     "text_perplexity_score",
     "text_quality_classifier",
+    "sql_pipe_syntax",
 ]
 
 

@@ -617,3 +617,47 @@ _fn.__doc__ = (
 )
 _fn.__name__ = "sql_groupby_all"
 register("sql_groupby_all", oracle=_GROUPBY_ALL, tags=("sql", "aggregation"))(_fn)
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4's |> operator chain).
+# ---------------------------------------------------------------------------
+# The same logical query in two syntaxes: Spark executes the piped
+# form (FROM ... |> WHERE ... |> AGGREGATE ... |> ORDER BY), the
+# oracle the classic form — Catalyst compiles both to the identical
+# plan, which is the point: pipe syntax is parser sugar, not a new
+# engine path.
+_PIPE_SPARK = """
+FROM orders
+|> WHERE o_orderstatus = 'O'
+|> AGGREGATE COUNT(*) AS n_orders,
+             ROUND(SUM(o_totalprice), 4) AS total_open
+   GROUP BY o_orderpriority
+|> ORDER BY o_orderpriority
+"""
+
+_PIPE_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_open
+FROM orders
+WHERE o_orderstatus = 'O'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_pipe_syntax", oracle=_PIPE_ORACLE, tags=("sql", "aggregation"))
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL pipe syntax: the |> operator chain reads top-down
+    in dataflow order (the way the engine executes), compiled by
+    Catalyst to the same plan as the classic form the oracle runs.
+    AGGREGATE's output columns keep the grouping key first, so the
+    hash gate also pins the piped form's column contract."""
+    register_views(spark, sf_dir)
+    df = spark.sql(_PIPE_SPARK)
+    return df.selectExpr(
+        "o_orderpriority",
+        "CAST(n_orders AS BIGINT) AS n_orders",
+        "total_open",
+    )
