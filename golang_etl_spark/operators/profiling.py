@@ -708,28 +708,40 @@ FROM binned GROUP BY decile
     tags=("profiling", "aggregation", "window"),
 )
 def profile_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decile (equi-depth) bins of order price via NTILE with a
-    deterministic tie-break — equal POPULATION per bin where
-    profile_histogram gives equal WIDTH. Bin edges double as a
-    discretizer for feature engineering.
+    """Decile (equi-depth) bins of order price — equal POPULATION per
+    bin where profile_histogram gives equal WIDTH; the edges double as
+    a feature discretizer.
 
-    100 TB caveat (stated, not hidden): a global NTILE is a total
-    order — one range exchange + sort, the same cost class as
-    sink_range_sorted's export. For a cheaper cut at scale use
-    approx_percentile edges (sketch_percentile_approx) and join them
-    as bin bounds; this exact variant is the verification twin."""
-    orders = load_table(spark, sf_dir, "orders")
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("decile")
-        )
-        .groupBy("decile")
-        .agg(
-            F.count("*").alias("n_rows"),
-            F.round(F.min("o_totalprice"), 4).alias("lo"),
-            F.round(F.max("o_totalprice"), 4).alias("hi"),
-        )
+    Spark's ntile() over an unpartitioned window is an Exchange
+    SinglePartition — the single-reducer sort this repo gates against
+    everywhere else — so the decile comes from the scale-safe
+    global_row_number (range partition + prefix-summed offsets) with
+    NTILE's exact remainder rule replayed as integer arithmetic: the
+    first N%10 buckets get ceil(N/10) rows, the rest floor(N/10). The
+    oracle runs DuckDB's native NTILE, so the hash gate proves the
+    distributed formulation IS ntile. Cheaper still at 100 TB:
+    approx_percentile edges (sketch_percentile_approx) as bin bounds."""
+    from golang_etl_spark.operators.windows import global_row_number
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_totalprice", "o_orderkey"
+    )
+    ranked = global_row_number(
+        orders, [F.col("o_totalprice"), F.col("o_orderkey")], out_col="rn"
+    )
+    n_row = orders.agg(F.count("*").alias("n_total"))
+    binned = ranked.crossJoin(F.broadcast(n_row)).selectExpr(
+        "o_totalprice",
+        "CAST(CASE WHEN rn <= (n_total % 10) * (n_total div 10 + 1) "
+        "THEN (rn - 1) div (n_total div 10 + 1) + 1 "
+        "ELSE (n_total % 10) "
+        "     + (rn - 1 - (n_total % 10) * (n_total div 10 + 1)) "
+        "       div (n_total div 10) + 1 END AS INT) AS decile",
+    )
+    return binned.groupBy("decile").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
     )
 
 

@@ -776,3 +776,19 @@ def test_minhash_index_probe_reads_store_not_corpus_signatures(spark, sf_dir):
     only through the shingle-posting verification subtree."""
     plan = _plan(spark, sf_dir, "dedup_index_probe")
     assert "minhash_index" in plan, "probe does not read the persisted index"
+
+
+def test_equidepth_bins_avoid_single_reducer_ntile(spark, sf_dir):
+    """The decile cut must come from the range-partitioned
+    global_row_number formulation — a plain ntile() window would plan
+    Exchange SinglePartition and serialize the table through one
+    task."""
+    plan = _plan(spark, sf_dir, "profile_equidepth_bins")
+    assert "rangepartitioning" in plan, plan
+    # the only SinglePartition allowed is a scalar count aggregate,
+    # never an exchange feeding a Window/Sort over the data
+    for chunk in plan.split("Exchange SinglePartition")[1:]:
+        head = chunk[:200]
+        assert "HashAggregate" in head, (
+            "SinglePartition exchange feeds non-aggregate work:\n" + head
+        )
