@@ -615,8 +615,6 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the first exchange-free. The driver loop builds a 3-round
     lineage (checkpoint per round past ~5 iterations, as the CC
     pointer-jumping loop does)."""
-    from pyspark.sql.window import Window
-
     und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
     edges = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
@@ -625,16 +623,25 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u").alias("vertex"), F.col("u").alias("label")
     )
     for _ in range(_LPA_ITERS):
+        # label vector = one row per vertex (brand-bounded here) —
+        # broadcast keeps each round's join map-side; on a billion-
+        # vertex graph pre-partition edges AND labels on the vertex
+        # instead. The modal argmax is a min-of-struct aggregation
+        # ((-count, label): count DESC then label ASC) — one exchange
+        # per round, no window sort.
         counts = (
-            edges.join(labels, edges.u == labels.vertex)
+            edges.join(F.broadcast(labels), edges.u == labels.vertex)
             .groupBy(F.col("v").alias("dst"), "label")
             .agg(F.count("*").alias("c"))
         )
-        w = Window.partitionBy("dst").orderBy(F.desc("c"), "label")
         labels = (
-            counts.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("dst").alias("vertex"), "label")
+            counts.groupBy("dst")
+            .agg(
+                F.min(
+                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
+                ).alias("s")
+            )
+            .select(F.col("dst").alias("vertex"), F.col("s.label").alias("label"))
         )
     return labels.select(
         F.col("vertex").alias("p_brand"), F.col("label").alias("community")
