@@ -211,6 +211,7 @@ HEADLINE = [
     "text_perplexity_score",
     "text_quality_classifier",
     "sql_pipe_syntax",
+    "streaming_dedup_index_probe",
 ]
 
 

@@ -1541,9 +1541,26 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: probe cost is O(batch signatures) + O(candidate
     verifications); the index join shuffles batch band keys against a
     band-partitioned, key-sorted store."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") >= INGEST_SPLIT
+    )
+    return probe_minhash_index(spark, docs, sf_dir)
+
+
+def probe_minhash_index(
+    spark: SparkSession, batch_docs: DataFrame, sf_dir: str
+) -> DataFrame:
+    """Probe the persisted index with ANY (doc_id, text) batch — the
+    batch side is signatured from the DataFrame itself (a micro-batch
+    in the streaming variant), the corpus side comes from the store +
+    the static corpus shingles for verification."""
     root = build_minhash_index(spark, sf_dir)
-    posting = _shingle_posting(spark, sf_dir).persist()
-    batch_posting = posting.filter(F.col("doc_id") >= INGEST_SPLIT)
+    batch_posting = (
+        batch_docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+        .persist()
+    )
     sig = batch_posting.groupBy("doc_id").agg(
         *[
             F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
@@ -1569,8 +1586,11 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    sa = posting.selectExpr("doc_id AS batch_doc", "shingle")
-    sb = posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")
+    corpus_posting = _shingle_posting(spark, sf_dir).filter(
+        F.col("doc_id") < INGEST_SPLIT
+    ).persist()
+    sa = batch_posting.selectExpr("doc_id AS batch_doc", "shingle")
+    sb = corpus_posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")
     inter = (
         cand.join(sa, "batch_doc")
         .join(
@@ -1581,18 +1601,23 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch_doc", "corpus_doc")
         .agg(F.count("*").alias("n_inter"))
     )
-    sizes = posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_a = batch_posting.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    sizes_b = corpus_posting.groupBy("doc_id").agg(
+        F.count("*").alias("n_sh")
+    )
     jac = F.col("n_inter") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
     return (
         inter.join(
-            F.broadcast(sizes.selectExpr("doc_id AS batch_doc", "n_sh AS na")),
+            F.broadcast(
+                sizes_a.selectExpr("doc_id AS batch_doc", "n_sh AS na")
+            ),
             "batch_doc",
         )
         .join(
             F.broadcast(
-                sizes.selectExpr("doc_id AS corpus_doc", "n_sh AS nb")
+                sizes_b.selectExpr("doc_id AS corpus_doc", "n_sh AS nb")
             ),
             "corpus_doc",
         )

@@ -951,3 +951,105 @@ def streaming_stream_stream_left_outer(
             ).alias("n_unmatched"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# 10. Streaming probe of the persisted MinHash dedup index.
+# ---------------------------------------------------------------------------
+# The production incremental-dedup loop: documents arrive as a file
+# stream, each micro-batch is signatured and probed against the
+# OFFLINE-BUILT band index (operators/dedup.py), matches append to a
+# batch-id-keyed parquet sink (idempotent on retry). The corpus
+# signature pipeline never runs inside the stream — the store was
+# built once, which is the entire point of persisting it.
+_DOCS_SCHEMA = (
+    "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+)
+
+
+def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source documents stream (same symlink staging as the
+    events stream — the source needs a monitored directory)."""
+    import hashlib
+    import os
+    import tempfile
+
+    root = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_stream_{os.getuid()}"
+    )
+    d = os.path.join(
+        root, hashlib.md5(sf_dir.encode()).hexdigest()[:12], "documents"
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    target = os.path.join(sf_dir, "documents.parquet")
+    if os.path.lexists(link) and os.path.realpath(link) != os.path.realpath(
+        target
+    ):
+        try:
+            os.remove(link)
+        except FileNotFoundError:
+            pass
+    if not os.path.lexists(link):
+        try:
+            os.symlink(target, link)
+        except FileExistsError:
+            pass
+    return spark.readStream.schema(_DOCS_SCHEMA).parquet(d)
+
+
+from golang_etl_spark.operators.dedup import (  # noqa: E402
+    _INDEX_PROBE_ORACLE,
+    INGEST_SPLIT,
+    build_minhash_index,
+    probe_minhash_index,
+)
+
+
+@register(
+    "streaming_dedup_index_probe",
+    oracle=_INDEX_PROBE_ORACLE,
+    tags=("streaming", "dedup", "llm", "layout"),
+)
+def streaming_dedup_index_probe(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Stream the incoming documents (doc_id >= INGEST_SPLIT), probe
+    each micro-batch against the persisted MinHash band index, append
+    verified near-dup pairs to a batch-keyed parquet sink. The final
+    table hash-matches the BATCH probe's oracle — streaming arrival
+    changes nothing about the answer, which is the exactly-once
+    contract this job demonstrates.
+
+    Scale shape: per micro-batch cost is O(batch signatures) +
+    O(candidates); corpus-side work happened once at index build."""
+    import atexit
+    import shutil
+    import tempfile
+
+    build_minhash_index(spark, sf_dir)  # offline step, not per batch
+    out_root = tempfile.mkdtemp(prefix="spark_graft_dedup_probe_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+
+    docs = _stream_docs(spark, sf_dir).filter(
+        F.col("doc_id") >= INGEST_SPLIT
+    )
+
+    def _probe_batch(batch_df, batch_id: int) -> None:
+        pairs = probe_minhash_index(
+            batch_df.sparkSession, batch_df, sf_dir
+        )
+        pairs.write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_probe_batch)
+        .option("checkpointLocation", f"{out_root}/_checkpoints")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_root).select(
+        "batch_doc", "corpus_doc", "jaccard"
+    )
