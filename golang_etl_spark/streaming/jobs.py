@@ -1034,6 +1034,17 @@ def streaming_dedup_index_probe(
     docs = _stream_docs(spark, sf_dir).filter(
         F.col("doc_id") >= INGEST_SPLIT
     )
+    return index_probe_pipeline(docs, sf_dir, out_root)
+
+
+def index_probe_pipeline(
+    docs: DataFrame, sf_dir: str, out_root: str
+) -> DataFrame:
+    """Probe body of ``streaming_dedup_index_probe``, split out so the
+    multi-batch test can feed chunked incoming docs — matches must
+    then form with the store regardless of which micro-batch a doc
+    arrived in."""
+    spark = docs.sparkSession
 
     def _probe_batch(batch_df, batch_id: int) -> None:
         pairs = probe_minhash_index(

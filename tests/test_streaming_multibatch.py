@@ -406,3 +406,36 @@ def test_checkpoint_recovery_resumes_state_and_offsets(spark, sf_dir, tmp_path):
     # the first run's batch directories were left untouched
     after = {d for d in os.listdir(out) if d.startswith("batch_id=")}
     assert batches_before <= after and len(after) > len(batches_before)
+
+
+def test_index_probe_spans_batches(spark, sf_dir, tmp_path):
+    """Incoming docs split into 3 files -> 3 micro-batches through the
+    persisted-index probe; the unioned matches must equal the batch
+    probe exactly (every batch probes the same store, so chunking the
+    arrival changes nothing)."""
+    from golang_etl_spark.operators.dedup import (
+        INGEST_SPLIT,
+        dedup_index_probe,
+    )
+    from golang_etl_spark.streaming.jobs import (
+        _DOCS_SCHEMA,
+        index_probe_pipeline,
+    )
+
+    incoming = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") >= INGEST_SPLIT)
+    )
+    split_dir = str(tmp_path / "docs_split")
+    incoming.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    got = index_probe_pipeline(docs, sf_dir, str(tmp_path / "probe_out"))
+    want = dedup_index_probe(spark, sf_dir)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) > 0
