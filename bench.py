@@ -212,6 +212,7 @@ HEADLINE = [
     "text_quality_classifier",
     "sql_pipe_syntax",
     "streaming_dedup_index_probe",
+    "etl_plan_balanced_ranges",
 ]
 
 

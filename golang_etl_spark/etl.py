@@ -1103,3 +1103,70 @@ def pipeline_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("section", "entity")
+
+
+# ---------------------------------------------------------------------------
+# Balanced range planning (the skew-proof upgrade of the stride loop).
+# ---------------------------------------------------------------------------
+# The reference partitions by FIXED KEY STRIDE (10k keys per chunk,
+# extractor.go:274-287): with sparse or clustered keys, chunk ROW
+# counts skew arbitrarily — some fetchers idle while one drags. The
+# Spark-native planning step cuts the key range where the ROWS are:
+# equal-population chunks from the key's rank distribution. Exact
+# ranks here (oracle-checkable via DuckDB's NTILE); at 100 TB plan
+# from approx_percentile(key, ...) instead — same output shape, one
+# scan, no rank shuffle.
+BALANCED_CHUNKS = 16
+
+_BALANCED_ORACLE = f"""
+WITH keys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+binned AS (
+  SELECT k, ntile({BALANCED_CHUNKS}) OVER (ORDER BY k) AS chunk_id
+  FROM keys
+)
+SELECT CAST(chunk_id AS INT) AS chunk_id,
+       MIN(k) AS lo_key, MAX(k) AS hi_key,
+       CAST(COUNT(*) AS BIGINT) AS n_keys
+FROM binned GROUP BY chunk_id
+"""
+
+
+@register(
+    "etl_plan_balanced_ranges",
+    oracle=_BALANCED_ORACLE,
+    tags=("etl-parity", "partitioning", "skew"),
+)
+def etl_plan_balanced_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan BALANCED_CHUNKS scan ranges over the lineitem key with
+    equal KEY POPULATION per chunk — the planning table that replaces
+    extractor.go's fixed 10k stride. Built scale-safe: distinct keys →
+    range-partitioned global rank (no single-reducer window) → NTILE's
+    remainder rule as integer arithmetic → per-chunk bounds. Each
+    output row is one fetcher's WHERE k >= lo AND k <= hi predicate.
+
+    The hash gate runs DuckDB's native NTILE over the same keys, so
+    the distributed formulation is proven equivalent to the sequential
+    definition."""
+    from golang_etl_spark.operators.windows import global_row_number
+
+    keys = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("k"))
+        .distinct()
+    )
+    ranked = global_row_number(keys, [F.col("k")], out_col="rn")
+    n_row = keys.agg(F.count("*").alias("n_total"))
+    c = BALANCED_CHUNKS
+    binned = ranked.crossJoin(F.broadcast(n_row)).selectExpr(
+        "k",
+        f"CAST(CASE WHEN rn <= (n_total % {c}) * (n_total div {c} + 1) "
+        f"THEN (rn - 1) div (n_total div {c} + 1) + 1 "
+        f"ELSE (n_total % {c}) "
+        f"     + (rn - 1 - (n_total % {c}) * (n_total div {c} + 1)) "
+        f"       div (n_total div {c}) + 1 END AS INT) AS chunk_id",
+    )
+    return binned.groupBy("chunk_id").agg(
+        F.min("k").alias("lo_key"),
+        F.max("k").alias("hi_key"),
+        F.count("*").alias("n_keys"),
+    )
