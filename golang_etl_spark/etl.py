@@ -1170,3 +1170,53 @@ def etl_plan_balanced_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("hi_key"),
         F.count("*").alias("n_keys"),
     )
+
+
+def predicates_for_plan(
+    pk: str, plan: RangePartitionPlan, quote: str = ""
+) -> list[str]:
+    """The reference's stride loop rendered literally: one WHERE
+    clause per chunk (`pk >= lo AND pk < hi`), for Spark's
+    predicates-list JDBC API. Unlike partitionColumn bounds (numeric/
+    date columns only, uniform stride), an explicit predicate list
+    partitions on ANYTHING the database can evaluate — hash buckets of
+    a string key, tenant lists, the balanced ranges
+    etl_plan_balanced_ranges computes — which is the API to reach for
+    when the reference's integer-PK assumption breaks."""
+    qpk = f"{quote}{pk}{quote}" if quote else pk
+    out = []
+    lo = plan.lower_bound
+    while lo < plan.upper_bound:
+        hi = min(lo + plan.stride, plan.upper_bound)
+        out.append(f"{qpk} >= {lo} AND {qpk} < {hi}")
+        lo = hi
+    return out
+
+
+def read_shard_table_predicates(
+    spark: SparkSession, spec: JobSpec, job: TableJob
+) -> DataFrame:
+    """read_shard_table's twin on the predicates-list JDBC API: same
+    bounds discovery, same chunking, but each partition is an explicit
+    WHERE clause (jdbc(url, table, predicates=[...])). One task per
+    predicate — the most literal Spark rendering of the reference's
+    one-goroutine-per-chunk loop (extractor.go:274-287)."""
+    location = spec.shards[job.db]
+    dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(location)
+    qpk = dialect.quoteIdentifier(job.primary_key)
+    bounds = spark.read.format("jdbc").options(
+        url=location,
+        query=f"SELECT MIN({qpk}) AS mn, MAX({qpk}) AS mx FROM {job.table}",
+    ).load().first()
+    if bounds is None or bounds[0] is None:
+        raise ValueError(
+            f"table {job.table!r} has no rows / null pk {job.primary_key!r}"
+        )
+    plan = plan_range_partitions(int(bounds[0]), int(bounds[1]), spec.stride)
+    preds = predicates_for_plan(job.primary_key, plan, quote='"')
+    return spark.read.jdbc(
+        url=location,
+        table=job.table,
+        predicates=preds,
+        properties={"fetchsize": "10000"},
+    )

@@ -84,3 +84,27 @@ def test_extract_table_lands_parquet(spark, seeded, tmp_path):
     back = spark.read.parquet(job.output)
     assert back.count() == N_ROWS
     assert back.select(F.countDistinct("id")).first()[0] == N_ROWS
+
+
+def test_jdbc_predicates_api_matches_bounds_api(spark, seeded):
+    """The predicates-list read (one explicit WHERE per chunk — the
+    literal rendering of the reference's stride loop) must return the
+    same rows as the partitionColumn bounds read, with one partition
+    per predicate."""
+    from golang_etl_spark.etl import (
+        plan_range_partitions,
+        predicates_for_plan,
+        read_shard_table_predicates,
+    )
+
+    spec, job = seeded
+    via_bounds = read_shard_table(spark, spec, job)
+    via_preds = read_shard_table_predicates(spark, spec, job)
+    assert via_preds.rdd.getNumPartitions() >= 1
+    a = sorted(tuple(r) for r in via_bounds.collect())
+    b = sorted(tuple(r) for r in via_preds.collect())
+    assert a == b and len(a) > 0
+    # chunk predicates tile the key range with no overlap
+    plan = plan_range_partitions(1, len(a), spec.stride)
+    preds = predicates_for_plan("ID", plan)
+    assert len(preds) == via_preds.rdd.getNumPartitions()
