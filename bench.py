@@ -213,6 +213,7 @@ HEADLINE = [
     "sql_pipe_syntax",
     "streaming_dedup_index_probe",
     "etl_plan_balanced_ranges",
+    "window_time_range_frame",
 ]
 
 

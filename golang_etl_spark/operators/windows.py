@@ -500,3 +500,42 @@ def window_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-interval RANGE frame (the trailing-window-by-TIME variant).
+# ---------------------------------------------------------------------------
+_TIME_RANGE_SQL = """
+SELECT user_id, event_id, ts, value,
+       ROUND(SUM(value) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW), 4)
+         AS trailing_1h_value,
+       CAST(COUNT(*) OVER (
+           PARTITION BY user_id ORDER BY ts
+           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+         AS BIGINT) AS trailing_1h_events
+FROM events
+"""
+
+
+@register(
+    "window_time_range_frame",
+    oracle=_TIME_RANGE_SQL,
+    tags=("window", "frame", "range"),
+)
+def window_time_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame bounded by a TIME INTERVAL: each event's trailing
+    one-hour activity per user, directly over the timestamp ordering
+    (no epoch-cast workaround — Spark and DuckDB both bind INTERVAL
+    frame bounds natively, and the identical SQL runs on both).
+    Same-timestamp peers share a frame by RANGE semantics — part of
+    the contract the hash gate pins.
+
+    100 TB shape: one exchange on user_id like any window; the frame
+    is evaluated with a sliding two-pointer over each partition's
+    sort, not a per-row rescan."""
+    from golang_etl_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_TIME_RANGE_SQL)
