@@ -65,6 +65,8 @@ def test_dimension_joins_broadcast(spark, sf_dir):
         "asof_join_purchase_click",
         "range_join_bucketed",
         "sessionize_events",
+        "dedup_index_probe",
+        "dedup_jaccard_prefix",
     ],
 )
 def test_no_cartesian_or_bnlj_anywhere(spark, sf_dir, name):
@@ -137,6 +139,16 @@ def test_similarity_bruteforce_broadcasts_queries(spark, sf_dir):
     # shuffle for the join
     plan = _plan(spark, sf_dir, "similarity_topk_bruteforce")
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_maxsim_broadcasts_query_tokens(spark, sf_dir):
+    # exact MaxSim is a deliberate broadcast nested-loop over the TINY
+    # query-token side (|Q| x MAXSIM_TOKENS rows) — the corpus token
+    # table must not shuffle for the scoring join; the two
+    # aggregations after it must be hash-based with partials
+    plan = _plan(spark, sf_dir, "similarity_maxsim_topk")
+    assert "BroadcastExchange" in plan
+    assert "partial_max" in plan, "per-token max lost its map-side partial"
 
 
 def test_salted_join_is_shuffled_hash(spark, sf_dir):
