@@ -214,6 +214,7 @@ HEADLINE = [
     "streaming_dedup_index_probe",
     "etl_plan_balanced_ranges",
     "window_time_range_frame",
+    "dedup_winnowing_fingerprints",
 ]
 
 

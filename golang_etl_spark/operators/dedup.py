@@ -1624,3 +1624,117 @@ def probe_minhash_index(
         .filter(jac >= JACCARD_MIN)
         .select("batch_doc", "corpus_doc", F.round(jac, 6).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# 13. Winnowing fingerprints (the MOSS selection rule).
+# ---------------------------------------------------------------------------
+# text_fingerprint hashes every k-gram; winnowing SELECTS a guaranteed
+# -coverage subset: in every window of WINNOW_W consecutive k-gram
+# hashes keep the minimum (tie -> leftmost position). Any shared
+# substring of length >= W + K - 1 then shares a selected fingerprint
+# — the document-fingerprinting standard for plagiarism/overlap
+# detection at a fraction of the full hash set's size.
+WINNOW_K = 3  # k-gram (word shingle) length — reuses the dedup shingles
+WINNOW_W = 4  # winnowing window (hashes per window)
+
+# Spark picks the per-window argmin natively with min(struct(h, pos));
+# DuckDB lacks struct-ordered window MIN, so the same total order is
+# encoded into one HUGEINT key h * 2^20 + pos (h is 60-bit, pos <
+# 2^20 per doc) and decoded after the window MIN — identical
+# (h ASC, pos ASC) semantics, different carrier.
+#
+# RAW k-gram sequence, deliberately NOT the dedup shingle arrays:
+# winnowing is positional (window i covers textual positions
+# i..i+W-1), so repeated k-grams must keep their places — and the
+# dedup arrays' array_distinct/list_distinct don't even agree on
+# element order across engines.
+_RAW_SHINGLES_SPARK = (
+    "CASE WHEN size(w) >= 3 THEN transform(sequence(1, size(w) - 2), "
+    "i -> concat_ws(' ', element_at(w, i), element_at(w, i+1), element_at(w, i+2))) "
+    "ELSE array(concat_ws(' ', w)) END"
+)
+_RAW_SHINGLES_DUCK = (
+    "CASE WHEN len(w) >= 3 THEN list_transform(range(1, len(w) - 1), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+_WINNOW_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_RAW_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+hashed AS (
+  SELECT doc_id, t.i AS pos,
+         ('0x' || substr(md5(shingles[t.i]), 1, 15))::BIGINT AS h
+  FROM sh, UNNEST(generate_series(1, len(shingles))) AS t(i)
+),
+win AS (
+  SELECT doc_id,
+         MIN(h::HUGEINT * 1048576 + pos) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS selkey,
+         COUNT(*) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS cnt
+  FROM hashed
+)
+SELECT DISTINCT doc_id,
+       CAST(selkey % 1048576 AS BIGINT) AS pos,
+       CAST(selkey // 1048576 AS BIGINT) AS fingerprint
+FROM win WHERE cnt = {WINNOW_W}
+"""
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=_WINNOW_ORACLE,
+    tags=("dedup", "llm", "text"),
+)
+def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint set per document: the per-window argmin of
+    k-gram hashes (h ASC, pos ASC), deduplicated — ~2/(W+1) of the
+    full hash set with guaranteed detection of any match of length
+    >= W + K - 1. Documents shorter than one window emit nothing (the
+    guarantee needs a full window).
+
+    100 TB shape: hashing is a map-side Generate; the selection is ONE
+    window per doc over its own hash sequence (partitioned on doc_id —
+    thousands of concurrent partitions, no corpus-wide order); the
+    fingerprint index this feeds joins like any posting table."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        _pin_partitions(spark), "doc_id"
+    )
+    hashed = (
+        docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w")
+        .selectExpr("doc_id", f"{_RAW_SHINGLES_SPARK} AS shingles")
+        .select(
+            "doc_id",
+            F.posexplode_outer("shingles").alias("pos0", "shingle"),
+        )
+        .selectExpr(
+            "doc_id",
+            "pos0 + 1 AS pos",
+            "cast(conv(substr(md5(shingle), 1, 15), 16, 10) AS bigint) AS h",
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(-(WINNOW_W - 1), Window.currentRow)
+    )
+    win = hashed.select(
+        "doc_id",
+        F.min(F.struct(F.col("h"), F.col("pos"))).over(w).alias("sel"),
+        F.count("*").over(w).alias("cnt"),
+    )
+    return (
+        win.filter(F.col("cnt") == WINNOW_W)
+        .select(
+            "doc_id",
+            F.col("sel.pos").cast("long").alias("pos"),
+            F.col("sel.h").alias("fingerprint"),
+        )
+        .distinct()
+    )
