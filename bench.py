@@ -215,6 +215,7 @@ HEADLINE = [
     "etl_plan_balanced_ranges",
     "window_time_range_frame",
     "dedup_winnowing_fingerprints",
+    "agg_percentile_within_group",
 ]
 
 

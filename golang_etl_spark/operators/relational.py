@@ -1197,3 +1197,33 @@ def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.k.alias("k"),
         F.coalesce("n_cust", F.lit(0)).cast("long").alias("n_cust"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered-set aggregates (WITHIN GROUP syntax).
+# ---------------------------------------------------------------------------
+_WITHIN_GROUP_SQL = """
+SELECT l_returnflag,
+       percentile_cont(0.5) WITHIN GROUP (ORDER BY l_quantity) AS median_qty,
+       percentile_cont(0.9) WITHIN GROUP (ORDER BY l_quantity) AS p90_qty,
+       percentile_disc(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25_disc,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "agg_percentile_within_group",
+    oracle=_WITHIN_GROUP_SQL,
+    tags=("aggregation", "stats", "sql"),
+)
+def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-standard ordered-set aggregates: percentile_cont
+    (interpolating) and percentile_disc (an actual data value) via
+    WITHIN GROUP (ORDER BY ...) — identical text on both engines.
+    Exact percentiles buffer the group's values; the 100 TB path is
+    approx_percentile (sketch_percentile_approx), with this as the
+    verification surface."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_WITHIN_GROUP_SQL)
