@@ -216,6 +216,8 @@ HEADLINE = [
     "window_time_range_frame",
     "dedup_winnowing_fingerprints",
     "agg_percentile_within_group",
+    "setop_intersect_all",
+    "setop_except_all",
 ]
 
 

@@ -138,3 +138,58 @@ def setop_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiset set ops: INTERSECT ALL / EXCEPT ALL.
+# ---------------------------------------------------------------------------
+# The ALL variants keep MULTIPLICITY — intersect = min(counts),
+# except = max(0, left - right) copies — which the DISTINCT forms
+# above erase. The right side mixes multiplicity 1 and 2 (open orders
+# appear twice) so the min/subtraction rules actually exercise.
+_MULTISET_RIGHT = """
+  SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000
+  UNION ALL
+  SELECT o_orderkey FROM orders
+  WHERE o_orderkey <= 2000 AND o_orderstatus = 'O'
+"""
+
+_INTERSECT_ALL_ORACLE = f"""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_copies FROM (
+  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 2000
+  INTERSECT ALL
+  {_MULTISET_RIGHT}
+) t GROUP BY k
+"""
+
+
+@register(
+    "setop_intersect_all", oracle=_INTERSECT_ALL_ORACLE, tags=("setop",)
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset): each key survives min(left copies,
+    right copies) times — lineitem's per-order line count against a
+    1-or-2-copy right side. Spark plans the multiplicity bookkeeping
+    as a single hash aggregation with paired counts, no join."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_INTERSECT_ALL_ORACLE)
+
+
+_EXCEPT_ALL_ORACLE = f"""
+SELECT k, CAST(COUNT(*) AS BIGINT) AS n_copies FROM (
+  SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 2000
+  EXCEPT ALL
+  {_MULTISET_RIGHT}
+) t GROUP BY k
+"""
+
+
+@register("setop_except_all", oracle=_EXCEPT_ALL_ORACLE, tags=("setop",))
+def setop_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset): each key keeps max(0, left copies -
+    right copies) occurrences — per-order line counts minus the
+    1-or-2-copy right side."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EXCEPT_ALL_ORACLE)
