@@ -218,6 +218,7 @@ HEADLINE = [
     "agg_percentile_within_group",
     "setop_intersect_all",
     "setop_except_all",
+    "dedup_winnow_overlap",
 ]
 
 

@@ -1738,3 +1738,72 @@ def dedup_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# 14. Winnow-overlap pairs (fingerprint selection -> detector).
+# ---------------------------------------------------------------------------
+# The consumer of the winnowed set: documents sharing >=
+# WINNOW_MIN_SHARED distinct selected fingerprints. Because winnowing
+# guarantees every match of length >= W+K-1 contributes a shared
+# fingerprint, this finds substantial copied passages at ~2/(W+1) of
+# exact_substring's index volume. Hot fingerprints (boilerplate) are
+# DF-capped like the n-gram index — the same skew control.
+WINNOW_MIN_SHARED = 5
+
+_WINNOW_OVERLAP_ORACLE = f"""
+WITH sel AS ({_WINNOW_ORACLE}),
+fps AS (SELECT DISTINCT doc_id, fingerprint FROM sel),
+rare AS (
+  SELECT fingerprint FROM fps
+  GROUP BY fingerprint HAVING COUNT(*) <= {DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         CAST(COUNT(*) AS BIGINT) AS shared_fp
+  FROM fps a
+  JOIN rare r ON a.fingerprint = r.fingerprint
+  JOIN fps b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_id_a, doc_id_b, shared_fp
+FROM pairs WHERE shared_fp >= {WINNOW_MIN_SHARED}
+"""
+
+
+@register(
+    "dedup_winnow_overlap",
+    oracle=_WINNOW_OVERLAP_ORACLE,
+    tags=("dedup", "llm", "join"),
+)
+def dedup_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= WINNOW_MIN_SHARED distinct winnowed
+    fingerprints — the overlap detector built on the MOSS selection.
+    One self-join over the (small) fingerprint posting list, DF-capped
+    against boilerplate fingerprints; candidate volume is
+    O(shared-fingerprint pairs), never the corpus square."""
+    fps = (
+        dedup_winnowing_fingerprints(spark, sf_dir)
+        .select("doc_id", "fingerprint")
+        .distinct()
+        .persist()
+    )
+    rare = (
+        fps.groupBy("fingerprint")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+        .select("fingerprint")
+    )
+    a = fps.selectExpr("doc_id AS doc_id_a", "fingerprint")
+    b = fps.selectExpr("doc_id AS doc_id_b", "fingerprint AS fp_b")
+    return (
+        a.join(rare, "fingerprint")
+        .join(
+            b,
+            (F.col("fingerprint") == F.col("fp_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(F.count("*").alias("shared_fp"))
+        .filter(F.col("shared_fp") >= WINNOW_MIN_SHARED)
+    )
