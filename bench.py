@@ -219,6 +219,8 @@ HEADLINE = [
     "setop_intersect_all",
     "setop_except_all",
     "dedup_winnow_overlap",
+    "profile_corr_matrix",
+    "timeseries_seasonal_decompose",
 ]
 
 

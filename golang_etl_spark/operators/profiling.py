@@ -789,3 +789,52 @@ def profile_leading_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("leading_digit")
         .agg(F.count("*").alias("n_rows"))
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass pairwise correlation matrix.
+# ---------------------------------------------------------------------------
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+_CORR_MATRIX_ORACLE = """
+SELECT col_a, col_b, corr FROM (
+{rows}
+) t
+""".format(
+    rows="\n  UNION ALL\n".join(
+        f"  SELECT '{a}' AS col_a, '{b}' AS col_b, "
+        f"corr({a}, {b}) AS corr FROM lineitem"
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    )
+)
+
+
+@register(
+    "profile_corr_matrix",
+    oracle=_CORR_MATRIX_ORACLE,
+    tags=("profiling", "stats", "aggregation"),
+)
+def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations of the lineitem measures as ONE
+    aggregation (k*(k-1)/2 corr() expressions over a single scan),
+    unpivoted to (col_a, col_b, corr) rows. The feature-screening
+    staple — and the single-pass formulation is the whole point: a
+    per-pair loop would scan the table k² times. Moment sums partial-
+    aggregate map-side like any corr()."""
+    li = load_table(spark, sf_dir, "lineitem")
+    aggs = [
+        F.corr(a, b).alias(f"{a}__{b}")
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    wide = li.agg(*aggs)
+    pairs = [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1:]
+    ]
+    stack = ", ".join(f"'{a}', '{b}', `{a}__{b}`" for a, b in pairs)
+    return wide.selectExpr(
+        f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
+    )

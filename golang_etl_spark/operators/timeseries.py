@@ -658,3 +658,68 @@ def timeseries_rolling_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
             / denom.cast("double")
         ).alias("slope"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition (hour-of-day profile + residuals).
+# ---------------------------------------------------------------------------
+_SEASONAL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events GROUP BY event_type, hour
+),
+seasonal AS (
+  SELECT event_type, EXTRACT(hour FROM hour) AS hod,
+         SUM(n) AS s, COUNT(*) AS c
+  FROM hourly GROUP BY event_type, hod
+)
+SELECT h.event_type, h.hour, h.n,
+       CAST(s.s AS DOUBLE) / s.c AS seasonal_mean,
+       h.n - CAST(s.s AS DOUBLE) / s.c AS residual
+FROM hourly h
+JOIN seasonal s
+  ON s.event_type = h.event_type AND s.hod = EXTRACT(hour FROM h.hour)
+"""
+
+
+@register(
+    "timeseries_seasonal_decompose",
+    oracle=_SEASONAL_ORACLE,
+    tags=("timeseries", "stats", "aggregation"),
+)
+def timeseries_seasonal_decompose(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Naive seasonal decomposition of per-type hourly volumes: the
+    hour-of-day seasonal profile (mean volume at each of the 24 clock
+    hours) and each observation's deseasonalized residual — the
+    pre-step that makes anomaly scores compare 3am to 3am. Integer
+    sums/counts keep the division bit-identical across engines.
+
+    100 TB shape: one corpus exchange to the hourly grid; the
+    seasonal profile is |types| x 24 rows, broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    seasonal = (
+        hourly.withColumn("hod", F.hour("hour"))
+        .groupBy("event_type", "hod")
+        .agg(F.sum("n").alias("s"), F.count("*").alias("c"))
+        .withColumn(
+            "seasonal_mean", F.col("s").cast("double") / F.col("c")
+        )
+        .select("event_type", "hod", "seasonal_mean")
+    )
+    return (
+        hourly.withColumn("hod", F.hour("hour"))
+        .join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "n",
+            "seasonal_mean",
+            (F.col("n") - F.col("seasonal_mean")).alias("residual"),
+        )
+    )
