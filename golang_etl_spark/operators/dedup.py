@@ -1414,11 +1414,22 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # a probe's band-key equi-join prunes at the footer level); probe
 # signatures ONLY the incoming batch, joins it against the store, and
 # exact-verifies candidates with shingle Jaccard.
+# Corpus/batch split for the index family: a MODULUS rule (batch =
+# one doc_id bucket in INGEST_BUCKETS), NOT the fixed doc_id < 250
+# threshold the SimHash ingest demo uses — a fixed threshold inverts
+# the production ratio as the fixture grows (at sf0.1 it would make
+# the "corpus" 250 docs and the "batch" 4750, probing 19x the index's
+# own content). The modulus keeps corpus ~90% / batch ~10% at every
+# scale factor, which is the shape an incremental ingest actually has.
+INGEST_BUCKETS = 10
+INGEST_BATCH_BUCKET = 7
+_IS_BATCH_SQL = f"(doc_id % {INGEST_BUCKETS}) = {INGEST_BATCH_BUCKET}"
+
 _MINHASH_INDEX_BUILT: dict[str, str] = {}
 
 
 def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
-    """Write the corpus (doc_id < INGEST_SPLIT) MinHash band postings
+    """Write the corpus (the non-batch doc_id buckets) band postings
     to parquet. Idempotent per (process, sf_dir); returns the root.
 
     100 TB shape: one corpus scan -> signature agg -> 4 rows/doc to a
@@ -1430,7 +1441,7 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
 
     root = _layout_dir("minhash_index", sf_dir)
     posting = _shingle_posting(spark, sf_dir).filter(
-        F.col("doc_id") < INGEST_SPLIT
+        ~F.expr(_IS_BATCH_SQL)
     )
     sig = posting.groupBy("doc_id").agg(
         *[
@@ -1477,7 +1488,7 @@ bands AS (
 
 
 _INDEX_BUILD_ORACLE = f"""
-WITH {_index_bands_duck(f"WHERE doc_id < {INGEST_SPLIT}")}
+WITH {_index_bands_duck(f"WHERE NOT {_IS_BATCH_SQL}")}
 SELECT CAST(band_id AS INT) AS band_id,
        CAST(COUNT(*) AS BIGINT) AS n_postings,
        CAST(COUNT(DISTINCT band_key) AS BIGINT) AS n_keys,
@@ -1512,7 +1523,8 @@ cand AS (
   SELECT DISTINCT a.doc_id AS batch_doc, b.doc_id AS corpus_doc
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_key = b.band_key
-  WHERE a.doc_id >= {INGEST_SPLIT} AND b.doc_id < {INGEST_SPLIT}
+  WHERE (a.doc_id % {INGEST_BUCKETS}) = {INGEST_BATCH_BUCKET}
+    AND NOT ((b.doc_id % {INGEST_BUCKETS}) = {INGEST_BATCH_BUCKET})
 )
 SELECT c.batch_doc, c.corpus_doc,
        ROUND(len(list_intersect(sa.shingles, sb.shingles)) * 1.0
@@ -1531,8 +1543,8 @@ WHERE len(list_intersect(sa.shingles, sb.shingles)) * 1.0
     tags=("dedup", "llm", "layout"),
 )
 def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe the persisted index with the incoming batch (doc_id >=
-    INGEST_SPLIT): signature the BATCH only, equi-join its band keys
+    """Probe the persisted index with the incoming batch (the batch
+    doc_id bucket): signature the BATCH only, equi-join its band keys
     against the store, exact-verify candidates with shingle Jaccard.
     Corpus text is touched only for verification of matched ids —
     the corpus signature pipeline never reruns (plan-gated:
@@ -1542,7 +1554,7 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifications); the index join shuffles batch band keys against a
     band-partitioned, key-sorted store."""
     docs = load_table(spark, sf_dir, "documents").filter(
-        F.col("doc_id") >= INGEST_SPLIT
+        F.expr(_IS_BATCH_SQL)
     )
     return probe_minhash_index(spark, docs, sf_dir)
 
@@ -1587,7 +1599,7 @@ def probe_minhash_index(
         .distinct()
     )
     corpus_posting = _shingle_posting(spark, sf_dir).filter(
-        F.col("doc_id") < INGEST_SPLIT
+        ~F.expr(_IS_BATCH_SQL)
     ).persist()
     sa = batch_posting.selectExpr("doc_id AS batch_doc", "shingle")
     sb = corpus_posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")

@@ -1000,7 +1000,7 @@ def _stream_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from golang_etl_spark.operators.dedup import (  # noqa: E402
     _INDEX_PROBE_ORACLE,
-    INGEST_SPLIT,
+    _IS_BATCH_SQL,
     build_minhash_index,
     probe_minhash_index,
 )
@@ -1014,7 +1014,7 @@ from golang_etl_spark.operators.dedup import (  # noqa: E402
 def streaming_dedup_index_probe(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Stream the incoming documents (doc_id >= INGEST_SPLIT), probe
+    """Stream the incoming documents (the batch doc_id bucket), probe
     each micro-batch against the persisted MinHash band index, append
     verified near-dup pairs to a batch-keyed parquet sink. The final
     table hash-matches the BATCH probe's oracle — streaming arrival
@@ -1031,9 +1031,7 @@ def streaming_dedup_index_probe(
     out_root = tempfile.mkdtemp(prefix="spark_graft_dedup_probe_")
     atexit.register(shutil.rmtree, out_root, ignore_errors=True)
 
-    docs = _stream_docs(spark, sf_dir).filter(
-        F.col("doc_id") >= INGEST_SPLIT
-    )
+    docs = _stream_docs(spark, sf_dir).filter(F.expr(_IS_BATCH_SQL))
     return index_probe_pipeline(docs, sf_dir, out_root)
 
 

@@ -414,7 +414,7 @@ def test_index_probe_spans_batches(spark, sf_dir, tmp_path):
     probe exactly (every batch probes the same store, so chunking the
     arrival changes nothing)."""
     from golang_etl_spark.operators.dedup import (
-        INGEST_SPLIT,
+        _IS_BATCH_SQL,
         dedup_index_probe,
     )
     from golang_etl_spark.streaming.jobs import (
@@ -424,7 +424,7 @@ def test_index_probe_spans_batches(spark, sf_dir, tmp_path):
 
     incoming = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
-        .filter(F.col("doc_id") >= INGEST_SPLIT)
+        .filter(F.expr(_IS_BATCH_SQL))
     )
     split_dir = str(tmp_path / "docs_split")
     incoming.repartition(3).write.mode("overwrite").parquet(split_dir)
