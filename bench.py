@@ -221,6 +221,7 @@ HEADLINE = [
     "dedup_winnow_overlap",
     "profile_corr_matrix",
     "timeseries_seasonal_decompose",
+    "agg_bitwise",
 ]
 
 

@@ -1227,3 +1227,32 @@ def agg_percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification surface."""
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_WITHIN_GROUP_SQL)
+
+
+# ---------------------------------------------------------------------------
+# Bitwise aggregates (bit_and / bit_or / bit_xor).
+# ---------------------------------------------------------------------------
+_BITWISE_SQL = """
+SELECT o_orderpriority,
+       CAST(bit_and(o_custkey % 256) AS BIGINT) AS mask_and,
+       CAST(bit_or(o_custkey % 256) AS BIGINT) AS mask_or,
+       CAST(bit_xor(o_custkey % 256) AS BIGINT) AS mask_xor,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@register(
+    "agg_bitwise",
+    oracle=_BITWISE_SQL,
+    tags=("aggregation", "functions", "math"),
+)
+def agg_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise reduction aggregates over a bounded key domain —
+    feature-flag folding / bitmap accumulation as identical SQL text
+    on both engines. Commutative and associative, so they partial-
+    aggregate map-side like SUM; XOR is also the classic distributed
+    checksum (a lost or doubled row flips it)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_BITWISE_SQL)
