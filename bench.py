@@ -1,11 +1,22 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
 ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {core name: sec}, "sf": ...}.
 
 Each query is executed once to warm the JVM/code paths (plan compile,
 codegen) then timed over the best of 2 runs — we measure engine
 throughput, not first-call JIT.
+
+Output contract (round 6): the driver captures only a ~2 KB tail of
+stdout, and round 5's ~180-entry per-query line overflowed it — the
+head of the line (with the total) was cut off and the artifact parsed
+as null. So the printed line is now COMPACT: the all-queries total
+plus a fixed ~32-query CORE subset under stable names (present in
+every round's bench since r01, so cross-round per-query comparison
+survives registry growth). The full per-query map, per-family
+subtotals, and the slowest-10 list are written to BENCH_DETAIL.json
+next to this file instead. A byte guard trims the line if it ever
+approaches the capture limit.
 """
 
 from __future__ import annotations
@@ -235,6 +246,52 @@ HEADLINE = [
 # always complete.
 BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 
+# Stable CORE subset printed on the driver-visible line. These names
+# have been in the headline list (and thus in BENCH_r01..r04) since
+# the rounds they landed; do NOT rename or remove entries — the whole
+# point is a fixed cross-round comparison key set. New queries go in
+# HEADLINE (and hence BENCH_DETAIL.json), not here.
+CORE = [
+    "agg_pricing_summary",
+    "join_revenue_by_segment",
+    "join_star_schema",
+    "window_running_sum",
+    "topk_orders_per_segment",
+    "agg_cube",
+    "etl_chunked_scan_reassembly",
+    "dedup_exact_text",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_embedding_cosine",
+    "dedup_cluster_cc",
+    "text_tfidf_top_terms",
+    "similarity_topk_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ivf_topk",
+    "pipeline_corpus_curation",
+    "text_quality_stats",
+    "text_langid",
+    "asof_join_purchase_click",
+    "sessionize_events",
+    "multimodal_decode_features",
+    "applyinpandas_rank_orders",
+    "sketch_approx_distinct",
+    "streaming_tumbling_counts",
+    "sql_revenue_by_nation",
+    "sql_market_share",
+    "join_skew_salted",
+    "sample_split_hash",
+    "timeseries_gapfill",
+    "pipeline_training_export",
+]
+
+# Keep the printed line comfortably under the driver's ~2 KB stdout
+# tail capture (round 5 post-mortem: a longer line gets its HEAD cut,
+# which is where the total lives).
+MAX_LINE_BYTES = 1600
+DETAIL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+
 
 def main() -> None:
     from golang_etl_spark.registry import all_queries
@@ -269,17 +326,50 @@ def main() -> None:
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
+    total = round(sum(timings.values()), 4)
+
+    # Full artifact: every timing, per-family subtotals, slowest-10.
+    families: dict[str, float] = {}
+    for name, sec in timings.items():
+        spec = available.get(name)
+        fam = spec.tags[0] if spec and spec.tags else "untagged"
+        families[fam] = round(families.get(fam, 0.0) + sec, 4)
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    detail = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "queries": timings,
+        "families": dict(sorted(families.items())),
+        "slowest": slowest,
+    }
+    with open(DETAIL_PATH, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=False)
+        f.write("\n")
+
+    # Compact driver-visible line: total + the stable CORE subset.
+    core_timings = {n: timings[n] for n in CORE if n in timings}
+    line_obj = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "core_total": round(sum(core_timings.values()), 4),
+        "queries": core_timings,
+        "detail": "BENCH_DETAIL.json",
+    }
+    line = json.dumps(line_obj)
+    while len(line.encode()) > MAX_LINE_BYTES and line_obj["queries"]:
+        # Defensive only — 32 core entries serialize to ~1.2 KB. Trim
+        # from the end of the core map rather than risk a cut head.
+        line_obj["queries"].popitem()
+        line = json.dumps(line_obj)
+    print(line)
     spark.stop()
 
 

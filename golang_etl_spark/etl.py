@@ -1213,7 +1213,12 @@ def read_shard_table_predicates(
             f"table {job.table!r} has no rows / null pk {job.primary_key!r}"
         )
     plan = plan_range_partitions(int(bounds[0]), int(bounds[1]), spec.stride)
-    preds = predicates_for_plan(job.primary_key, plan, quote='"')
+    # Reuse the DIALECT-quoted identifier for the predicates too: a
+    # hardcoded '"' would make MySQL (default sql_mode, no ANSI_QUOTES)
+    # read '"id" >= lo' as a constant-true string comparison, so every
+    # partition would scan the whole table and the union would return
+    # N-fold duplicates.
+    preds = predicates_for_plan(qpk, plan)
     return spark.read.jdbc(
         url=location,
         table=job.table,

@@ -1464,6 +1464,35 @@ def build_minhash_index(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_MINHASH_CORPUS_POSTING_BUILT: dict[str, str] = {}
+
+
+def build_minhash_corpus_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the CORPUS shingle posting (doc_id, shingle) to
+    parquet once per (process, sf_dir), alongside the band index.
+
+    The probe needs corpus shingles to exact-verify candidates; a
+    per-probe ``persist()`` of that posting accumulates cached
+    partitions when the probe runs inside a streaming ``foreachBatch``
+    (one leak per micro-batch). Building it once as a file store makes
+    every probe a plain parquet read — the same pay-once contract as
+    the band index itself."""
+    if sf_dir in _MINHASH_CORPUS_POSTING_BUILT:
+        return _MINHASH_CORPUS_POSTING_BUILT[sf_dir]
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    root = _layout_dir("minhash_corpus_postings", sf_dir)
+    (
+        _shingle_posting(spark, sf_dir)
+        .filter(~F.expr(_IS_BATCH_SQL))
+        .select("doc_id", "shingle")
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    _MINHASH_CORPUS_POSTING_BUILT[sf_dir] = root
+    return root
+
+
 def _index_bands_duck(where: str) -> str:
     band_union = "\n    UNION ALL\n    ".join(
         f"SELECT doc_id, {b} AS band_id, band_{b} AS band_key FROM sig"
@@ -1564,14 +1593,21 @@ def probe_minhash_index(
 ) -> DataFrame:
     """Probe the persisted index with ANY (doc_id, text) batch — the
     batch side is signatured from the DataFrame itself (a micro-batch
-    in the streaming variant), the corpus side comes from the store +
-    the static corpus shingles for verification."""
+    in the streaming variant), the corpus side comes from the two file
+    stores (band index + corpus shingle postings).
+
+    Deliberately CACHE-FREE: this runs inside streaming foreachBatch,
+    where a per-call persist() accumulates cached partitions for the
+    stream's lifetime. The corpus side reads the pay-once parquet
+    stores; the batch side re-derives its shingle explode per plan
+    branch — batch-sized work, cheaper than a leak. A caller with a
+    large batch can persist batch_docs around the terminal action."""
     root = build_minhash_index(spark, sf_dir)
+    posting_root = build_minhash_corpus_postings(spark, sf_dir)
     batch_posting = (
         batch_docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w")
         .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
         .select("doc_id", F.explode_outer("shingles").alias("shingle"))
-        .persist()
     )
     sig = batch_posting.groupBy("doc_id").agg(
         *[
@@ -1598,9 +1634,7 @@ def probe_minhash_index(
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    corpus_posting = _shingle_posting(spark, sf_dir).filter(
-        ~F.expr(_IS_BATCH_SQL)
-    ).persist()
+    corpus_posting = spark.read.parquet(posting_root)
     sa = batch_posting.selectExpr("doc_id AS batch_doc", "shingle")
     sb = corpus_posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")
     inter = (
@@ -1620,6 +1654,9 @@ def probe_minhash_index(
     jac = F.col("n_inter") / (
         F.col("na") + F.col("nb") - F.col("n_inter")
     )
+    # sizes_a (the batch) is broadcast-small; sizes_b is one row per
+    # CORPUS doc — at scale that's not a broadcast, and `inter` is
+    # already candidate-sized, so let AQE pick the corpus-side join.
     return (
         inter.join(
             F.broadcast(
@@ -1628,9 +1665,7 @@ def probe_minhash_index(
             "batch_doc",
         )
         .join(
-            F.broadcast(
-                sizes_b.selectExpr("doc_id AS corpus_doc", "n_sh AS nb")
-            ),
+            sizes_b.selectExpr("doc_id AS corpus_doc", "n_sh AS nb"),
             "corpus_doc",
         )
         .filter(jac >= JACCARD_MIN)

@@ -1051,7 +1051,7 @@ def agg_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_mode_median",
     oracle="""
     WITH counts AS (
-      SELECT o_orderpriority, CAST(l_quantity AS BIGINT) AS qty,
+      SELECT o_orderpriority, CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
              COUNT(*) AS c
       FROM orders JOIN lineitem ON l_orderkey = o_orderkey
       GROUP BY o_orderpriority, qty
@@ -1088,9 +1088,13 @@ def agg_mode_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
+    # FLOOR before the integer cast: a bare CAST to BIGINT rounds in
+    # DuckDB but truncates in Spark — identical only while l_quantity
+    # is integral. FLOOR pins both engines to the same bucket for any
+    # fractional fixture (same pattern as profile_leading_digit).
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey",
-        F.col("l_quantity").cast("long").alias("qty"),
+        F.floor("l_quantity").cast("long").alias("qty"),
         "l_quantity",
     )
     joined = orders.join(li, orders.o_orderkey == li.l_orderkey)

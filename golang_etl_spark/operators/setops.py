@@ -147,6 +147,13 @@ def setop_shard_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 # except = max(0, left - right) copies — which the DISTINCT forms
 # above erase. The right side mixes multiplicity 1 and 2 (open orders
 # appear twice) so the min/subtraction rules actually exercise.
+#
+# The right side MUST be parenthesized at the use sites: INTERSECT
+# binds tighter than UNION, and EXCEPT/UNION are left-associative (in
+# both Spark and DuckDB), so the bare `left INTERSECT ALL SELECT ...
+# UNION ALL SELECT ...` would parse as `(left INTERSECT ALL first
+# branch) UNION ALL second branch` — an unconditional append, not an
+# intersect against the 1-or-2-copy multiset.
 _MULTISET_RIGHT = """
   SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 2000
   UNION ALL
@@ -158,7 +165,7 @@ _INTERSECT_ALL_ORACLE = f"""
 SELECT k, CAST(COUNT(*) AS BIGINT) AS n_copies FROM (
   SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 2000
   INTERSECT ALL
-  {_MULTISET_RIGHT}
+  ({_MULTISET_RIGHT})
 ) t GROUP BY k
 """
 
@@ -180,7 +187,7 @@ _EXCEPT_ALL_ORACLE = f"""
 SELECT k, CAST(COUNT(*) AS BIGINT) AS n_copies FROM (
   SELECT l_orderkey AS k FROM lineitem WHERE l_orderkey <= 2000
   EXCEPT ALL
-  {_MULTISET_RIGHT}
+  ({_MULTISET_RIGHT})
 ) t GROUP BY k
 """
 

@@ -214,3 +214,22 @@ def test_run_jobspec_concurrent_matches_sequential(spark, sf_dir, tmp_path):
     seq = run_jobspec(spark, spec("seq"))
     con = run_jobspec_concurrent(spark, spec("con"), max_workers=2)
     assert con == seq == {"shard0.region": 5, "shard0.nation": 25}
+
+
+def test_mysql_predicates_use_dialect_quoting(spark):
+    """Regression: predicates must carry the DIALECT's identifier
+    quoting. MySQL (the reference's target DB, /root/reference/go.mod:7)
+    defaults to a sql_mode without ANSI_QUOTES, so '"id" >= lo' is a
+    constant-true STRING comparison — every partition would full-scan
+    and the union would return N-fold duplicate rows."""
+    from golang_etl_spark.etl import predicates_for_plan
+
+    dialect = spark._jvm.org.apache.spark.sql.jdbc.JdbcDialects.get(
+        "jdbc:mysql://localhost:3307/jerry"
+    )
+    qpk = str(dialect.quoteIdentifier("id"))
+    assert qpk == "`id`"  # backticks, never ANSI double quotes
+    plan = plan_range_partitions(0, 25_000, stride=10_000)
+    preds = predicates_for_plan(qpk, plan)
+    assert preds and all(p.startswith("`id` >= ") for p in preds)
+    assert not any('"' in p for p in preds)

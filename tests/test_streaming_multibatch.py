@@ -434,7 +434,13 @@ def test_index_probe_spans_batches(spark, sf_dir, tmp_path):
         .option("maxFilesPerTrigger", "1")
         .parquet(split_dir)
     )
+    cached_before = len(spark.sparkContext._jsc.getPersistentRDDs())
     got = index_probe_pipeline(docs, sf_dir, str(tmp_path / "probe_out"))
+    # the probe is cache-free by contract: running inside foreachBatch
+    # it must not accumulate persisted partitions per micro-batch
+    assert (
+        len(spark.sparkContext._jsc.getPersistentRDDs()) <= cached_before
+    )
     want = dedup_index_probe(spark, sf_dir)
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
