@@ -434,7 +434,22 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law graphs, orient by (degree, id) instead to cap the
     heaviest wedge list (same plan, different comparator).
     """
-    edges = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS).persist()
+    edges = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
+    return (
+        triangle_per_vertex(edges)
+        .select(F.col("vertex").alias("p_brand"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "p_brand")
+    )
+
+
+def triangle_per_vertex(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts for ANY oriented undirected edge
+    list (one row per edge, u < v) — the kernel body of
+    graph_triangle_count, split out so the 10x scale smoke can feed a
+    synthetic graph. Cost is the wedge count (sum over vertices of
+    forward-degree^2), which grows with EDGES at constant average
+    degree — never vertices^2."""
+    edges = edges.persist()
     # persisted: consumed three times by the triangle join
     e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = edges.select(F.col("u").alias("b2"), F.col("v").alias("c"))
@@ -449,12 +464,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("b").alias("vertex")))
         .unionAll(tri.select(F.col("c").alias("vertex")))
     )
-    return (
-        verts.groupBy("vertex")
-        .agg(F.count("*").alias("n_triangles"))
-        .select(F.col("vertex").alias("p_brand"), "n_triangles")
-        .orderBy(F.desc("n_triangles"), "p_brand")
-    )
+    return verts.groupBy("vertex").agg(F.count("*").alias("n_triangles"))
 
 
 # ---------------------------------------------------------------------------
@@ -534,29 +544,42 @@ def graph_pagerank_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded graph has none — every vertex has degree >= 1.
     """
     und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
-    edges = und.unionAll(und.select(F.col("v").alias("u"), F.col("u").alias("v"))).persist()
+    ranks = pagerank_fixed_ranks(und)
+    return ranks.select(
+        F.col("vertex").alias("p_brand"), F.round("rank", 8).alias("pagerank")
+    ).orderBy(F.desc("pagerank"), "p_brand")
+
+
+def pagerank_fixed_ranks(
+    und: DataFrame, iters: int = _PR_ITERS, damping: float = _PR_DAMPING
+) -> DataFrame:
+    """Fixed-iteration PageRank kernel over ANY undirected edge list
+    (one row per edge, u < v) — split out of graph_pagerank_fixed so
+    the 10x scale smoke can feed a synthetic graph. Per round: one
+    rank-vector x edge-list join + one grouped sum, cost O(edges)."""
+    edges = und.unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     n_v = deg.count()  # bounded: vertex count of the thresholded graph
     ranks = deg.select(
         F.col("u").alias("vertex"), (F.lit(1.0) / F.lit(n_v)).alias("rank")
     )
     contrib_deg = F.broadcast(deg)
-    for _ in range(_PR_ITERS):
+    for _ in range(iters):
         ranks = (
             edges.join(ranks, edges.u == ranks.vertex)
             .join(contrib_deg, "u")
             .groupBy(F.col("v").alias("dst"))
             .agg(
                 (
-                    F.lit((1 - _PR_DAMPING) / n_v)
-                    + F.lit(_PR_DAMPING) * F.sum(F.col("rank") / F.col("d"))
+                    F.lit((1 - damping) / n_v)
+                    + F.lit(damping) * F.sum(F.col("rank") / F.col("d"))
                 ).alias("rank")
             )
             .select(F.col("dst").alias("vertex"), "rank")
         )
-    return ranks.select(
-        F.col("vertex").alias("p_brand"), F.round("rank", 8).alias("pagerank")
-    ).orderBy(F.desc("pagerank"), "p_brand")
+    return ranks
 
 
 # ---------------------------------------------------------------------------
@@ -616,13 +639,26 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineage (checkpoint per round past ~5 iterations, as the CC
     pointer-jumping loop does)."""
     und = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
+    labels = lpa_fixed_labels(und)
+    return labels.select(
+        F.col("vertex").alias("p_brand"), F.col("label").alias("community")
+    ).orderBy("p_brand")
+
+
+def lpa_fixed_labels(und: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
+    """Fixed-round synchronous LPA kernel over ANY undirected edge
+    list (one row per edge, u < v) — split out of
+    graph_lpa_communities so the 10x scale smoke can feed a synthetic
+    graph. Per round: one label x edge join + one grouped argmax,
+    cost O(edges); the round COUNT is fixed, independent of graph
+    size."""
     edges = und.unionAll(
         und.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).persist()
     labels = edges.select("u").distinct().select(
         F.col("u").alias("vertex"), F.col("u").alias("label")
     )
-    for _ in range(_LPA_ITERS):
+    for _ in range(iters):
         # label vector = one row per vertex (brand-bounded here) —
         # broadcast keeps each round's join map-side; on a billion-
         # vertex graph pre-partition edges AND labels on the vertex
@@ -643,6 +679,4 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select(F.col("dst").alias("vertex"), F.col("s.label").alias("label"))
         )
-    return labels.select(
-        F.col("vertex").alias("p_brand"), F.col("label").alias("community")
-    ).orderBy("p_brand")
+    return labels

@@ -378,3 +378,144 @@ def test_shard_manifest_scales_linearly(spark, scaled_dir):
     assert t_big < max(t_base, 0.5) * REPLICAS * 3, (
         f"super-linear blowup: {t_base:.1f}s -> {t_big:.1f}s at {REPLICAS}x"
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph kernels at 10x edges (VERDICT r05 item 4): triangle join and
+# per-round PageRank/LPA cost must grow with EDGES, never vertices^2.
+# ---------------------------------------------------------------------------
+def _synthetic_edges(spark, n_vertices, n_draws, shift=0):
+    """Deterministic pseudo-random undirected edge list (u < v),
+    constant average degree across scales: hash-derived endpoints so
+    the graph is identical on every run and every partitioning."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(n_draws)
+        .select(
+            F.pmod(F.hash(F.col("id"), F.lit(1)), F.lit(n_vertices)).alias("u0"),
+            F.pmod(F.hash(F.col("id"), F.lit(2)), F.lit(n_vertices)).alias("v0"),
+        )
+        .filter(F.col("u0") != F.col("v0"))
+        .select(
+            (F.least("u0", "v0") + shift).alias("u"),
+            (F.greatest("u0", "v0") + shift).alias("v"),
+        )
+        .distinct()
+    )
+
+
+_GRAPH_N = 10_000
+_GRAPH_DRAWS = 80_000  # avg degree ~16, constant at both scales
+
+
+def _union_inflated(spark):
+    """REPLICAS disjoint vertex-shifted copies of the base graph —
+    10x vertices AND 10x edges at the same average degree, so linear-
+    in-edges kernels cost ~10x while a vertices^2 formulation would
+    cost 100x. Disjoint copies also pin exact output expectations:
+    per-copy results replicate."""
+    copies = [
+        _synthetic_edges(spark, _GRAPH_N, _GRAPH_DRAWS, shift=r * 10_000_000)
+        for r in range(REPLICAS)
+    ]
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionAll(c)
+    return out
+
+
+def test_triangle_kernel_scales_with_edges(spark):
+    from golang_etl_spark.operators.clustering import triangle_per_vertex
+
+    base_edges = _synthetic_edges(spark, _GRAPH_N, _GRAPH_DRAWS)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    base_rows = triangle_per_vertex(base_edges).count()
+    t_base = time.perf_counter() - t0
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big_rows = triangle_per_vertex(_union_inflated(spark)).count()
+    t_big = time.perf_counter() - t0
+
+    # disjoint copies -> triangle sets replicate exactly per copy
+    assert big_rows == base_rows * REPLICAS, (
+        f"triangle rows wrong at scale: {base_rows} -> {big_rows}"
+    )
+    # wedge work grows with edges (~10x); vertices^2 would be 100x.
+    # Absolute ceiling + per-copy slack catches the quadratic shape
+    # without flaking on fixed overheads.
+    assert t_big < 120, f"triangle blowup: {t_big:.1f}s at {REPLICAS}x edges"
+    assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
+        f"triangle superlinear: {t_base:.2f}s -> {t_big:.2f}s"
+    )
+
+
+def test_pagerank_kernel_scales_with_edges(spark):
+    from golang_etl_spark.operators.clustering import (
+        _PR_ITERS,
+        pagerank_fixed_ranks,
+    )
+
+    base_edges = _synthetic_edges(spark, _GRAPH_N, _GRAPH_DRAWS)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    base_df = pagerank_fixed_ranks(base_edges)
+    base_rows = base_df.count()
+    t_base = time.perf_counter() - t0
+    # rank mass is conserved each round (no dangling vertices in an
+    # undirected graph): sum(rank) == 1 within float tolerance
+    total = base_df.agg({"rank": "sum"}).first()[0]
+    assert abs(total - 1.0) < 1e-6
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big_rows = pagerank_fixed_ranks(_union_inflated(spark)).count()
+    t_big = time.perf_counter() - t0
+
+    assert big_rows == base_rows * REPLICAS
+    # per-round cost = one rank x edge join + grouped sum, O(edges):
+    # _PR_ITERS is fixed, so total cost should track edges (~10x)
+    assert _PR_ITERS == 3
+    assert t_big < 120, f"pagerank blowup: {t_big:.1f}s at {REPLICAS}x edges"
+    assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
+        f"pagerank superlinear: {t_base:.2f}s -> {t_big:.2f}s"
+    )
+
+
+def test_lpa_kernel_rounds_constant_cost_linear(spark):
+    from golang_etl_spark.operators.clustering import (
+        _LPA_ITERS,
+        lpa_fixed_labels,
+    )
+
+    base_edges = _synthetic_edges(spark, _GRAPH_N, _GRAPH_DRAWS)
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    base_rows = lpa_fixed_labels(base_edges).count()
+    t_base = time.perf_counter() - t0
+
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big = lpa_fixed_labels(_union_inflated(spark))
+    big_rows = big.count()
+    t_big = time.perf_counter() - t0
+
+    assert big_rows == base_rows * REPLICAS
+    # the round count is FIXED by construction (synchronous LPA with
+    # _LPA_ITERS rounds) — graph size must not change it, so total
+    # cost is rounds x O(edges): ~10x wall at 10x edges
+    assert _LPA_ITERS == 3
+    # disjoint copies: copy r's labels are copy 0's labels + shift
+    from pyspark.sql import functions as F
+
+    violations = big.filter(
+        F.floor(F.col("vertex") / 10_000_000)
+        != F.floor(F.col("label") / 10_000_000)
+    ).count()
+    assert violations == 0, "labels leaked across disjoint copies"
+    assert t_big < 120, f"lpa blowup: {t_big:.1f}s at {REPLICAS}x edges"
+    assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
+        f"lpa superlinear: {t_base:.2f}s -> {t_big:.2f}s"
+    )
