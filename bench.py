@@ -233,6 +233,8 @@ HEADLINE = [
     "profile_corr_matrix",
     "timeseries_seasonal_decompose",
     "agg_bitwise",
+    # round 6: hash-gated fixed-rule BPE apply twin
+    "text_bpe_apply_fixed",
 ]
 
 

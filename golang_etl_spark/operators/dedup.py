@@ -1353,16 +1353,38 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix = ranked.filter(
         F.col("pos")
         <= F.col("d_size") - F.ceil(PPJ_T * F.col("d_size")).cast("int") + 1
-    ).select("doc_id", "token", "d_size").persist()
-    a = prefix.selectExpr("token", "doc_id AS doc_id_a", "d_size AS size_a")
-    b = prefix.selectExpr("token AS tok_b", "doc_id AS doc_id_b", "d_size AS size_b")
+    ).select("doc_id", "token", "d_size", "pos").persist()
+    a = prefix.selectExpr(
+        "token", "doc_id AS doc_id_a", "d_size AS size_a", "pos AS pos_a"
+    )
+    b = prefix.selectExpr(
+        "token AS tok_b", "doc_id AS doc_id_b", "d_size AS size_b",
+        "pos AS pos_b",
+    )
+    # PPJoin's positional upper bound (ubound): a token matched at
+    # ranks (pos_a, pos_b) caps the achievable overlap at
+    # min(pos_a-1, pos_b-1) shared tokens before it plus
+    # min(size_a-pos_a+1, size_b-pos_b+1) at-or-after it. J >= t
+    # requires overlap >= ceil(t/(1+t) * (|a|+|b|)), and a truly
+    # qualifying pair satisfies the bound at EVERY shared token (the
+    # bound always >= the true overlap), so dropping failing posting
+    # rows before the distinct loses nothing while shrinking the
+    # verification set at high-dup corpora.
+    alpha = F.ceil(
+        PPJ_T / (1.0 + PPJ_T) * (F.col("size_a") + F.col("size_b"))
+    )
+    ubound = F.least(F.col("pos_a") - 1, F.col("pos_b") - 1) + F.least(
+        F.col("size_a") - F.col("pos_a") + 1,
+        F.col("size_b") - F.col("pos_b") + 1,
+    )
     cand = (
         a.join(
             b,
             (F.col("token") == F.col("tok_b"))
             & (F.col("doc_id_a") < F.col("doc_id_b"))
             & (F.col("size_b") >= F.ceil(PPJ_T * F.col("size_a")))
-            & (F.col("size_a") >= F.ceil(PPJ_T * F.col("size_b"))),
+            & (F.col("size_a") >= F.ceil(PPJ_T * F.col("size_b")))
+            & (ubound >= alpha),
         )
         .select("doc_id_a", "doc_id_b", "size_a", "size_b")
         .distinct()

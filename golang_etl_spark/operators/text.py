@@ -1702,6 +1702,101 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Hash-gated twin of the rows-only BPE pair (VERDICT r05 item 5):
+# apply a HARD-CODED 3-rule merge table — no training, so no iterative
+# data-dependent argmax — through the exact same fold machinery
+# (_bpe_merge_fold), and oracle the resulting token stats in DuckDB.
+# The oracle replays the fold as chained string replace()s with
+# single-character markers ('0' = th, '1' = the, '2' = in — digits
+# can't collide, the vocabulary is [a-z]+ only): every rule's left and
+# right are single symbol units, and replace() is greedy leftmost
+# non-overlapping exactly like the fold, so the two formulations are
+# equivalent by construction. A green hash proves the fold ARITHMETIC;
+# only the trainer's argmax loop remains rows-only.
+_BPE_FIXED_RULES = [("t", "h"), ("th", "e"), ("i", "n")]
+
+_BPE_FIXED_ORACLE = """
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+vocab AS (SELECT w, COUNT(*) AS freq FROM words GROUP BY w),
+applied AS (
+  SELECT replace(replace(replace(w, 'th', '0'), '0e', '1'), 'in', '2') AS s,
+         length(w) AS n0, freq
+  FROM vocab
+)
+SELECT 'n_words' AS stat, CAST(SUM(freq) AS BIGINT) AS value FROM applied
+UNION ALL
+SELECT 'tokens_before', CAST(SUM(n0 * freq) AS BIGINT) FROM applied
+UNION ALL
+SELECT 'tokens_after', CAST(SUM(length(s) * freq) AS BIGINT) FROM applied
+UNION ALL
+SELECT 'sym_th', CAST(SUM((length(s) - length(replace(s, '0', ''))) * freq)
+                      AS BIGINT) FROM applied
+UNION ALL
+SELECT 'sym_the', CAST(SUM((length(s) - length(replace(s, '1', ''))) * freq)
+                       AS BIGINT) FROM applied
+UNION ALL
+SELECT 'sym_in', CAST(SUM((length(s) - length(replace(s, '2', ''))) * freq)
+                      AS BIGINT) FROM applied
+"""
+
+
+@register(
+    "text_bpe_apply_fixed",
+    oracle=_BPE_FIXED_ORACLE,
+    tags=("text", "llm", "analytic"),
+)
+def text_bpe_apply_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the fixed 3-rule merge table (t+h, th+e, i+n) to the
+    corpus vocabulary via the REAL BPE fold (_bpe_merge_fold) and
+    report frequency-weighted token stats plus surviving merged-symbol
+    counts. The stats describe the real token stream without
+    rescanning it — one corpus-sized word-frequency aggregation, then
+    three JVM folds over vocab-sized data."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.selectExpr(
+            "explode(regexp_extract_all(lower(text), '[a-z]+', 0)) AS w"
+        )
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .selectExpr(
+            "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
+            "length(w) AS n0",
+            "freq",
+        )
+    )
+    for a, b in _BPE_FIXED_RULES:
+        vocab = vocab.selectExpr(
+            f"{_bpe_merge_fold(a, b)} AS syms", "n0", "freq"
+        )
+
+    def _sym_count(sym: str) -> F.Column:
+        return F.expr(
+            f"sum(size(filter(syms, x -> x = '{sym}')) * freq)"
+        ).cast("long")
+
+    agg = vocab.agg(
+        F.sum("freq").cast("long").alias("n_words"),
+        F.sum(F.expr("n0 * freq")).cast("long").alias("tokens_before"),
+        F.sum(F.expr("size(syms) * freq")).cast("long").alias("tokens_after"),
+        _sym_count("th").alias("sym_th"),
+        _sym_count("the").alias("sym_the"),
+        _sym_count("in").alias("sym_in"),
+    )
+    return agg.selectExpr(
+        "stack(6, "
+        "'n_words', n_words, "
+        "'tokens_before', tokens_before, "
+        "'tokens_after', tokens_after, "
+        "'sym_th', sym_th, "
+        "'sym_the', sym_the, "
+        "'sym_in', sym_in) AS (stat, value)"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Perplexity-style quality scoring (per-doc NLL under the corpus LM).
 # ---------------------------------------------------------------------------
