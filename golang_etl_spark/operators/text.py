@@ -1679,10 +1679,14 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(sum(size(syms) * freq) AS BIGINT) AS t",
         "CAST(sum(freq) AS BIGINT) AS n_words",
     ).first()
+    # The apply loop chains folds WITHOUT per-rule checkpoints: unlike
+    # training (whose per-round argmax is an action), every fold here
+    # is a narrow op, so all k rules pipeline into ONE stage over the
+    # checkpointed vocab — k materializations replaced by zero.
     for r in sorted(rules, key=lambda r: r["merge_rank"]):
         vocab = vocab.selectExpr(
             f"{_bpe_merge_fold(r['left'], r['right'])} AS syms", "freq"
-        ).localCheckpoint()
+        )
     after = vocab.selectExpr(
         "CAST(sum(size(syms) * freq) AS BIGINT) AS t"
     ).first()
