@@ -233,8 +233,11 @@ HEADLINE = [
     "profile_corr_matrix",
     "timeseries_seasonal_decompose",
     "agg_bitwise",
-    # round 6: hash-gated fixed-rule BPE apply twin
+    # round 6: hash-gated fixed-rule BPE apply twin; mergeable HLL
+    # sketch store (build-once, merge-per-range) + its exact twin
     "text_bpe_apply_fixed",
+    "sketch_hll_store_merge",
+    "sketch_hll_exact_twin",
 ]
 
 

@@ -92,3 +92,27 @@ def test_psi_total_is_sum_of_contributions(spark, sf_dir):
     assert all(r["psi_total"] == total for r in rows)
     assert abs(sum(r["psi_contrib"] for r in rows) - total) < 1e-4
     assert total >= 0  # PSI is a nonnegative divergence
+
+
+def test_hll_store_merge_bounds_vs_exact_twin(spark, sf_dir):
+    """Every estimate from the persisted HLL store must sit within 5%
+    of its exact-twin count (default lgConfigK=12 -> ~1.6% rsd, 3x
+    headroom), and the merged-range estimate must respect union
+    algebra: >= the largest per-month estimate (a union never shrinks)
+    and <= the sum (a union never exceeds disjoint addition)."""
+    from golang_etl_spark.operators.sketches import (
+        _HLL_RANGE_LABEL,
+        sketch_hll_exact_twin,
+        sketch_hll_store_merge,
+    )
+
+    est = {r["ym"]: r["est_custs"] for r in sketch_hll_store_merge(spark, sf_dir).collect()}
+    exact = {r["ym"]: r["n_custs"] for r in sketch_hll_exact_twin(spark, sf_dir).collect()}
+    assert set(est) == set(exact) and len(est) == 4
+    for ym, e in est.items():
+        assert abs(e - exact[ym]) <= max(2, 0.05 * exact[ym]), (
+            f"{ym}: estimate {e} vs exact {exact[ym]}"
+        )
+    months = [v for k, v in est.items() if k != _HLL_RANGE_LABEL]
+    assert max(months) <= est[_HLL_RANGE_LABEL] * 1.05
+    assert est[_HLL_RANGE_LABEL] <= sum(months) * 1.05
