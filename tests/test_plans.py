@@ -804,3 +804,24 @@ def test_equidepth_bins_avoid_single_reducer_ntile(spark, sf_dir):
         assert "HashAggregate" in head, (
             "SinglePartition exchange feeds non-aggregate work:\n" + head
         )
+
+
+def test_jaccard_prefix_ubound_in_join_condition(spark, sf_dir):
+    """PPJoin's positional upper bound must live IN the candidate
+    join condition (evaluated as rows match, before the distinct) —
+    dropping it is invisible to the completeness test (it only prunes
+    non-qualifying candidates) but re-inflates the verification set at
+    high-dup corpora."""
+    plan = _plan(spark, sf_dir, "dedup_jaccard_prefix")
+    import re
+
+    joins = [
+        ln for ln in plan.splitlines()
+        if ("BroadcastHashJoin" in ln or "SortMergeJoin" in ln)
+        and "tok_b" in ln
+    ]
+    assert joins, "candidate join not found in plan"
+    assert any(re.search(r"least\(\(?pos_a", ln) for ln in joins), (
+        "ubound (least over prefix positions) missing from the "
+        "candidate join condition"
+    )
