@@ -1332,8 +1332,8 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokens, so no hot posting lists); verification touches candidate
     pairs, never the corpus square."""
     docs = load_table(spark, sf_dir, "documents")
-    # referenced 4x (sizes, document frequencies, the ranked prefix
-    # build, and the verification arrays) — persist once, tokenize once
+    # referenced 3x (document frequencies, the ranked prefix build,
+    # and the verification arrays) — persist once, tokenize once
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1342,13 +1342,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("token"),
     ).distinct().persist()
-    sizes = toks.groupBy("doc_id").agg(F.count("*").alias("d_size"))
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
+    # |d| rides the SAME doc_id window pass that ranks the tokens
+    # (unordered count over the partition) — a per-doc sizes table
+    # would be corpus-cardinality, so joining it back (let alone
+    # broadcasting it) is exactly the shape that dies at 100 TB
     ranked = (
         toks.join(freq, "token")
-        .join(F.broadcast(sizes), "doc_id")
         .withColumn("pos", F.row_number().over(w))
+        .withColumn("d_size", F.count("*").over(Window.partitionBy("doc_id")))
     )
     prefix = ranked.filter(
         F.col("pos")
