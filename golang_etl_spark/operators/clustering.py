@@ -337,8 +337,12 @@ def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.lit(1).alias("_removed")
     )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # no broadcast hint: the removed set is duplicate-proportional
+    # (a heavily duplicated corpus removes most of itself), so its
+    # size is unknowable at plan time — AQE picks broadcast when the
+    # runtime stats say it fits, shuffle-hash when they don't
     return (
-        docs.join(F.broadcast(removed), "doc_id", "left")
+        docs.join(removed, "doc_id", "left")
         .groupBy("lang")
         .agg(
             (F.count("*") - F.count("_removed")).cast("long").alias("n_kept"),

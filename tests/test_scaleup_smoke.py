@@ -186,6 +186,26 @@ def test_editdistance_blocked_scales_subquadratically(spark, scaled_dir):
     )
 
 
+def test_jaccard_prefix_scales_subquadratically(spark, scaled_dir):
+    """PPJoin at 10x: replica inflation gives every doc 9 exact clones
+    (Jaccard 1.0), so the TRUE result grows ~replicas^2 within clone
+    groups — like the edit-distance smoke, ratio gates on output are
+    meaningless and the anti-n^2 evidence is (a) an absolute wall-time
+    ceiling far under what verifying the 1.2e9-pair space would cost
+    and (b) per-surviving-pair cost not growing. This also exercises
+    the window-pass d_size computation at 10x the bench corpus."""
+    from golang_etl_spark.operators.dedup import dedup_jaccard_prefix
+
+    base, t_base = _timed_count(spark, dedup_jaccard_prefix, SF_BIG)
+    big, t_big = _timed_count(spark, dedup_jaccard_prefix, scaled_dir)
+
+    assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
+    assert t_big < 240, f"all-pairs-scale blowup: {t_big:.1f}s at {REPLICAS}x"
+    assert t_big / big <= t_base / base, (
+        f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
+    )
+
+
 def test_exact_substring_scales_linearly(spark, scaled_dir):
     """Window-hash exact-substring dedup at 10x docs: output rows are
     per-document (exactly 10x), and the work is O(total windows) — the
