@@ -238,6 +238,9 @@ HEADLINE = [
     "text_bpe_apply_fixed",
     "sketch_hll_store_merge",
     "sketch_hll_exact_twin",
+    # round 6: two-pass exact heavy hitters (partition-local
+    # Misra-Gries compression, targeted recount)
+    "text_heavy_hitters_twopass",
 ]
 
 

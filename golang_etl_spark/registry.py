@@ -196,4 +196,9 @@ def _load_all() -> None:
     from golang_etl_spark.sources import sinks  # noqa: F401
     from golang_etl_spark.streaming import jobs  # noqa: F401
 
+    # imported LAST deliberately: rotation orders never-driver-checked
+    # queries by insertion index, so late additions must not displace
+    # the existing backlog from the driver's 50-query sample
+    from golang_etl_spark.operators import freqitems  # noqa: F401
+
     _LOADED = True
