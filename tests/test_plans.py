@@ -825,3 +825,25 @@ def test_jaccard_prefix_ubound_in_join_condition(spark, sf_dir):
         "ubound (least over prefix positions) missing from the "
         "candidate join condition"
     )
+
+
+def test_heavy_hitters_pass1_mapside_pass2_broadcast(spark, sf_dir):
+    """Two-pass heavy hitters: pass 1's Misra-Gries compression must
+    run directly over the scan (no exchange below the Python stage —
+    shuffling the token stream before compressing it would defeat the
+    point), and pass 2's recount must semi-join the bounded candidate
+    set as the BROADCAST side, never shuffling the corpus tokens
+    against it."""
+    plan = _plan(spark, sf_dir, "text_heavy_hitters_twopass")
+    # pass 2: candidate filter is a broadcast left-semi hash join
+    semi = [
+        ln for ln in plan.splitlines()
+        if "BroadcastHashJoin" in ln and "LeftSemi" in ln
+    ]
+    assert semi, "candidate recount is not a broadcast semi join:\n" + plan[:2000]
+    # pass 1: the subtree below the Python map stage contains no
+    # exchange — compression happens where the tokens are scanned
+    below = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below.split("InMemoryTableScan")[0], (
+        "exchange below the Misra-Gries stage"
+    )
