@@ -539,3 +539,36 @@ def test_lpa_kernel_rounds_constant_cost_linear(spark):
     assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
         f"lpa superlinear: {t_base:.2f}s -> {t_big:.2f}s"
     )
+
+
+def test_heavy_hitters_exact_under_replication(spark, scaled_dir):
+    """Two-pass Misra-Gries heavy hitters at 10x: replicating every
+    document 10x multiplies each token count AND the N/k threshold by
+    exactly 10, so the surviving token set must be IDENTICAL and every
+    exact count exactly 10x — partition-local compression must not
+    change the answer when the partitioning of a 10x corpus does. Also
+    the anti-blowup ceiling: pass 1 is one linear Python sweep."""
+    from golang_etl_spark.operators.freqitems import (
+        text_heavy_hitters_twopass,
+    )
+
+    spark.catalog.clearCache()
+    base = {
+        r["token"]: r["n_occurrences"]
+        for r in text_heavy_hitters_twopass(spark, SF_BIG).collect()
+    }
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    big = {
+        r["token"]: r["n_occurrences"]
+        for r in text_heavy_hitters_twopass(spark, scaled_dir).collect()
+    }
+    t_big = time.perf_counter() - t0
+
+    assert set(big) == set(base), (
+        f"heavy-hitter set changed under replication: "
+        f"only-base={set(base) - set(big)} only-big={set(big) - set(base)}"
+    )
+    wrong = {t: (base[t], big[t]) for t in base if big[t] != REPLICAS * base[t]}
+    assert not wrong, f"counts not exactly {REPLICAS}x: {wrong}"
+    assert t_big < 120, f"pass-1 sweep blowup: {t_big:.1f}s at {REPLICAS}x"
