@@ -239,8 +239,10 @@ HEADLINE = [
     "sketch_hll_store_merge",
     "sketch_hll_exact_twin",
     # round 6: two-pass exact heavy hitters (partition-local
-    # Misra-Gries compression, targeted recount)
+    # Misra-Gries compression, targeted recount); custom Python
+    # DataSource (stride-chunked range scan as a pluggable source)
     "text_heavy_hitters_twopass",
+    "source_python_datasource",
 ]
 
 

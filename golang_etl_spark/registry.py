@@ -200,5 +200,6 @@ def _load_all() -> None:
     # queries by insertion index, so late additions must not displace
     # the existing backlog from the driver's 50-query sample
     from golang_etl_spark.operators import freqitems  # noqa: F401
+    from golang_etl_spark.sources import pydatasource  # noqa: F401
 
     _LOADED = True

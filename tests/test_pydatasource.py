@@ -1,0 +1,46 @@
+"""Custom Python DataSource: chunk planning must mirror the
+reference's stride partitioner (one task per half-open chunk, last
+chunk clamped) and the emitted rows must be byte-identical to the
+declarative seed table."""
+
+import pytest
+
+from golang_etl_spark.sources.pydatasource import (
+    RangeChunk,
+    RangeShardReader,
+    read_range_shard,
+)
+
+
+def test_chunk_plan_matches_reference_stride():
+    r = RangeShardReader({"lower": "1", "upper": "25001", "stride": "10000"})
+    chunks = [(c.start, c.end) for c in r.partitions()]
+    # stride 10k over [1, 25001): last chunk clamped, never dropped
+    assert chunks == [(1, 10001), (10001, 20001), (20001, 25001)]
+
+
+def test_bounds_guard_rejects_bad_plan():
+    with pytest.raises(ValueError):
+        RangeShardReader({"lower": "10", "upper": "5", "stride": "100"})
+    with pytest.raises(ValueError):
+        RangeShardReader({"lower": "1", "upper": "10", "stride": "0"})
+
+
+def test_one_task_per_chunk_and_seed_parity(spark):
+    from golang_etl_spark.sources.sinks import seed_table
+
+    df = read_range_shard(spark, stride=1000)
+    assert df.rdd.getNumPartitions() == 10, "chunk != task mapping lost"
+    seed = seed_table(spark)
+    assert df.exceptAll(seed).count() == 0
+    assert seed.exceptAll(df).count() == 0
+
+
+def test_single_chunk_read_yields_exact_range():
+    rows = list(
+        RangeShardReader({"lower": "1", "upper": "50", "stride": "7"}).read(
+            RangeChunk(8, 15)
+        )
+    )
+    assert [r[0] for r in rows] == list(range(8, 15))
+    assert all(len(r[1]) == 20 for r in rows)
