@@ -113,8 +113,11 @@ def text_heavy_hitters_twopass(
     threshold = float(n_total) / HH_K
 
     # pass 2: recount ONLY candidate tokens. The candidate set is
-    # <= k x n_partitions rows by construction — broadcast-sized
-    # regardless of corpus size.
+    # <= k x n_partitions distinct tokens by construction — broadcast-
+    # sized for any sane partition count (400 x 10k partitions x ~20 B
+    # is tens of MB). If a deployment's partition count pushes past
+    # that, coalesce pass 1's input (fewer, larger sweeps) or drop the
+    # hint and let the semi join shuffle — correctness is unaffected.
     return (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")
