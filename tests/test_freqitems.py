@@ -54,3 +54,66 @@ def test_partition_union_is_heavy_hitter_superset(seed):
 def test_empty_partition_yields_no_candidates():
     out = list(_misra_gries_partition(iter([pd.DataFrame({"token": []})])))
     assert sum(len(df) for df in out) == 0
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        stream=st.lists(
+            st.integers(min_value=0, max_value=50).map(lambda i: f"w{i}"),
+            min_size=1,
+            max_size=3000,
+        ),
+        n_cuts=st.integers(min_value=0, max_value=4),
+        batch=st.integers(min_value=1, max_value=257),
+        data=st.data(),
+    )
+    def test_mg_superset_property(stream, n_cuts, batch, data):
+        """For ANY stream, ANY partition split, ANY batch size: the
+        union of per-partition Misra-Gries survivors contains every
+        token with global count >= N/HH_K (here trivially satisfied
+        since 51 token types < HH_K=400 — so ALL tokens must survive;
+        the interesting regime is exercised by shrinking HH_K)."""
+        import golang_etl_spark.operators.freqitems as fi
+
+        cuts = sorted(
+            data.draw(
+                st.lists(
+                    st.integers(0, len(stream)),
+                    min_size=n_cuts,
+                    max_size=n_cuts,
+                )
+            )
+        )
+        parts, prev = [], 0
+        for c in cuts + [len(stream)]:
+            parts.append(stream[prev:c])
+            prev = c
+
+        # shrink k so the pruning path actually fires
+        orig_k = fi.HH_K
+        fi.HH_K = 5
+        try:
+            union = set()
+            for p in parts:
+                union |= _survivors(p, batch=batch)
+        finally:
+            fi.HH_K = orig_k
+
+        n = len(stream)
+        counts = pd.Series(stream).value_counts()
+        true_heavy = set(counts[counts >= n / 5].index)
+        missing = true_heavy - union
+        assert not missing, (
+            f"lost heavy hitters {missing} (n={n}, parts={len(parts)})"
+        )

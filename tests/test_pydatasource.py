@@ -44,3 +44,39 @@ def test_single_chunk_read_yields_exact_range():
     )
     assert [r[0] for r in rows] == list(range(8, 15))
     assert all(len(r[1]) == 20 for r in rows)
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HYP = True
+except ImportError:  # pragma: no cover
+    _HYP = False
+
+
+if _HYP:
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        lower=st.integers(min_value=-(10**6), max_value=10**6),
+        span=st.integers(min_value=0, max_value=10**5),
+        stride=st.integers(min_value=1, max_value=10**5),
+    )
+    def test_chunk_plan_partitions_range_exactly(lower, span, stride):
+        """For ANY bounds and stride: the planned chunks tile
+        [lower, upper) exactly — contiguous, non-overlapping, ordered,
+        each at most stride wide, nothing dropped (the maxKey+1-style
+        clamp, property-checked instead of example-checked)."""
+        upper = lower + span
+        r = RangeShardReader(
+            {"lower": str(lower), "upper": str(upper), "stride": str(stride)}
+        )
+        chunks = [(c.start, c.end) for c in r.partitions()]
+        assert all(e - s <= stride and s < e for s, e in chunks)
+        # contiguity + exact coverage
+        pos = lower
+        for s, e in chunks:
+            assert s == pos
+            pos = e
+        assert pos == (upper if span else lower)
