@@ -889,3 +889,26 @@ def test_runtime_bloom_filter_injects_for_selective_dim(spark, sf_dir):
     assert "might_contain" in plan, (
         "no bloom-filter runtime filter on the fact scan:\n" + plan[:1500]
     )
+
+
+def test_whole_registry_plan_lint(spark, sf_dir):
+    """Every registered query's physical plan, machine-audited for the
+    two unconditional scale antipatterns: CartesianProduct (O(n^2)
+    pair space — zero legitimate uses in this engine; scalar cross
+    joins plan as 1-row BroadcastNestedLoopJoin, not CartesianProduct)
+    and BatchEvalPython (row-at-a-time Python in the hot path — the
+    only sanctioned uses are the two Python-UDTF surface demos, whose
+    per-row evaluation IS the feature shown and which have JVM-side
+    twins registered). The hand-written gates above assert per-query
+    shapes; this one guarantees no FUTURE query quietly ships either
+    antipattern."""
+    allow_python_rows = {"udtf_word_positions", "udtf_polymorphic_unpivot"}
+    offenders = {"CartesianProduct": [], "BatchEvalPython": []}
+    for name, spec in all_queries().items():
+        plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        if "CartesianProduct" in plan:
+            offenders["CartesianProduct"].append(name)
+        if "BatchEvalPython" in plan and name not in allow_python_rows:
+            offenders["BatchEvalPython"].append(name)
+    assert not offenders["CartesianProduct"], offenders
+    assert not offenders["BatchEvalPython"], offenders
