@@ -308,33 +308,15 @@ GROUP BY media_type, shard_id
 """
 
 
-@register(
-    "multimodal_shard_manifest",
-    oracle=_SHARD_ORACLE,
-    tags=("multimodal", "llm", "layout", "sink"),
-)
-def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WebDataset-style shard manifest by VIRTUAL BYTE-OFFSET
-    bucketing: per media type, items are laid end-to-end in doc_id
-    order and shard k owns the items whose start offset falls in
-    [k*budget, (k+1)*budget). Like tar-shard writers a shard can
-    overflow by its tail item; unlike the sequential close-on-spill
-    recurrence (which is inherently unparallelizable — every boundary
-    depends on every prior size) the offset rule is a pure function of
-    the prefix sum, so it distributes — the price is that an oversize
-    item may leave the following shard ids empty. Estimated encoded
-    size derives from the typed metadata (width x height x 3 /
-    PCM rate / bitrate), so the planner never opens a payload.
-
-    100 TB shape: the prefix sum is two-level — a bucket-local running
-    sum (windows over _SHARD_PREFIX_BUCKET-doc buckets, thousands of
-    concurrent partitions) plus broadcast per-bucket offsets (one tiny
-    cumulative pass) — the single-partition ORDER BY window the naive
-    formulation would use is the one thing this operator exists to
-    avoid."""
+def assign_shards(p: DataFrame) -> DataFrame:
+    """Per-item shard assignment (media_type, doc_id, est_bytes,
+    shard_id) by virtual byte-offset bucketing — the distributed
+    two-level prefix sum documented on multimodal_shard_manifest.
+    Shared by the manifest query and the tar packer
+    (operators/webdataset.py) so the plan they ship is the plan the
+    manifest proves."""
     from pyspark.sql.window import Window
 
-    p = payload_df(spark, sf_dir)
     sized = p.select(
         "doc_id",
         "media_type",
@@ -367,7 +349,7 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("media_type", "bkt", "offset")
     )
-    packed = local.join(F.broadcast(offsets), ["media_type", "bkt"]).select(
+    return local.join(F.broadcast(offsets), ["media_type", "bkt"]).select(
         "media_type",
         "doc_id",
         "est_bytes",
@@ -375,6 +357,33 @@ def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"(offset + local_cum - est_bytes) div {SHARD_BUDGET_BYTES}"
         ).alias("shard_id"),
     )
+
+
+@register(
+    "multimodal_shard_manifest",
+    oracle=_SHARD_ORACLE,
+    tags=("multimodal", "llm", "layout", "sink"),
+)
+def multimodal_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset-style shard manifest by VIRTUAL BYTE-OFFSET
+    bucketing: per media type, items are laid end-to-end in doc_id
+    order and shard k owns the items whose start offset falls in
+    [k*budget, (k+1)*budget). Like tar-shard writers a shard can
+    overflow by its tail item; unlike the sequential close-on-spill
+    recurrence (which is inherently unparallelizable — every boundary
+    depends on every prior size) the offset rule is a pure function of
+    the prefix sum, so it distributes — the price is that an oversize
+    item may leave the following shard ids empty. Estimated encoded
+    size derives from the typed metadata (width x height x 3 /
+    PCM rate / bitrate), so the planner never opens a payload.
+
+    100 TB shape: the prefix sum is two-level — a bucket-local running
+    sum (windows over _SHARD_PREFIX_BUCKET-doc buckets, thousands of
+    concurrent partitions) plus broadcast per-bucket offsets (one tiny
+    cumulative pass) — the single-partition ORDER BY window the naive
+    formulation would use is the one thing this operator exists to
+    avoid."""
+    packed = assign_shards(payload_df(spark, sf_dir))
     return packed.groupBy("media_type", "shard_id").agg(
         F.count("*").alias("n_items"),
         F.sum("est_bytes").cast("long").alias("shard_bytes"),
