@@ -53,7 +53,12 @@ def payload_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     bytes standing in for encoded media); media_type cycles by doc_id;
     width/height/duration derived from digest nibbles the same way the
     oracle recomputes them."""
-    docs = load_table(spark, sf_dir, "documents")
+    return payload_from_docs(load_table(spark, sf_dir, "documents"))
+
+
+def payload_from_docs(docs: DataFrame) -> DataFrame:
+    """The payload synthesis proper, over ANY (doc_id, text) frame —
+    batch table or a streaming micro-batch (webdataset ingest)."""
     hexd = F.md5("text")
     return docs.select(
         "doc_id",

@@ -34,19 +34,19 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from golang_etl_spark.operators.multimodal import assign_shards, payload_df
+from golang_etl_spark.operators.multimodal import (
+    assign_shards,
+    payload_df,
+    payload_from_docs,
+)
 
 
-def write_webdataset(
-    spark: SparkSession, sf_dir: str, out_dir: str
-) -> list[str]:
-    """Pack every payload into its planned shard tar under
-    ``out_dir``. Returns the sorted list of shard file names written.
-    """
-    os.makedirs(out_dir, exist_ok=True)
-    p = payload_df(spark, sf_dir)
+def _shard_rows(p: DataFrame) -> DataFrame:
+    """(payload frame) → one row per sample with its shard key and
+    serialized metadata, co-located so one task owns each shard (hash
+    partitioning is total on the key)."""
     assigned = assign_shards(p).select("media_type", "doc_id", "shard_id")
-    rows = (
+    return (
         p.join(assigned, ["media_type", "doc_id"])
         .select(
             "media_type",
@@ -55,10 +55,16 @@ def write_webdataset(
             "payload",
             F.to_json("meta").alias("meta_json"),
         )
-        # one task owns ALL rows of a shard key (hash partitioning is
-        # total on the key), so each tar is written exactly once
         .repartition("media_type", "shard_id")
     )
+
+
+def _make_packer(out_dir: str, prefix: str = ""):
+    """Partition function writing one tar per shard key present.
+    ``prefix`` namespaces the files (streaming: per-batch); identical
+    inputs always produce identical bytes (fixed entry order, zeroed
+    tar metadata), and the temp-write + atomic-rename means a re-run
+    or retried task replaces rather than tears a shard."""
 
     def _pack(part) -> Iterator:
         shards: dict[tuple, list] = {}
@@ -66,9 +72,7 @@ def write_webdataset(
             shards.setdefault((r["media_type"], r["shard_id"]), []).append(r)
         for (mtype, sid), items in shards.items():
             items.sort(key=lambda r: r["doc_id"])
-            name = f"{mtype}-{int(sid):06d}.tar"
-            # write via a temp name then atomic rename: a re-run or
-            # speculative duplicate task never leaves a torn tar
+            name = f"{prefix}{mtype}-{int(sid):06d}.tar"
             tmp = os.path.join(out_dir, f"_tmp.{os.getpid()}.{name}")
             with tarfile.open(tmp, "w") as tar:
                 for r in items:
@@ -84,12 +88,56 @@ def write_webdataset(
             os.replace(tmp, os.path.join(out_dir, name))
             yield (name, len(items))
 
+    return _pack
+
+
+def write_webdataset(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> list[str]:
+    """Pack every payload into its planned shard tar under
+    ``out_dir``. Returns the sorted list of shard file names written.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    rows = _shard_rows(payload_df(spark, sf_dir))
     written = (
-        rows.rdd.mapPartitions(_pack)
+        rows.rdd.mapPartitions(_make_packer(out_dir))
         .toDF(["shard_file", "n_items"])
         .collect()  # bounded: one row per SHARD, not per sample
     )
     return sorted(r["shard_file"] for r in written)
+
+
+def stream_webdataset_ingest(docs: DataFrame, out_dir: str) -> list[str]:
+    """Continuous shard emission: each micro-batch of (doc_id, text)
+    documents is synthesized, shard-planned, and packed into tars
+    under a ``b<batch_id>-`` namespace — the live-ingestion shape of
+    the batch packer (real webdataset writers roll tars per ingest
+    chunk the same way; a global re-pack is a separate compaction job,
+    exactly like sink_compact_small_files for parquet).
+
+    Exactly-once: the checkpoint makes each batch processed once, and
+    a RETRIED batch deterministically rewrites its own namespaced tars
+    (atomic rename, byte-identical content) instead of duplicating —
+    the same per-batch idempotence contract as
+    streaming/jobs.foreachbatch_parquet_sink. Returns the sorted
+    shard file names present after the stream drains."""
+    os.makedirs(out_dir, exist_ok=True)
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        rows = _shard_rows(payload_from_docs(batch_df))
+        # count() drives the partition-side writes; one row per shard
+        rows.rdd.mapPartitions(
+            _make_packer(out_dir, prefix=f"b{batch_id:04d}-")
+        ).count()
+
+    q = (
+        docs.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", os.path.join(out_dir, "_checkpoints"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sorted(f for f in os.listdir(out_dir) if f.endswith(".tar"))
 
 
 _UNPACK_SCHEMA = (

@@ -68,3 +68,46 @@ def test_shards_are_byte_deterministic(spark, sf_dir, tmp_path):
         }
 
     assert digest(a) == digest(b), "re-run produced different tar bytes"
+
+
+def test_streaming_ingest_multibatch_losslessness(spark, sf_dir, tmp_path):
+    """Documents split into 3 files -> 3 micro-batches through
+    stream_webdataset_ingest: every payload must land exactly once
+    across the per-batch tar namespaces, md5-identical to the batch
+    synthesis, with at least two distinct batch prefixes proving the
+    stream really chunked."""
+    from golang_etl_spark.streaming.jobs import _DOCS_SCHEMA
+
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    split_dir = str(tmp_path / "docs_split")
+    src.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    docs = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    out = str(tmp_path / "wds_stream")
+    from golang_etl_spark.operators.webdataset import (
+        read_webdataset,
+        stream_webdataset_ingest,
+    )
+
+    shard_files = stream_webdataset_ingest(docs, out)
+    prefixes = {f.split("-")[0] for f in shard_files}
+    assert len(prefixes) >= 2, f"expected multiple batches: {prefixes}"
+
+    back = read_webdataset(spark, out)
+    ref = payload_df(spark, sf_dir).select(
+        "doc_id", F.md5("payload").alias("src_md5")
+    )
+    joined = back.join(ref, "doc_id", "full")
+    assert back.count() == ref.count(), "samples lost or duplicated"
+    assert (
+        joined.filter(
+            (F.col("payload_md5") != F.col("src_md5"))
+            | F.col("payload_md5").isNull()
+            | F.col("src_md5").isNull()
+        ).count()
+        == 0
+    )
