@@ -1,0 +1,46 @@
+"""Bench output contract: the driver parses a single compact stdout
+line, so the name lists and the byte budget are load-bearing — a
+renamed query would today vanish from HEADLINE/CORE silently (both
+filter through `if n in ...`), and a fatter CORE map could re-overflow
+the driver's ~2 KB tail capture (the round-5 failure mode)."""
+
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+import bench  # noqa: E402
+
+from golang_etl_spark.registry import all_queries  # noqa: E402
+
+
+def test_headline_names_all_resolve():
+    names = set(all_queries())
+    missing = [n for n in bench.HEADLINE if n not in names]
+    assert not missing, f"HEADLINE entries not in registry: {missing}"
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE), "duplicates"
+
+
+def test_core_is_a_stable_headline_subset():
+    assert set(bench.CORE) <= set(bench.HEADLINE), (
+        sorted(set(bench.CORE) - set(bench.HEADLINE))
+    )
+    # the cross-round comparison key set: never shrink it
+    assert len(bench.CORE) >= 30
+
+
+def test_compact_line_fits_tail_capture_worst_case():
+    # worst case: every core query at a 4-digit-second timing
+    line = json.dumps(
+        {
+            "metric": "headline_query_wall_clock_total",
+            "value": 9999.9999,
+            "unit": "sec",
+            "sf": 0.1,
+            "n_queries": len(bench.HEADLINE),
+            "core_total": 9999.9999,
+            "queries": {n: 9999.9999 for n in bench.CORE},
+            "detail": "BENCH_DETAIL.json",
+        }
+    )
+    assert len(line.encode()) <= bench.MAX_LINE_BYTES, len(line.encode())
