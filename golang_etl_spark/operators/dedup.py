@@ -1613,6 +1613,67 @@ def dedup_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe_minhash_index(spark, docs, sf_dir)
 
 
+def _posting_from_docs(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → exploded (doc_id, shingle) posting — shared by
+    the index probe and the incremental ingest."""
+    return (
+        docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w")
+        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
+        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
+    )
+
+
+def _bands_from_posting(posting: DataFrame) -> DataFrame:
+    """(doc_id, shingle) posting → (doc_id, band_id, band_key) band
+    rows, the store's native shape."""
+    sig = posting.groupBy("doc_id").agg(
+        *[
+            F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ]
+    )
+    stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
+    return sig.selectExpr("doc_id", *_band_exprs()).selectExpr(
+        "doc_id", f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)"
+    )
+
+
+def ingest_into_minhash_index(
+    spark: SparkSession, new_docs: DataFrame, sf_dir: str
+) -> int:
+    """The WRITE half of the incremental-dedup loop: append new
+    documents' band postings and shingle postings into the persisted
+    stores, so every later probe sees them as corpus. Typical pipeline
+    per arriving batch: probe → route near-dup matches away → ingest
+    the survivors.
+
+    O(batch): only the new docs are signatured; the append lands new
+    files in the band-partitioned layout without touching existing
+    ones (same discipline as similarity_index_incremental). Docs whose
+    ids are already in the store are skipped (anti-join against the
+    store's doc_id set — an index-metadata-sized read), making a
+    retried ingest idempotent; a 100 TB deployment would instead key
+    ingest batches like the foreachBatch parquet sink keys batch ids.
+    Returns the number of documents actually ingested."""
+    root = build_minhash_index(spark, sf_dir)
+    posting_root = build_minhash_corpus_postings(spark, sf_dir)
+    existing = spark.read.parquet(root).select("doc_id").distinct()
+    fresh = new_docs.join(existing, "doc_id", "left_anti")
+    posting = _posting_from_docs(fresh)
+    bands = _bands_from_posting(posting)
+    (
+        bands.repartition("band_id")
+        .sortWithinPartitions("band_key")
+        .write.mode("append")
+        .partitionBy("band_id")
+        .parquet(root)
+    )
+    posting.select("doc_id", "shingle").write.mode("append").parquet(
+        posting_root
+    )
+    return fresh.count()
+
+
 def probe_minhash_index(
     spark: SparkSession, batch_docs: DataFrame, sf_dir: str
 ) -> DataFrame:
@@ -1629,21 +1690,9 @@ def probe_minhash_index(
     large batch can persist batch_docs around the terminal action."""
     root = build_minhash_index(spark, sf_dir)
     posting_root = build_minhash_corpus_postings(spark, sf_dir)
-    batch_posting = (
-        batch_docs.selectExpr("doc_id", f"{_WORDS_SPARK} AS w")
-        .selectExpr("doc_id", f"{_SHINGLES_SPARK} AS shingles")
-        .select("doc_id", F.explode_outer("shingles").alias("shingle"))
-    )
-    sig = batch_posting.groupBy("doc_id").agg(
-        *[
-            F.min(F.expr(_MINHASH_HASH_SPARK.format(i=i))).alias(f"h{i}")
-            for i in range(MINHASH_K)
-        ]
-    )
-    stack_args = ", ".join(f"{b}, band_{b}" for b in range(LSH_BANDS))
-    batch_bands = sig.selectExpr("doc_id", *_band_exprs()).selectExpr(
-        "doc_id AS batch_doc",
-        f"stack({LSH_BANDS}, {stack_args}) AS (band_id, band_key)",
+    batch_posting = _posting_from_docs(batch_docs)
+    batch_bands = _bands_from_posting(batch_posting).selectExpr(
+        "doc_id AS batch_doc", "band_id", "band_key"
     )
     idx = spark.read.parquet(root).selectExpr(
         "doc_id AS corpus_doc",
