@@ -1674,6 +1674,30 @@ def ingest_into_minhash_index(
     return fresh.count()
 
 
+def incremental_dedup_pipeline(
+    spark: SparkSession, batch_docs: DataFrame, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """One arriving batch through the WHOLE incremental-dedup loop:
+    probe the persisted index, route matched near-dups out, ingest the
+    clean survivors — so the NEXT batch dedups against everything that
+    came before, corpus and prior batches alike. Returns
+    (clean_docs, matches); the caller sinks the clean side and reports
+    the matches (dead-letter discipline, etl_deadletter_routing).
+
+    The probe plan is evaluated twice (match report + the anti-join
+    feeding ingest) — batch-sized both times; a caller with a heavy
+    batch can persist batch_docs around the call, per the probe's
+    cache-free contract. The clean side is eagerly localCheckpointed
+    (batch-sized) BEFORE ingest: its lazy plan reads the store this
+    function is about to mutate, and a post-ingest re-evaluation
+    would otherwise see its own docs as duplicates."""
+    matches = probe_minhash_index(spark, batch_docs, sf_dir)
+    dup_ids = matches.select(F.col("batch_doc").alias("doc_id")).distinct()
+    clean = batch_docs.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
+    ingest_into_minhash_index(spark, clean, sf_dir)
+    return clean, matches
+
+
 def probe_minhash_index(
     spark: SparkSession, batch_docs: DataFrame, sf_dir: str
 ) -> DataFrame:

@@ -79,3 +79,48 @@ def test_reingest_is_idempotent(spark, sf_dir, tmp_path):
     # the retry ingests nothing and the store is unchanged
     assert ingest_into_minhash_index(spark, batch, iso) == 0
     assert spark.read.parquet(root).count() == n_after_first
+
+
+def test_two_batch_loop_catches_cross_batch_dups(spark, sf_dir, tmp_path):
+    """The property only the FULL loop has: batch 2 contains exact
+    copies of batch-1 docs (fresh ids, same text). The store's corpus
+    never saw them — they are caught solely because batch 1's
+    survivors were ingested. Copies route to matches; genuinely new
+    docs survive and get ingested in turn."""
+    from golang_etl_spark.operators.dedup import incremental_dedup_pipeline
+
+    iso = _iso_fixture(sf_dir, tmp_path)
+    build_minhash_index(spark, iso)
+    docs = spark.read.parquet(f"{iso}/documents.parquet")
+    batch = docs.filter(F.expr(_IS_BATCH_SQL))
+    b1 = batch.filter(F.col("doc_id") % 2 == 1)
+    b2_new = batch.filter(F.col("doc_id") % 2 == 0)
+
+    clean1, matches1 = incremental_dedup_pipeline(spark, b1, iso)
+    n_clean1 = clean1.count()
+    assert n_clean1 > 0
+
+    # batch 2 = the other half PLUS copies of batch-1 survivors under
+    # fresh ids — near-dups of a PRIOR BATCH, not of the corpus.
+    # Materialized: a lazy limit() would re-pick different rows on
+    # each downstream action, and clean1's plan re-probes the store.
+    picked = [r.asDict() for r in clean1.orderBy("doc_id").limit(5).collect()]
+    for r in picked:
+        r["doc_id"] += 10_000_000
+    assert picked
+    copies = spark.createDataFrame(picked, clean1.schema)
+    b2 = b2_new.unionByName(copies)
+
+    clean2, matches2 = incremental_dedup_pipeline(spark, b2, iso)
+
+    copy_ids = {r["doc_id"] for r in copies.select("doc_id").collect()}
+    caught = {
+        r["batch_doc"]
+        for r in matches2.filter(F.col("jaccard") == 1.0).collect()
+        if r["batch_doc"] in copy_ids
+    }
+    assert caught == copy_ids, (
+        f"cross-batch dups missed: {copy_ids - caught}"
+    )
+    # none of the copies survived into the clean side
+    assert clean2.filter(F.col("doc_id").isin(list(copy_ids))).count() == 0
