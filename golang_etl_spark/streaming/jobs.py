@@ -1062,3 +1062,43 @@ def index_probe_pipeline(
     return spark.read.parquet(out_root).select(
         "batch_doc", "corpus_doc", "jaccard"
     )
+
+
+def stream_incremental_dedup(
+    docs: DataFrame, sf_dir: str, out_root: str
+) -> tuple[DataFrame, DataFrame]:
+    """The incremental-dedup LOOP under streaming arrival: every
+    micro-batch runs probe -> route matches -> ingest survivors
+    (operators/dedup.incremental_dedup_pipeline), so a document is
+    deduplicated against the offline corpus AND every earlier
+    micro-batch. Clean docs and match reports land in batch-keyed
+    parquet (idempotent per batch, same contract as
+    foreachbatch_parquet_sink); the ingest side is idempotent by the
+    store's doc_id anti-join. Returns (clean, matches) batch tables
+    read back from the sinks — the always-on corpus-builder shape."""
+    from golang_etl_spark.operators.dedup import incremental_dedup_pipeline
+
+    spark = docs.sparkSession
+
+    def _loop_batch(batch_df, batch_id: int) -> None:
+        clean, matches = incremental_dedup_pipeline(
+            batch_df.sparkSession, batch_df, sf_dir
+        )
+        matches.write.mode("overwrite").parquet(
+            f"{out_root}/matches/batch_id={batch_id}"
+        )
+        clean.select("doc_id").write.mode("overwrite").parquet(
+            f"{out_root}/clean/batch_id={batch_id}"
+        )
+
+    q = (
+        docs.writeStream.foreachBatch(_loop_batch)
+        .option("checkpointLocation", f"{out_root}/_checkpoints")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(f"{out_root}/clean"),
+        spark.read.parquet(f"{out_root}/matches"),
+    )

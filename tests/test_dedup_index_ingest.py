@@ -124,3 +124,69 @@ def test_two_batch_loop_catches_cross_batch_dups(spark, sf_dir, tmp_path):
     )
     # none of the copies survived into the clean side
     assert clean2.filter(F.col("doc_id").isin(list(copy_ids))).count() == 0
+
+
+def test_streaming_loop_dedups_across_microbatches(spark, sf_dir, tmp_path):
+    """Two chronological micro-batches through the streaming loop:
+    chunk 2 holds exact copies (fresh ids) of chunk-1 docs. They are
+    caught only because chunk 1's survivors were ingested between the
+    batches — the cross-micro-batch property plain per-batch dedup
+    cannot have."""
+    import pyarrow.parquet as pq
+
+    from golang_etl_spark.streaming.jobs import (
+        _DOCS_SCHEMA,
+        stream_incremental_dedup,
+    )
+
+    iso = _iso_fixture(sf_dir, tmp_path)
+    build_minhash_index(spark, iso)
+
+    docs = spark.read.parquet(f"{iso}/documents.parquet")
+    batch = docs.filter(F.expr(_IS_BATCH_SQL))
+    c1 = batch.filter(F.col("doc_id") % 2 == 1)
+    c2_new = batch.filter(F.col("doc_id") % 2 == 0)
+    picked = [r.asDict() for r in c1.orderBy("doc_id").limit(4).collect()]
+    for r in picked:
+        r["doc_id"] += 20_000_000
+    copies = spark.createDataFrame(picked, c1.schema)
+    copy_ids = {r["doc_id"] for r in picked}
+
+    split = tmp_path / "stream_in"
+    split.mkdir()
+    c1.toPandas().pipe(
+        lambda pdf: pq.write_table(
+            __import__("pyarrow").Table.from_pandas(pdf),
+            str(split / "c1.parquet"),
+        )
+    )
+    c2_new.unionByName(copies).toPandas().pipe(
+        lambda pdf: pq.write_table(
+            __import__("pyarrow").Table.from_pandas(pdf),
+            str(split / "c2.parquet"),
+        )
+    )
+    import os
+    import time
+
+    base = time.time() - 20
+    os.utime(split / "c1.parquet", (base, base))
+    os.utime(split / "c2.parquet", (base + 5, base + 5))
+
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(split))
+    )
+    clean, matches = stream_incremental_dedup(
+        stream, iso, str(tmp_path / "loop_out")
+    )
+
+    caught = {
+        r["batch_doc"]
+        for r in matches.filter(F.col("jaccard") == 1.0).collect()
+        if r["batch_doc"] in copy_ids
+    }
+    assert caught == copy_ids, f"missed across batches: {copy_ids - caught}"
+    clean_ids = {r["doc_id"] for r in clean.collect()}
+    assert not (clean_ids & copy_ids), "copies leaked into the clean sink"
