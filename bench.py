@@ -351,6 +351,24 @@ def main() -> None:
     slowest = dict(
         sorted(timings.items(), key=lambda kv: -kv[1])[:10]
     )
+    # Expensive-exact / cheap-approx twin pairs: the exact side exists
+    # to verify the approximate one, so its cost is deliberate — but a
+    # silent blow-up of the exact plan (e.g. an Expand regression on a
+    # Spark version bump) should surface as a NUMBER each round, not
+    # wait for a plan audit. Ratio = exact_sec / approx_sec.
+    twin_pairs = {
+        "profile_orders_exact_over_approx": (
+            "profile_orders", "profile_orders_approx"
+        ),
+        "hll_exact_twin_over_store_merge": (
+            "sketch_hll_exact_twin", "sketch_hll_store_merge"
+        ),
+    }
+    twin_ratios = {
+        label: round(timings[exact] / timings[approx], 2)
+        for label, (exact, approx) in twin_pairs.items()
+        if timings.get(exact) and timings.get(approx)
+    }
     detail = {
         "metric": "headline_query_wall_clock_total",
         "value": total,
@@ -360,6 +378,7 @@ def main() -> None:
         "budget_s": BUDGET_S,
         "queries": timings,
         "families": dict(sorted(families.items())),
+        "twin_ratios": twin_ratios,
         "slowest": slowest,
     }
     with open(DETAIL_PATH, "w") as f:

@@ -1654,13 +1654,30 @@ def ingest_into_minhash_index(
     store's doc_id set — an index-metadata-sized read), making a
     retried ingest idempotent; a 100 TB deployment would instead key
     ingest batches like the foreachBatch parquet sink keys batch ids.
-    Returns the number of documents actually ingested."""
+    The two stores are appended non-atomically, so idempotence is
+    keyed PER STORE: each append anti-joins against its own store's
+    doc_ids, not a single shared marker. A crash between the writes
+    leaves a doc posting-only; the retry then fills in exactly the
+    missing band rows (and vice versa) without ever duplicating rows
+    in either store — the loop converges to both stores complete.
+    Returns the number of documents newly completed (docs that were
+    missing from the band store, which is written last and therefore
+    marks a finished ingest)."""
     root = build_minhash_index(spark, sf_dir)
     posting_root = build_minhash_corpus_postings(spark, sf_dir)
-    existing = spark.read.parquet(root).select("doc_id").distinct()
-    fresh = new_docs.join(existing, "doc_id", "left_anti")
-    posting = _posting_from_docs(fresh)
-    bands = _bands_from_posting(posting)
+    in_bands = spark.read.parquet(root).select("doc_id").distinct()
+    in_postings = spark.read.parquet(posting_root).select("doc_id").distinct()
+    fresh_bands = new_docs.join(in_bands, "doc_id", "left_anti")
+    n_new = fresh_bands.count()  # before the store mutates under the plan
+    fresh_postings = new_docs.join(in_postings, "doc_id", "left_anti")
+    # posting store FIRST: probing a band-indexed doc with no postings
+    # silently drops its candidates (the inner join on sizes_b), while
+    # a posting-only doc is merely invisible until the retry lands its
+    # band rows.
+    _posting_from_docs(fresh_postings).select("doc_id", "shingle").write.mode(
+        "append"
+    ).parquet(posting_root)
+    bands = _bands_from_posting(_posting_from_docs(fresh_bands))
     (
         bands.repartition("band_id")
         .sortWithinPartitions("band_key")
@@ -1668,10 +1685,7 @@ def ingest_into_minhash_index(
         .partitionBy("band_id")
         .parquet(root)
     )
-    posting.select("doc_id", "shingle").write.mode("append").parquet(
-        posting_root
-    )
-    return fresh.count()
+    return n_new
 
 
 def incremental_dedup_pipeline(
@@ -1690,8 +1704,19 @@ def incremental_dedup_pipeline(
     cache-free contract. The clean side is eagerly localCheckpointed
     (batch-sized) BEFORE ingest: its lazy plan reads the store this
     function is about to mutate, and a post-ingest re-evaluation
-    would otherwise see its own docs as duplicates."""
-    matches = probe_minhash_index(spark, batch_docs, sf_dir)
+    would otherwise see its own docs as duplicates.
+
+    RETRY-SAFE: the store side is anti-joined against the batch's own
+    doc_ids before probing, so probe→route is deterministic whether or
+    not this batch's ingest already landed. Without that, a micro-batch
+    retried after its ingest (stream restart between ingest and sink
+    commit) would see its own docs in the store — every doc self-
+    matches at jaccard 1.0, the clean set re-runs empty, and the batch
+    silently vanishes from the clean corpus."""
+    batch_ids = batch_docs.select("doc_id").distinct()
+    matches = probe_minhash_index(
+        spark, batch_docs, sf_dir, exclude_ids=batch_ids
+    )
     dup_ids = matches.select(F.col("batch_doc").alias("doc_id")).distinct()
     clean = batch_docs.join(dup_ids, "doc_id", "left_anti").localCheckpoint()
     ingest_into_minhash_index(spark, clean, sf_dir)
@@ -1699,12 +1724,22 @@ def incremental_dedup_pipeline(
 
 
 def probe_minhash_index(
-    spark: SparkSession, batch_docs: DataFrame, sf_dir: str
+    spark: SparkSession,
+    batch_docs: DataFrame,
+    sf_dir: str,
+    exclude_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Probe the persisted index with ANY (doc_id, text) batch — the
     batch side is signatured from the DataFrame itself (a micro-batch
     in the streaming variant), the corpus side comes from the two file
     stores (band index + corpus shingle postings).
+
+    ``exclude_ids`` (a (doc_id) DataFrame, typically the batch's own
+    ids) is anti-joined off the STORE side — both band index and
+    postings — before probing. The incremental loop passes it so a
+    retried batch whose ingest already landed doesn't self-match at
+    jaccard 1.0; batch-sized, so the anti-join is a cheap semi-shuffle
+    (broadcast under AQE for any realistic micro-batch).
 
     Deliberately CACHE-FREE: this runs inside streaming foreachBatch,
     where a per-call persist() accumulates cached partitions for the
@@ -1723,6 +1758,13 @@ def probe_minhash_index(
         "cast(band_id AS int) AS i_band_id",
         "band_key AS i_band_key",
     )
+    corpus_posting = spark.read.parquet(posting_root)
+    if exclude_ids is not None:
+        excl = exclude_ids.select("doc_id").distinct()
+        idx = idx.join(
+            excl.selectExpr("doc_id AS corpus_doc"), "corpus_doc", "left_anti"
+        )
+        corpus_posting = corpus_posting.join(excl, "doc_id", "left_anti")
     cand = (
         batch_bands.join(
             idx,
@@ -1732,7 +1774,6 @@ def probe_minhash_index(
         .select("batch_doc", "corpus_doc")
         .distinct()
     )
-    corpus_posting = spark.read.parquet(posting_root)
     sa = batch_posting.selectExpr("doc_id AS batch_doc", "shingle")
     sb = corpus_posting.selectExpr("doc_id AS sb_doc", "shingle AS shingle_b")
     inter = (

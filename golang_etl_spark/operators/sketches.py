@@ -212,8 +212,18 @@ def sketch_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll_union_agg over just those sketch rows — the range answer reads
     3 kilobyte rows, not one order row. Rows-only (DataSketches HLL is
     engine-specific); sketch_hll_exact_twin hash-proves the identical
-    pipeline shape with exact counts, and tests/test_sketches.py
-    bounds every estimate against it."""
+    pipeline shape with exact counts.
+
+    1:1 twin mapping (tests/test_sketches.py pins all of it): output
+    rows are (ym in HLL_RANGE_MONTHS -> hll_sketch_estimate) plus one
+    (_HLL_RANGE_LABEL -> estimate of hll_union_agg over exactly those
+    month sketches); the twin emits the SAME four ym keys with exact
+    COUNT(DISTINCT o_custkey) over the same month filter, and its
+    range row unions the same three months. So the twin's hash-green
+    row pins the grouping keys, the month range, and the union shape —
+    leaving only the sketch arithmetic rows-only, which the test
+    bounds per-row (<=5%) and algebraically (max-month <= range-union
+    <= month-sum)."""
     root = build_hll_store(spark, sf_dir)
     sk = spark.read.parquet(root).filter(
         F.col("ym").isin(*HLL_RANGE_MONTHS)
@@ -254,7 +264,11 @@ def sketch_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact twin of sketch_hll_store_merge: the same per-month +
     merged-range shape with exact COUNT(DISTINCT), hash-checked — so
     the store variant's rows-only status isolates only the sketch
-    arithmetic. At 100 TB the exact range query rescans and reshuffles
+    arithmetic. The mapping is 1:1 by construction: identical ym keys
+    (HLL_RANGE_MONTHS + _HLL_RANGE_LABEL), identical month filter,
+    and the range row aggregates the same three months the store's
+    hll_union_agg merges — see the store docstring for the full
+    mapping contract. At 100 TB the exact range query rescans and reshuffles
     every order in the range; the sketch store answers from O(months)
     kilobytes — that asymmetry is the point of the pairing."""
     orders = load_table(spark, sf_dir, "orders")

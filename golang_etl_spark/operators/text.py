@@ -1942,10 +1942,14 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.expr("size(w) > 0")).selectExpr(
         "doc_id",
         "size(w) AS n_words",
-        "size(array_distinct(w)) * 1.0 / size(w) AS ttr",
+        # `* 1.0` would type these DECIMAL (the SQL decimal-literal trap,
+        # r06 driver hash fail); divide by an explicit DOUBLE instead so the
+        # output dtype matches the DuckDB oracle's DOUBLE.
+        "size(array_distinct(w)) / CAST(size(w) AS DOUBLE) AS ttr",
         "aggregate(transform(w, x -> length(x)), 0, (acc, x) -> acc + x)"
-        " * 1.0 / size(w) AS avg_len",
-        f"least(size(w), {_QC_LEN_CAP}) * 1.0 / {_QC_LEN_CAP} AS len_sat",
+        " / CAST(size(w) AS DOUBLE) AS avg_len",
+        f"least(size(w), {_QC_LEN_CAP}) / CAST({_QC_LEN_CAP} AS DOUBLE)"
+        " AS len_sat",
     )
     z = (
         F.lit(_QC_W["bias"])

@@ -137,7 +137,15 @@ def stream_webdataset_ingest(docs: DataFrame, out_dir: str) -> list[str]:
         .start()
     )
     q.awaitTermination()
-    return sorted(f for f in os.listdir(out_dir) if f.endswith(".tar"))
+    # exclude '_tmp.<pid>.*.tar' leftovers from a task killed mid-write
+    # — they're torn files awaiting the atomic rename that never came
+    # (Spark's own readers skip underscore-prefixed files; this listdir
+    # must too)
+    return sorted(
+        f
+        for f in os.listdir(out_dir)
+        if f.endswith(".tar") and not f.startswith("_tmp.")
+    )
 
 
 _UNPACK_SCHEMA = (

@@ -10,6 +10,8 @@ sorted by name.
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal as _decimal
 import math
 from dataclasses import dataclass
 
@@ -65,6 +67,48 @@ class CompareResult:
         return f"[{status}] {self.name}: spark={self.spark_rows} oracle={self.oracle_rows} {self.detail}"
 
 
+def _col_class(s: pd.Series) -> str:
+    """Coarse dtype class for driver-grade type comparison.
+
+    The driver's hash gate canonicalizes by serialized VALUE FORM, not
+    numeric value: a Spark DECIMAL(19,6) against a DuckDB DOUBLE fails
+    its hash even when every value is numerically equal (r06:
+    ``text_quality_classifier``). ``_values_equal``'s float() coercion
+    cannot see that, so the mirror compares dtype classes explicitly.
+    """
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "temporal"
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return "int"
+    if pd.api.types.is_float_dtype(s):
+        return "float"
+    for v in s:
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            continue
+        if isinstance(v, _decimal.Decimal):
+            return "decimal"
+        if isinstance(v, (bool, np.bool_)):
+            return "bool"
+        if isinstance(v, (int, np.integer)):
+            return "int"
+        if isinstance(v, (float, np.floating)):
+            return "float"
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, (bytes, bytearray)):
+            return "bytes"
+        if isinstance(v, (_dt.datetime, _dt.date, pd.Timestamp)):
+            return "temporal"
+        if isinstance(v, (list, tuple, np.ndarray)):
+            return "array"
+        if isinstance(v, dict):
+            return "map"
+        return "other"
+    return "null"  # all-null column: wildcard, matches anything
+
+
 def _values_equal(a, b) -> bool:
     if pd.isna(a) and pd.isna(b):
         return True
@@ -104,6 +148,19 @@ def compare_query(
         )
     if len(sdf) != len(odf):
         return CompareResult(name, False, len(sdf), len(odf), "row count mismatch")
+
+    # Driver-grade type gate: classes must agree BEFORE numeric coercion.
+    # Decimal-vs-float (or int-vs-float, str-vs-numeric, ...) hashes
+    # differently under the driver even when float()-equal.
+    for c in sorted(sdf.columns):
+        cs, co = _col_class(sdf[c]), _col_class(odf[c])
+        if cs != co and "null" not in (cs, co):
+            return CompareResult(
+                name, False, len(sdf), len(odf),
+                f"dtype-class mismatch col {c!r}: spark={cs} oracle={co} "
+                "(driver hashes serialized form — numerically-equal values "
+                "of different classes FAIL its gate)",
+            )
 
     s = _canonicalize(sdf)
     o = _canonicalize(odf)

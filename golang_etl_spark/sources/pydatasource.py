@@ -92,16 +92,20 @@ class RangeShardDataSource(DataSource):
         return RangeShardReader(self.options)
 
 
-_DS_REGISTERED: set[int] = set()
+import weakref
+
+# weak refs, not id(spark): CPython reuses a freed object's id, so an
+# id()-keyed memo can silently skip registration on a NEW session that
+# happens to land on a dead session's address
+_DS_REGISTERED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def ensure_registered(spark: SparkSession) -> None:
     """Register the source once per SparkSession (re-registration under
     the same name raises)."""
-    key = id(spark)
-    if key not in _DS_REGISTERED:
+    if spark not in _DS_REGISTERED:
         spark.dataSource.register(RangeShardDataSource)
-        _DS_REGISTERED.add(key)
+        _DS_REGISTERED.add(spark)
 
 
 def read_range_shard(

@@ -81,6 +81,79 @@ def test_reingest_is_idempotent(spark, sf_dir, tmp_path):
     assert spark.read.parquet(root).count() == n_after_first
 
 
+def test_pipeline_retry_after_ingest_is_deterministic(spark, sf_dir, tmp_path):
+    """Simulates a stream restart BETWEEN ingest and sink commit: the
+    same batch re-runs through incremental_dedup_pipeline after its
+    ingest already landed. The retry must produce the SAME clean set
+    and matches — not self-match every doc at jaccard 1.0 and drop the
+    whole batch from the clean corpus (the pre-fix failure mode)."""
+    from golang_etl_spark.operators.dedup import incremental_dedup_pipeline
+
+    iso = _iso_fixture(sf_dir, tmp_path)
+    build_minhash_index(spark, iso)
+    docs = spark.read.parquet(f"{iso}/documents.parquet")
+    batch = docs.filter(F.expr(_IS_BATCH_SQL))
+
+    clean1, matches1 = incremental_dedup_pipeline(spark, batch, iso)
+    ids1 = {r["doc_id"] for r in clean1.select("doc_id").collect()}
+    m1 = {(r["batch_doc"], r["corpus_doc"]) for r in matches1.collect()}
+    assert ids1, "first run must keep some docs"
+
+    # the retry: ingest already landed, same batch replays
+    clean2, matches2 = incremental_dedup_pipeline(spark, batch, iso)
+    ids2 = {r["doc_id"] for r in clean2.select("doc_id").collect()}
+    m2 = {(r["batch_doc"], r["corpus_doc"]) for r in matches2.collect()}
+    assert ids2 == ids1, "retry changed the clean set"
+    assert m2 == m1, "retry changed the match report"
+    assert not any(a == b for a, b in m2), "self-matches leaked into retry"
+
+
+def test_half_ingest_recovers(spark, sf_dir, tmp_path):
+    """Simulates a crash between the two store appends: the posting
+    store (written first) has the batch, the band store does not. The
+    retry must complete the band store WITHOUT duplicating posting
+    rows — per-store anti-join keying, not a single shared marker."""
+    from golang_etl_spark.operators.dedup import (
+        _posting_from_docs,
+        build_minhash_corpus_postings,
+    )
+
+    iso = _iso_fixture(sf_dir, tmp_path)
+    root = build_minhash_index(spark, iso)
+    posting_root = build_minhash_corpus_postings(spark, iso)
+    docs = spark.read.parquet(f"{iso}/documents.parquet")
+    batch = docs.filter(F.expr(_IS_BATCH_SQL))
+    n_batch = batch.count()
+
+    # crash simulation: posting append landed, band append did not
+    _posting_from_docs(batch).select("doc_id", "shingle").write.mode(
+        "append"
+    ).parquet(posting_root)
+    post_rows_after_crash = spark.read.parquet(posting_root).count()
+    bands_before = spark.read.parquet(root).count()
+
+    # retry completes the missing half
+    assert ingest_into_minhash_index(spark, batch, iso) == n_batch
+    assert (
+        spark.read.parquet(posting_root).count() == post_rows_after_crash
+    ), "posting rows duplicated on retry"
+    assert (
+        spark.read.parquet(root).count()
+        == bands_before + n_batch * LSH_BANDS
+    )
+    # recovered docs are fully probe-visible (bands AND postings agree)
+    hits = probe_minhash_index(spark, batch, iso)
+    self_hits = {
+        r["batch_doc"]
+        for r in hits.filter(
+            (F.col("batch_doc") == F.col("corpus_doc"))
+            & (F.col("jaccard") == 1.0)
+        ).collect()
+    }
+    want = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    assert self_hits == want
+
+
 def test_two_batch_loop_catches_cross_batch_dups(spark, sf_dir, tmp_path):
     """The property only the FULL loop has: batch 2 contains exact
     copies of batch-1 docs (fresh ids, same text). The store's corpus

@@ -26,6 +26,35 @@ def test_bounds_guard_rejects_bad_plan():
         RangeShardReader({"lower": "1", "upper": "10", "stride": "0"})
 
 
+def test_datasource_partitions_match_stride_planner(spark):
+    """Partition gate (VERDICT r06 #5): the custom DataSource's
+    ``partitions()`` must yield exactly the chunks the JDBC stride
+    planner (etl.plan_range_partitions) would plan for the same key
+    range — same count, same half-open bounds, same maxKey+1 clamp.
+    Then the LIVE scan must surface that count as its input-partition
+    count, one task per chunk (mirroring the JDBC stride unit tests)."""
+    from golang_etl_spark.etl import plan_range_partitions
+    from golang_etl_spark.sources.sinks import SEED_ROWS
+
+    for stride in (1000, 3000, 10_000):
+        plan = plan_range_partitions(1, SEED_ROWS, stride=stride)
+        r = RangeShardReader(
+            {"lower": "1", "upper": str(SEED_ROWS + 1), "stride": str(stride)}
+        )
+        chunks = [(c.start, c.end) for c in r.partitions()]
+        assert len(chunks) == plan.num_partitions, (
+            f"stride {stride}: DataSource plans {len(chunks)} chunks, "
+            f"stride planner {plan.num_partitions}"
+        )
+        assert chunks[0][0] == plan.lower_bound
+        assert chunks[-1][1] == plan.upper_bound  # the maxKey+1 fixup
+        assert all(e - s <= plan.stride for s, e in chunks)
+
+    plan = plan_range_partitions(1, SEED_ROWS, stride=1000)
+    df = read_range_shard(spark, stride=1000)
+    assert df.rdd.getNumPartitions() == plan.num_partitions
+
+
 def test_one_task_per_chunk_and_seed_parity(spark):
     from golang_etl_spark.sources.sinks import seed_table
 
