@@ -243,6 +243,10 @@ HEADLINE = [
     # DataSource (stride-chunked range scan as a pluggable source)
     "text_heavy_hitters_twopass",
     "source_python_datasource",
+    # round 7: asymmetric containment dedup (short-in-long pairs the
+    # symmetric Jaccard bar dilutes away); token-entropy quality signal
+    "dedup_containment_ngram",
+    "text_token_entropy",
 ]
 
 

@@ -533,6 +533,108 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 4b. Containment near-dup: the asymmetric overlap Jaccard misses.
+# ---------------------------------------------------------------------------
+# A short document fully contained in a long one has low Jaccard
+# (|A∩B|/|A∪B| is diluted by the long side's extra shingles) but
+# containment |A∩B|/min(|A|,|B|) ≈ 1 — the quote/boilerplate/wrapper
+# case every corpus-dedup pipeline needs alongside symmetric Jaccard.
+# Candidates come from the SAME DF-capped inverted shingle index as
+# dedup_ngram_jaccard (MinHash-LSH bands would be WRONG here: band
+# collision probability tracks Jaccard, so low-Jaccard containment
+# pairs rarely collide); the verify step just swaps the denominator.
+CONTAIN_MIN = 0.8
+
+_CONTAIN_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLES_DUCK} AS shingles
+  FROM (SELECT doc_id, {_WORDS_DUCK} AS w FROM documents)
+),
+posting AS (
+  SELECT doc_id, len(shingles) AS n, unnest(shingles) AS shingle FROM sh
+),
+rare AS (
+  SELECT shingle FROM posting GROUP BY shingle HAVING COUNT(*) <= {DF_CAP}
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         a.n AS n_a, b.n AS n_b, COUNT(*) AS shared
+  FROM posting a
+  JOIN rare r ON a.shingle = r.shingle
+  JOIN posting b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n, b.n
+)
+SELECT doc_id_a, doc_id_b,
+       CAST(shared AS BIGINT) AS shared,
+       ROUND(shared / CAST(LEAST(n_a, n_b) AS DOUBLE), 6) AS containment,
+       ROUND(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+FROM pairs
+WHERE shared / CAST(LEAST(n_a, n_b) AS DOUBLE) >= {CONTAIN_MIN}
+"""
+
+
+@register(
+    "dedup_containment_ngram", oracle=_CONTAIN_ORACLE, tags=("dedup", "llm")
+)
+def dedup_containment_ngram(
+    spark: SparkSession, sf_dir: str, df_cap: int = DF_CAP
+) -> DataFrame:
+    """Asymmetric containment near-dup: pairs where the SMALLER
+    shingle set is >= CONTAIN_MIN covered by the intersection —
+    catches short-in-long duplication (quotes, wrappers, boilerplate
+    plus payload) that symmetric Jaccard dilutes below threshold. The
+    jaccard column is emitted alongside so the asymmetric catch is
+    visible (containment ~1, jaccard well under JACCARD_MIN).
+
+    Same inverted-index candidate generation as dedup_ngram_jaccard
+    (DF-capped postings, Σ df² candidate volume — never O(n²));
+    deliberately NOT MinHash-LSH bands, whose collision probability
+    tracks Jaccard and therefore misses exactly the low-Jaccard/
+    high-containment pairs this operator exists to find. Same recall
+    caveat as the Jaccard variant: a pair sharing only stop-shingles
+    (df > df_cap) is not surfaced — and the cap is an ABSOLUTE count,
+    so it must scale with corpus duplication (a 10x-replicated corpus
+    pushes every match-bearing shingle's df 10x higher; at production
+    scale set df_cap as a fraction of corpus size, which is what the
+    10x smoke in tests/test_scaleup_smoke.py exercises)."""
+    posting = _shingle_posting(spark, sf_dir).persist()
+    rare = (
+        posting.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+    )
+    p = posting.join(rare, "shingle")
+    a = p.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("n").alias("n_a"),
+    )
+    b = posting.select(
+        F.col("shingle"),
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("n").alias("n_b"),
+    )
+    pairs = (
+        a.join(b, "shingle")
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    contain = F.col("shared") / F.least("n_a", "n_b").cast("double")
+    jac = F.col("shared") / (
+        F.col("n_a") + F.col("n_b") - F.col("shared")
+    ).cast("double")
+    return pairs.filter(contain >= CONTAIN_MIN).select(
+        "doc_id_a",
+        "doc_id_b",
+        F.col("shared").cast("long").alias("shared"),
+        F.round(contain, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # 5. Embedding-cosine near-dup via random-hyperplane LSH buckets.
 # ---------------------------------------------------------------------------
 def _plane_literal(p: np.ndarray) -> str:

@@ -1966,3 +1966,84 @@ def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token entropy: the information-theoretic quality signal.
+# ---------------------------------------------------------------------------
+# Shannon entropy of each document's token distribution — low entropy
+# flags repetition/boilerplate (a doc that is one phrase looped has
+# H ~ log2(phrase length), far below natural text); the normalized
+# form H / log2(n_unique) is scale-free across document lengths.
+# Computed as H = log2(n) - (Σ c·log2(c)) / n — ONE aggregation over
+# per-(doc, token) counts, no self-join — and the SAME formula on both
+# engines so the float path (and hence the rounded hash) agrees.
+_ENTROPY_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, unnest(list_transform({{words}}, x -> lower(x))) AS word
+  FROM documents
+),
+cnt AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+),
+agg AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS DOUBLE) AS n,
+         COUNT(*) AS n_unique,
+         SUM(c * log2(CAST(c AS DOUBLE))) AS clog
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_words,
+       CAST(n_unique AS BIGINT) AS n_unique,
+       ROUND(log2(n) - clog / n, 6) AS token_entropy,
+       CASE WHEN n_unique > 1
+            THEN ROUND((log2(n) - clog / n)
+                       / log2(CAST(n_unique AS DOUBLE)), 6)
+            ELSE 0.0 END AS norm_entropy
+FROM agg
+""".format(words=_words_expr_duck())
+
+
+@register(
+    "text_token_entropy",
+    oracle=_ENTROPY_ORACLE,
+    tags=("text", "llm", "stats"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution plus its
+    normalized form — the standard information-theoretic repetition /
+    boilerplate detector (complements text_quality_stats' ratio
+    features and text_repetition_filter's n-gram loop rule).
+
+    100 TB shape: explode → two map-side-combinable aggregations keyed
+    by doc_id — no join, no window; the (doc_id, word) count table is
+    the only shuffle and it shrinks with dedup of repeated tokens.
+    H = log2(n) - Σ c·log2(c) / n keeps the arithmetic one SUM per doc
+    (identical formula in the DuckDB oracle so rounding agrees)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(f"transform({_words_expr_spark()}, x -> lower(x))")
+        ).alias("word"),
+    )
+    cnt = w.groupBy("doc_id", "word").agg(F.count("*").alias("c"))
+    agg = cnt.groupBy("doc_id").agg(
+        F.sum("c").cast("double").alias("n"),
+        F.count("*").alias("n_unique"),
+        F.sum(F.col("c") * F.log2(F.col("c").cast("double"))).alias("clog"),
+    )
+    ent = F.log2(F.col("n")) - F.col("clog") / F.col("n")
+    return agg.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_words"),
+        F.col("n_unique").cast("long").alias("n_unique"),
+        F.round(ent, 6).alias("token_entropy"),
+        F.when(
+            F.col("n_unique") > 1,
+            F.round(ent / F.log2(F.col("n_unique").cast("double")), 6),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("norm_entropy"),
+    )

@@ -107,3 +107,49 @@ def test_jaccard_prefix_filter_is_complete(spark, sf_dir):
     )
     for k in want:
         assert abs(got[k] - want[k]) < 1e-6
+
+
+def test_containment_catches_short_in_long_that_jaccard_misses(spark, tmp_path):
+    """The asymmetric case the operator exists for: a short doc whose
+    shingles are ALL inside a much longer doc. Containment = 1.0, but
+    the long side's extra shingles dilute Jaccard below JACCARD_MIN —
+    so dedup_ngram_jaccard must NOT pair them while
+    dedup_containment_ngram MUST."""
+    from golang_etl_spark.operators.dedup import (
+        JACCARD_MIN,
+        dedup_containment_ngram,
+        dedup_ngram_jaccard,
+    )
+
+    short = "alpha bravo charlie delta echo"
+    long = (
+        short
+        + " foxtrot golf hotel india juliet kilo lima mike november"
+        " oscar papa quebec romeo sierra tango uniform victor whiskey"
+        " xray yankee zulu one two three four five six seven eight"
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long),
+         (3, "entirely different body of text with no overlap anywhere here")],
+        "doc_id long, text string",
+    )
+    df.write.parquet(f"{tmp_path}/documents.parquet")
+
+    cont = {
+        (r["doc_id_a"], r["doc_id_b"]): r
+        for r in dedup_containment_ngram(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) in cont, "short-in-long pair missed by containment"
+    assert cont[(1, 2)]["containment"] == 1.0
+    assert cont[(1, 2)]["jaccard"] < JACCARD_MIN, (
+        "fixture not asymmetric enough — jaccard should sit below the bar"
+    )
+    assert not any(3 in pair for pair in cont), "disjoint doc paired"
+
+    jacc_pairs = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in dedup_ngram_jaccard(spark, str(tmp_path)).collect()
+    }
+    assert (1, 2) not in jacc_pairs, (
+        "jaccard already catches this pair — containment adds nothing"
+    )

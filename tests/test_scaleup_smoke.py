@@ -206,6 +206,43 @@ def test_jaccard_prefix_scales_subquadratically(spark, scaled_dir):
     )
 
 
+def test_containment_scales_subquadratically(spark, scaled_dir):
+    """Containment dedup at 10x, run the way a 10x corpus must be
+    configured: the stop-shingle DF cap is an ABSOLUTE count, so
+    replica inflation pushes every match-bearing shingle's df 10x
+    higher — with the base cap unchanged, recall collapses to ZERO
+    (measured: 256 -> 0 pairs), the honest demonstration that df_cap
+    is corpus-relative in production. Scaling the cap with the corpus
+    restores the contract: clone pairs all surface (output grows
+    ~replicas^2 within clone groups, like the PPJoin smoke) while the
+    inverted-index candidate machinery keeps wall time far below the
+    all-pairs space."""
+    from golang_etl_spark.operators.dedup import (
+        DF_CAP,
+        dedup_containment_ngram,
+    )
+
+    base, t_base = _timed_count(spark, dedup_containment_ngram, SF_BIG)
+
+    # unscaled cap at 10x: the cap eats every match-bearing shingle
+    n_stale_cap = dedup_containment_ngram(spark, scaled_dir).count()
+    assert n_stale_cap < base, (
+        "expected recall collapse under an unscaled DF cap — if this "
+        "starts passing, the fixture's df distribution changed"
+    )
+
+    big, t_big = _timed_count(
+        spark,
+        lambda s, d: dedup_containment_ngram(s, d, df_cap=DF_CAP * REPLICAS),
+        scaled_dir,
+    )
+    assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
+    assert t_big < 240, f"all-pairs-scale blowup: {t_big:.1f}s at {REPLICAS}x"
+    assert t_big / big <= t_base / base, (
+        f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
+    )
+
+
 def test_exact_substring_scales_linearly(spark, scaled_dir):
     """Window-hash exact-substring dedup at 10x docs: output rows are
     per-document (exactly 10x), and the work is O(total windows) — the
