@@ -247,6 +247,12 @@ HEADLINE = [
     # symmetric Jaccard bar dilutes away); token-entropy quality signal
     "dedup_containment_ngram",
     "text_token_entropy",
+    # round 7: Gopher fixed-rule filter; head-domain caps; 2-criteria
+    # skyline (running-min rewrite); runtime bloom-filter join demo
+    "text_gopher_rules",
+    "curation_domain_caps",
+    "topk_pareto_frontier",
+    "join_bloom_runtime_filter",
 ]
 
 

@@ -201,5 +201,7 @@ def _load_all() -> None:
     # the existing backlog from the driver's 50-query sample
     from golang_etl_spark.operators import freqitems  # noqa: F401
     from golang_etl_spark.sources import pydatasource  # noqa: F401
+    # round 7 additions — after the round-6 backlog modules
+    from golang_etl_spark.operators import frontier, quality_rules  # noqa: F401
 
     _LOADED = True
