@@ -253,6 +253,10 @@ HEADLINE = [
     "curation_domain_caps",
     "topk_pareto_frontier",
     "join_bloom_runtime_filter",
+    # round 7: point-in-time SCD2 dimension join (as-of rewrite of the
+    # interval join); per-column entropy profiling
+    "join_point_in_time",
+    "profile_column_entropy",
 ]
 
 

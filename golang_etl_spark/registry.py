@@ -203,5 +203,6 @@ def _load_all() -> None:
     from golang_etl_spark.sources import pydatasource  # noqa: F401
     # round 7 additions — after the round-6 backlog modules
     from golang_etl_spark.operators import frontier, quality_rules  # noqa: F401
+    from golang_etl_spark.operators import colprofile, pit_join  # noqa: F401
 
     _LOADED = True
