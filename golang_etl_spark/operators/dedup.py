@@ -576,9 +576,7 @@ WHERE shared / CAST(LEAST(n_a, n_b) AS DOUBLE) >= {CONTAIN_MIN}
 @register(
     "dedup_containment_ngram", oracle=_CONTAIN_ORACLE, tags=("dedup", "llm")
 )
-def dedup_containment_ngram(
-    spark: SparkSession, sf_dir: str, df_cap: int = DF_CAP
-) -> DataFrame:
+def dedup_containment_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup: pairs where the SMALLER
     shingle set is >= CONTAIN_MIN covered by the intersection —
     catches short-in-long duplication (quotes, wrappers, boilerplate
@@ -596,7 +594,18 @@ def dedup_containment_ngram(
     so it must scale with corpus duplication (a 10x-replicated corpus
     pushes every match-bearing shingle's df 10x higher; at production
     scale set df_cap as a fraction of corpus size, which is what the
-    10x smoke in tests/test_scaleup_smoke.py exercises)."""
+    10x smoke in tests/test_scaleup_smoke.py exercises via
+    ``containment_pairs``, the cap-parameterized core — the registered
+    query surface stays (spark, sf_dir) per the driver contract)."""
+    return containment_pairs(spark, sf_dir, DF_CAP)
+
+
+def containment_pairs(
+    spark: SparkSession, sf_dir: str, df_cap: int
+) -> DataFrame:
+    """Cap-parameterized core of dedup_containment_ngram (see its
+    docstring); df_cap is the absolute stop-shingle document-frequency
+    ceiling and must grow with corpus duplication."""
     posting = _shingle_posting(spark, sf_dir).persist()
     rare = (
         posting.groupBy("shingle")

@@ -219,6 +219,7 @@ def test_containment_scales_subquadratically(spark, scaled_dir):
     all-pairs space."""
     from golang_etl_spark.operators.dedup import (
         DF_CAP,
+        containment_pairs,
         dedup_containment_ngram,
     )
 
@@ -233,7 +234,7 @@ def test_containment_scales_subquadratically(spark, scaled_dir):
 
     big, t_big = _timed_count(
         spark,
-        lambda s, d: dedup_containment_ngram(s, d, df_cap=DF_CAP * REPLICAS),
+        lambda s, d: containment_pairs(s, d, df_cap=DF_CAP * REPLICAS),
         scaled_dir,
     )
     assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
