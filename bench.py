@@ -257,6 +257,8 @@ HEADLINE = [
     # interval join); per-column entropy profiling
     "join_point_in_time",
     "profile_column_entropy",
+    # round 7: sliding COUNT DISTINCT via the explode-offsets rewrite
+    "timeseries_rolling_distinct_users",
 ]
 
 
