@@ -18,6 +18,9 @@ states the definition directly (correlated COUNT(DISTINCT) over the
 [day-6, day] range per observed day), so the hash gate proves the
 rewrite. The same shape computes rolling-28 MAU or any trailing
 distinct metric by changing W.
+
+Reference parity: /root/reference has no aggregation surface at all;
+beyond-reference extension per the build brief.
 """
 
 from __future__ import annotations

@@ -10,6 +10,9 @@ Computed as H = log2(n) - (Σ c·log2(c))/n over per-value counts —
 one unpivot (map-side Expand, no Python) and one aggregation per
 column, all map-side combinable; the SAME formula on both engines so
 the float path agrees bit-for-bit.
+
+Reference parity: /root/reference (extractor.go) migrates data
+unprofiled; this is a beyond-reference extension per the build brief.
 """
 
 from __future__ import annotations
