@@ -259,6 +259,9 @@ HEADLINE = [
     "profile_column_entropy",
     # round 7: sliding COUNT DISTINCT via the explode-offsets rewrite
     "timeseries_rolling_distinct_users",
+    # round 7: Spark 4 SQL scripting (WHILE/DECLARE sigma-clip script,
+    # unrolled-CTE oracle)
+    "sql_scripting_robust_mean",
 ]
 
 
