@@ -262,6 +262,9 @@ HEADLINE = [
     # round 7: Spark 4 SQL scripting (WHILE/DECLARE sigma-clip script,
     # unrolled-CTE oracle)
     "sql_scripting_robust_mean",
+    # round 7: functional-dependency discovery (fused per-table
+    # multi-distinct profile)
+    "profile_functional_deps",
 ]
 
 

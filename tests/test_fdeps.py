@@ -1,0 +1,50 @@
+"""Constructed-data semantics + plan shape for functional-dependency
+discovery (the oracle proves fixture-level cross-engine agreement)."""
+
+from golang_etl_spark.operators.fdeps import profile_functional_deps
+
+
+def test_fdeps_known_answer(spark, tmp_path):
+    # orders: o_orderkey is a key (FD holds); o_custkey 1 maps to two
+    # priorities (1 violating determinant), custkey 2 maps to one
+    spark.createDataFrame(
+        [
+            (1, 1, "O", 1.0, None, "HIGH"),
+            (2, 1, "O", 1.0, None, "LOW"),
+            (3, 2, "F", 1.0, None, "LOW"),
+            (4, 2, "F", 1.0, None, "LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).write.parquet(f"{tmp_path}/orders.parquet")
+    spark.createDataFrame(
+        [(1, 10, 100, "N"), (1, 10, 200, "N"), (2, 20, 300, "R")],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_returnflag string",
+    ).write.parquet(f"{tmp_path}/lineitem.parquet")
+    out = {
+        (r["table_name"], r["candidate"]): r
+        for r in profile_functional_deps(spark, str(tmp_path)).collect()
+    }
+    pk = out[("orders", "o_orderkey -> o_custkey")]
+    assert pk["fd_holds"] == 1 and pk["violating_lhs"] == 0
+    cust = out[("orders", "o_custkey -> o_orderpriority")]
+    assert cust["n_lhs"] == 2 and cust["n_pairs"] == 3
+    assert cust["fd_holds"] == 0 and cust["violating_lhs"] == 1
+    # l_partkey 10 maps to suppliers {100, 200}: violated by 1
+    ps = out[("lineitem", "l_partkey -> l_suppkey")]
+    assert ps["fd_holds"] == 0 and ps["violating_lhs"] == 1
+    # l_orderkey -> l_returnflag holds on this mini fixture
+    rf = out[("lineitem", "l_orderkey -> l_returnflag")]
+    assert rf["fd_holds"] == 1
+
+
+def test_fdeps_one_scan_per_table(spark, sf_dir):
+    plan = (
+        profile_functional_deps(spark, sf_dir)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # candidates fuse per table: exactly two scans for four candidates
+    assert plan.count("FileScan") == 2
+    # and only candidate columns are read from orders
+    read = plan.split("ReadSchema")[1][:200]
+    assert "o_totalprice" not in read
