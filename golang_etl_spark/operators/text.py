@@ -2047,3 +2047,158 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 keyword retrieval: top-K documents per query.
+# ---------------------------------------------------------------------------
+# The lexical half of a retrieval stack (the dense half lives in
+# operators/similarity.py): Okapi BM25 with the standard k1/b
+# saturation, a fixed literal query set, and one top-K ranking per
+# query. Complements text_tfidf_top_terms (which ranks TERMS per doc;
+# this ranks DOCS per query).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (1, ("hash", "join", "merge")),
+    (2, ("stream", "batch")),
+    (3, ("vector", "query", "filter")),
+)
+_BM25_VOCAB = tuple(sorted({t for _, ts in BM25_QUERIES for t in ts}))
+_BM25_QTERM_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, terms in BM25_QUERIES for t in terms
+)
+
+_BM25_ORACLE = f"""
+WITH docs_w AS (
+  SELECT doc_id, {_words_expr_duck()} AS w FROM documents
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+         AVG(CAST(len(w) AS DOUBLE)) AS avgdl
+  FROM docs_w
+),
+tf AS (
+  SELECT doc_id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT doc_id, CAST(len(w) AS DOUBLE) AS dl, unnest(w) AS term
+        FROM docs_w)
+  WHERE term IN ({_sql_list(_BM25_VOCAB)})
+  GROUP BY doc_id, dl, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf GROUP BY term
+),
+qterms(query_id, term) AS (VALUES {_BM25_QTERM_VALUES}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id,
+         ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+           * tf.tf * ({BM25_K1!r} + 1)
+           / (tf.tf + {BM25_K1!r} * (1 - {BM25_B!r} + {BM25_B!r} * tf.dl / s.avgdl))
+           AS c
+  FROM qterms q
+  JOIN dfreq d ON q.term = d.term
+  JOIN tf ON q.term = tf.term
+  CROSS JOIN stats s
+),
+scored AS (
+  SELECT query_id, doc_id, SUM(c) AS score
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY ROUND(score, 6) DESC, doc_id) AS rank
+  FROM scored
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, doc_id,
+       CAST(rank AS BIGINT) AS rank, score AS bm25
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_BM25_ORACLE,
+    tags=("text", "llm", "ann"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-K retrieval for a fixed literal query set.
+
+    100 TB shape: ONE exploded pass over the corpus produces the
+    (doc, term) tf table pre-filtered to the union query vocabulary
+    (tiny), carrying dl through the grouping key so document length
+    needs no second join; df and corpus stats (N, avgdl) are a
+    vocab-sized aggregate and a 1-row aggregate, both broadcast. The
+    only fact-sized shuffles are the two keyed aggregations; the
+    final ranking windows over ~vocab-hit docs per query, not the
+    corpus.
+
+    Ranking is FP-robust across engines: row_number orders by
+    ROUND(score, 6) with a doc_id tiebreak, so docs with identical
+    term statistics (exact real-arithmetic ties that differ by
+    summation-order ULPs in either engine) collapse into the same
+    rounded key and break deterministically. The emitted score stays
+    unrounded (same policy as text_tfidf_top_terms: the comparator's
+    relative tolerance absorbs ln() ULP noise; ROUND would reify it).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select("doc_id", F.expr(_words_expr_spark()).alias("w"))
+    stats = w.agg(
+        F.count("*").cast("double").alias("n_docs"),
+        F.avg(F.size("w").cast("double")).alias("avgdl"),
+    )
+    tf = (
+        w.select(
+            "doc_id",
+            F.size("w").cast("double").alias("dl"),
+            F.explode("w").alias("term"),
+        )
+        .filter(F.col("term").isin(*_BM25_VOCAB))
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, terms in BM25_QUERIES for t in terms],
+        "query_id LONG, term STRING",
+    )
+    k1, b = BM25_K1, BM25_B
+    contrib = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            (
+                F.log(
+                    1
+                    + (F.col("n_docs") - F.col("df") + 0.5)
+                    / (F.col("df") + 0.5)
+                )
+                * F.col("tf")
+                * (k1 + 1)
+                / (
+                    F.col("tf")
+                    + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("c").alias("score")
+    )
+    wnd = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("score"), 6).desc(), "doc_id"
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wnd))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            "doc_id",
+            F.col("rank").cast("long").alias("rank"),
+            F.col("score").alias("bm25"),
+        )
+    )
