@@ -838,3 +838,111 @@ def profile_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.selectExpr(
         f"stack({len(pairs)}, {stack}) AS (col_a, col_b, corr)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact two-sample Kolmogorov-Smirnov drift statistic.
+# ---------------------------------------------------------------------------
+# The exact complement of profile_psi_drift: PSI summarizes drift over
+# FIXED bins (fast, but blind to movement inside a bin and sensitive
+# to edge placement); KS is the binless sup |ECDF_a - ECDF_b| over the
+# pooled sample points — the distribution-free two-sample test
+# statistic. Same vintage split as PSI so the two monitors read on the
+# same snapshot pair.
+_KS_SPLIT = "1996-01-01"  # vintage A before, vintage B from this date
+_KS_PARTITIONS = 32
+
+_KS_ORACLE = f"""
+WITH per_v AS (
+  SELECT o_totalprice AS v,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_KS_SPLIT} 00:00:00'
+                       THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+         CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '{_KS_SPLIT} 00:00:00'
+                       THEN 0 ELSE 1 END) AS BIGINT) AS c_b
+  FROM orders GROUP BY o_totalprice
+),
+tot AS (
+  SELECT CAST(SUM(c_a) AS DOUBLE) AS n_a, CAST(SUM(c_b) AS DOUBLE) AS n_b
+  FROM per_v
+),
+cum AS (
+  SELECT SUM(c_a) OVER (ORDER BY v) AS cum_a,
+         SUM(c_b) OVER (ORDER BY v) AS cum_b
+  FROM per_v
+)
+SELECT CAST(t.n_a AS BIGINT) AS n_a, CAST(t.n_b AS BIGINT) AS n_b,
+       MAX(ABS(CAST(cum_a AS DOUBLE) / t.n_a
+               - CAST(cum_b AS DOUBLE) / t.n_b)) AS ks_stat
+FROM cum CROSS JOIN tot t
+GROUP BY t.n_a, t.n_b
+"""
+
+
+@register(
+    "profile_ks_drift",
+    oracle=_KS_ORACLE,
+    tags=("profiling", "stats", "llm"),
+)
+def profile_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample KS statistic of o_totalprice between the two
+    order vintages: D = sup over pooled values of |ECDF_a - ECDF_b|.
+
+    100 TB shape: group by value first (one exchange; the ECDF only
+    changes at sample points, and ties are handled exactly because
+    each distinct value carries ALL its occurrences), then the running
+    counts via the module's two-phase prefix-sum pattern — range
+    partition on the value, per-partition running sums, broadcast
+    per-partition offsets (a window over #partitions rows, never a
+    single-reducer global sort). Every count stays integral until the
+    two final divisions, so both engines' doubles are bit-identical
+    and ks_stat needs no rounding under the hash gate.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderdate") < F.lit(f"{_KS_SPLIT} 00:00:00").cast(
+        "timestamp"
+    )
+    per_v = (
+        orders.select(
+            F.col("o_totalprice").alias("v"), is_a.cast("long").alias("a")
+        )
+        .groupBy("v")
+        .agg(
+            F.sum("a").alias("c_a"),
+            (F.count("*") - F.sum("a")).alias("c_b"),
+        )
+    )
+    ranged = per_v.repartitionByRange(_KS_PARTITIONS, "v").withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    ptot = ranged.groupBy("_pid").agg(
+        F.sum("c_a").alias("t_a"), F.sum("c_b").alias("t_b")
+    )
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = ptot.select(
+        "_pid",
+        F.coalesce(F.sum("t_a").over(w_off), F.lit(0)).alias("o_a"),
+        F.coalesce(F.sum("t_b").over(w_off), F.lit(0)).alias("o_b"),
+    )
+    w_in = Window.partitionBy("_pid").orderBy("v")
+    cum = ranged.join(F.broadcast(offsets), "_pid").select(
+        (F.col("o_a") + F.sum("c_a").over(w_in)).alias("cum_a"),
+        (F.col("o_b") + F.sum("c_b").over(w_in)).alias("cum_b"),
+    )
+    tot = per_v.agg(
+        F.sum("c_a").cast("double").alias("n_a"),
+        F.sum("c_b").cast("double").alias("n_b"),
+    )
+    d = F.abs(
+        F.col("cum_a").cast("double") / F.col("n_a")
+        - F.col("cum_b").cast("double") / F.col("n_b")
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n_a", "n_b")
+        .agg(F.max(d).alias("ks_stat"))
+        .select(
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            "ks_stat",
+        )
+    )
