@@ -265,6 +265,9 @@ HEADLINE = [
     # round 7: functional-dependency discovery (fused per-table
     # multi-distinct profile)
     "profile_functional_deps",
+    # round 7: Okapi BM25 top-K retrieval; exact two-sample KS drift
+    "text_bm25_topk",
+    "profile_ks_drift",
 ]
 
 
