@@ -268,6 +268,8 @@ HEADLINE = [
     # round 7: Okapi BM25 top-K retrieval; exact two-sample KS drift
     "text_bm25_topk",
     "profile_ks_drift",
+    # round 7: fixed-round K-core peel (5th graph kernel)
+    "graph_kcore_peel",
 ]
 
 

@@ -684,3 +684,170 @@ def lpa_fixed_labels(und: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
             .select(F.col("dst").alias("vertex"), F.col("s.label").alias("label"))
         )
     return labels
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition, fixed peel rounds (the fifth graph kernel).
+# ---------------------------------------------------------------------------
+# Degeneracy peeling: repeatedly drop vertices of degree < K and the
+# edges touching them. The K-core is the fixed point; a FIXED round
+# count makes each intermediate subgraph a pure function of the edge
+# list, so the oracle unrolls the same peels as chained CTEs and the
+# hash gate replays every round exactly (same discipline as the
+# PageRank / LPA kernels above). The brand graph is complete at sf>=
+# 0.01 (every vertex survives any K<24), so this kernel runs on the
+# sparser PART co-purchase graph: parts sharing >= _KCORE_MIN_ORDERS
+# orders, where K=3 peeling cascades for several rounds.
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+_KCORE_MIN_ORDERS = 2
+
+# AS MATERIALIZED on every round CTE: DuckDB inlines plain CTEs, so
+# an unrolled peel would re-expand e0 ~3x per round (the same lineage
+# fan-out the Spark kernel cuts with localCheckpoint — measured 100s+
+# inlined vs sub-second materialized).
+_KCORE_EDGE_CTE = f"""
+pb AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+e0 AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pb a JOIN pb b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_KCORE_MIN_ORDERS}
+)"""
+
+
+def _kcore_round_sql(r: int) -> str:
+    """One unrolled peel: survivors k{r} from e{r-1} degrees, then the
+    induced subgraph e{r}."""
+    return f"""
+d{r - 1} AS MATERIALIZED (
+  SELECT vertex, COUNT(*) AS deg FROM (
+    SELECT u AS vertex FROM e{r - 1} UNION ALL SELECT v FROM e{r - 1}
+  ) GROUP BY vertex
+),
+k{r} AS MATERIALIZED (SELECT vertex FROM d{r - 1} WHERE deg >= {_KCORE_K}),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u IN (SELECT vertex FROM k{r})
+    AND v IN (SELECT vertex FROM k{r})
+)"""
+
+
+_KCORE_ORACLE = (
+    "WITH "
+    + _KCORE_EDGE_CTE.strip()
+    + ","
+    + ",".join(_kcore_round_sql(r) for r in range(1, _KCORE_ROUNDS + 1))
+    + f""",
+df AS (
+  SELECT vertex, COUNT(*) AS deg FROM (
+    SELECT u AS vertex FROM e{_KCORE_ROUNDS}
+    UNION ALL SELECT v FROM e{_KCORE_ROUNDS}
+  ) GROUP BY vertex
+)
+SELECT k.vertex AS l_partkey,
+       CAST(COALESCE(df.deg, 0) AS BIGINT) AS core_degree
+FROM k{_KCORE_ROUNDS} k LEFT JOIN df ON df.vertex = k.vertex
+ORDER BY l_partkey
+"""
+)
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_KCORE_ORACLE,
+    tags=("analytic", "join", "aggregation"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K=3-core peeling on the part co-purchase graph (parts sharing
+    >= _KCORE_MIN_ORDERS orders), exactly _KCORE_ROUNDS=4 synchronous
+    peel rounds: each round drops vertices whose degree in the current
+    subgraph is < K, then restricts the edge list to survivors. Output
+    is the survivor set with its residual degree (COALESCE 0 for a
+    survivor whose last neighbors were peeled the same round).
+
+    100 TB shape: per round one edge-partitioned degree aggregation +
+    two semi-joins of the edge list against the survivor set — cost
+    O(edges) per round with a FIXED round count; the survivor table is
+    vertex-sized, orders of magnitude below the edge list, so AQE
+    broadcasts it when it fits and shuffle-semi-joins otherwise. Peel
+    converges geometrically on sparse graphs; for full coreness
+    numbers (not one fixed K) run the same loop per K ascending —
+    each K reuses the previous core as its input, never the raw graph.
+
+    Reference parity: /root/reference has no graph surface
+    (extractor.go is row-migration only); beyond-reference extension
+    per the build brief, same fixed-round oracle discipline as
+    graph_pagerank_fixed above.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = (
+        li.distinct()
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+    )
+    edges = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, p1 -> "
+                    "transform(filter(parts, p2 -> p2 > p1), "
+                    "p2 -> struct(p1 AS u, p2 AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= _KCORE_MIN_ORDERS)
+        .select("u", "v")
+    )
+    survivors, residual = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
+    return (
+        survivors.join(residual, "vertex", "left")
+        .select(
+            F.col("vertex").alias("l_partkey"),
+            F.coalesce(F.col("deg"), F.lit(0)).cast("long").alias("core_degree"),
+        )
+        .orderBy("l_partkey")
+    )
+
+
+def kcore_peel(
+    edges: DataFrame, k: int, rounds: int
+) -> tuple[DataFrame, DataFrame]:
+    """Fixed-round K-core peel kernel over ANY oriented undirected
+    edge list (one row per edge, u < v) — split out of
+    graph_kcore_peel so unit tests / scale smokes can feed synthetic
+    graphs. Returns (survivor vertex set after the last round,
+    residual (vertex, deg) over the final induced subgraph). Each
+    round costs one degree aggregation + two survivor semi-joins,
+    O(edges); the round count is fixed, independent of graph size."""
+
+    def degrees(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("u").alias("vertex"))
+            .unionAll(e.select(F.col("v").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count("*").alias("deg"))
+        )
+
+    # Each round's induced subgraph is checkpointed so round r+1 reads
+    # a materialized edge list instead of replaying rounds 1..r (the
+    # survivor set feeds TWO semi-joins and the next degree pass —
+    # without the cut, the lineage fans out ~3x per round; measured
+    # 1.1s -> 43s by round 4 unchecked). Same truncation discipline as
+    # the CC pointer-jumping loop (_cc_label_propagation above).
+    prev = edges.localCheckpoint()
+    survivors = None
+    for _ in range(rounds):
+        survivors = degrees(prev).filter(F.col("deg") >= k).select("vertex")
+        prev = (
+            prev.join(survivors, prev.u == survivors.vertex, "left_semi")
+            .join(survivors, F.col("v") == survivors.vertex, "left_semi")
+            .localCheckpoint()
+        )
+    return survivors, degrees(prev)

@@ -101,3 +101,50 @@ def test_pagerank_conserves_probability_mass(spark, sf_dir):
         .count()
     )
     assert len(rows) == n_vertices
+
+
+# ---------------------------------------------------------------------------
+# k-core peel kernel on synthetic graphs with known cores.
+# ---------------------------------------------------------------------------
+from golang_etl_spark.operators.clustering import kcore_peel  # noqa: E402
+
+
+def _kcore(spark, edges, k, rounds):
+    df = spark.createDataFrame(edges, "u LONG, v LONG")
+    surv, deg = kcore_peel(df, k, rounds)
+    out = (
+        surv.join(deg, "vertex", "left")
+        .select("vertex", "deg")
+        .collect()
+    )
+    return {r["vertex"]: (r["deg"] or 0) for r in out}
+
+
+def test_kcore_clique_survives_pendant_chain_peels(spark):
+    # 5-clique (1..5) + pendant chain 5-6-7-8: chain vertices have
+    # degree <= 2, so k=3 peels 8, then 7, then 6 (one per round —
+    # cascade needs the multi-round loop); the clique survives with
+    # residual degree 4 everywhere.
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 6), (6, 7), (7, 8)]
+    got = _kcore(spark, clique + chain, k=3, rounds=4)
+    assert got == {1: 4, 2: 4, 3: 4, 4: 4, 5: 4}
+
+
+def test_kcore_fixed_rounds_is_a_snapshot_not_fixpoint(spark):
+    # same graph, 1 round: only vertex 8 (deg 1) is gone; 6 and 7
+    # still present with their residual degrees — pins that the
+    # operator is the R-round snapshot the oracle unrolls, not the
+    # converged core.
+    clique = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]
+    chain = [(5, 6), (6, 7), (7, 8)]
+    got = _kcore(spark, clique + chain, k=2, rounds=1)
+    assert 8 not in got
+    assert got[7] == 1 and got[6] == 2
+
+
+def test_kcore_empty_when_graph_too_sparse(spark):
+    # a path graph has no 2-core at all once peeling converges
+    path = [(i, i + 1) for i in range(1, 6)]
+    got = _kcore(spark, path, k=2, rounds=4)
+    assert got == {}
