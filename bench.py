@@ -270,6 +270,9 @@ HEADLINE = [
     "profile_ks_drift",
     # round 7: fixed-round K-core peel (5th graph kernel)
     "graph_kcore_peel",
+    # round 7: mergeable Count-Min frequency store + exact twin
+    "sketch_cms_store_freq",
+    "sketch_cms_exact_twin",
 ]
 
 

@@ -282,3 +282,176 @@ def sketch_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("n_custs")
     ).select(F.lit(_HLL_RANGE_LABEL).alias("ym"), "n_custs")
     return per_month.unionByName(merged)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable Count-Min sketch STORE: the FREQUENCY counterpart of the
+# HLL distinct store above — per-month sketches built once, any
+# month-range frequency estimate answered by summing sketches.
+# ---------------------------------------------------------------------------
+# A CMS is a D x W counter grid: item x increments cell
+# (i, hash_i(x) mod W) for each of the D rows; its estimate is the MIN
+# over the D cells, always >= the true count and overshooting by at
+# most ~range_rows/W per row (min over D rows makes that bound hold
+# with high probability). Implemented entirely JVM-side as a SPARSE
+# map<bigint,bigint> column (at most D*W entries per month regardless
+# of data volume): build = one grouped count per (month, cell), merge
+# = explode + sum per cell — counter grids are linear, so a range
+# merge equals the sketch of the unioned range EXACTLY (pinned by
+# test_sketches.py). xxhash64(col, row_index) supplies the D
+# independent hashes without leaving codegen.
+#
+# 100 TB shape: the store is O(months x D*W) kilobyte rows built in
+# one scan; any range-frequency probe reads O(months) map rows and
+# never rescans orders — same pay-once discipline as the HLL / IVF /
+# MinHash stores. Rows-only under the driver (xxhash64 has no DuckDB
+# twin); sketch_cms_exact_twin hash-proves the identical probe shape
+# with exact counts, and the local gates bound the estimates.
+_CMS_DEPTH = 4
+_CMS_WIDTH = 512
+_CMS_STORE_BUILT: dict[str, str] = {}
+
+# probe the same 3-month range as the HLL store, and custkeys 1..10
+# (present at every fixture SF)
+CMS_RANGE_MONTHS = HLL_RANGE_MONTHS
+_CMS_PROBE_KEYS = 10
+
+
+def _cms_hash_cells(item: str):
+    """The D cell keys an item touches, as an array expression:
+    cell = row_index * W + xxhash64(item, row_index) % W. Shared by
+    the store builder and the probe side so both address the same
+    grid."""
+    return F.array(
+        *[
+            (
+                F.lit(i * _CMS_WIDTH)
+                + F.pmod(F.xxhash64(F.col(item), F.lit(i)), F.lit(_CMS_WIDTH))
+            )
+            for i in range(_CMS_DEPTH)
+        ]
+    )
+
+
+def _cms_cells(df: DataFrame, item: str) -> DataFrame:
+    """(ym?, item) rows -> one row per touched CMS cell with its
+    count; grouping keys = every column of ``df`` except ``item``."""
+    others = [c for c in df.columns if c != item]
+    return (
+        df.select(*others, F.explode(_cms_hash_cells(item)).alias("cell"))
+        .groupBy(*others, "cell")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def build_cms_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (ym, sparse CMS map over o_custkey) for every month
+    of orders to parquet. Idempotent per (process, sf_dir); one scan
+    of orders; each map holds <= D*W entries whatever the row count."""
+    if sf_dir in _CMS_STORE_BUILT:
+        return _CMS_STORE_BUILT[sf_dir]
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    root = _layout_dir("cms_store", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cells = _cms_cells(
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"), "o_custkey"
+        ),
+        "o_custkey",
+    )
+    (
+        cells.groupBy("ym")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("cell", "cnt"))
+            ).alias("cms")
+        )
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    _CMS_STORE_BUILT[sf_dir] = root
+    return root
+
+
+def _cms_estimates(spark: SparkSession, merged: DataFrame) -> DataFrame:
+    """Estimate order counts for custkeys 1.._CMS_PROBE_KEYS against a
+    merged (cell, cnt) counter table: min over the D probed cells,
+    absent cell = 0. The counter table is <= D*W rows — broadcast."""
+    probes = spark.range(1, _CMS_PROBE_KEYS + 1).select(
+        F.col("id").alias("o_custkey")
+    )
+    cells = probes.select(
+        "o_custkey", F.explode(_cms_hash_cells("o_custkey")).alias("cell")
+    )
+    return (
+        cells.join(F.broadcast(merged), "cell", "left")
+        .groupBy("o_custkey")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_orders"))
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "sketch_cms_store_freq", oracle=None, tags=("sketch", "aggregation", "layout")
+)
+def sketch_cms_store_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe the persisted CMS store: estimated order counts for
+    custkeys 1..10 over the 3-month probe range, from the element-wise
+    SUM of the three month sketches — the range answer reads 3 sparse
+    map rows, never an order row. Deterministic (fixed xxhash64 cell
+    layout) but engine-specific, so rows-only; sketch_cms_exact_twin
+    hash-proves the same probe keys/range with exact counts, and
+    test_sketches.py pins est >= exact, the collision upper bound, and
+    merge-equals-direct-build linearity."""
+    root = build_cms_store(spark, sf_dir)
+    sk = spark.read.parquet(root).filter(F.col("ym").isin(*CMS_RANGE_MONTHS))
+    merged = (
+        sk.select(F.explode("cms").alias("cell", "cnt"))
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    return _cms_estimates(spark, merged)
+
+
+_CMS_TWIN_ORACLE = f"""
+SELECT gs.o_custkey,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+FROM (SELECT range AS o_custkey FROM range(1, {_CMS_PROBE_KEYS + 1})) gs
+LEFT JOIN orders o
+  ON o.o_custkey = gs.o_custkey
+ AND strftime(o.o_orderdate, '%Y-%m') IN
+     ({", ".join(f"'{m}'" for m in CMS_RANGE_MONTHS)})
+GROUP BY gs.o_custkey
+ORDER BY gs.o_custkey
+"""
+
+
+@register(
+    "sketch_cms_exact_twin",
+    oracle=_CMS_TWIN_ORACLE,
+    tags=("sketch", "aggregation"),
+)
+def sketch_cms_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact twin of sketch_cms_store_freq: order counts for the SAME
+    probe custkeys (1..10, zero-preserving left join) over the SAME
+    month range, hash-checked — so the store variant's rows-only
+    status isolates only the counter arithmetic. At 100 TB the exact
+    probe rescans every order in the range per ad-hoc question; the
+    CMS store answers any frequency probe from O(months x D*W)
+    kilobytes — the same rescan-vs-merge asymmetry as the HLL twin."""
+    orders = load_table(spark, sf_dir, "orders")
+    probes = spark.range(1, _CMS_PROBE_KEYS + 1).select(
+        F.col("id").alias("o_custkey")
+    )
+    sel = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+    ).filter(F.col("ym").isin(*CMS_RANGE_MONTHS))
+    return (
+        probes.join(sel, "o_custkey", "left")
+        .groupBy("o_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+        .orderBy("o_custkey")
+    )

@@ -116,3 +116,92 @@ def test_hll_store_merge_bounds_vs_exact_twin(spark, sf_dir):
     months = [v for k, v in est.items() if k != _HLL_RANGE_LABEL]
     assert max(months) <= est[_HLL_RANGE_LABEL] * 1.05
     assert est[_HLL_RANGE_LABEL] <= sum(months) * 1.05
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch store: overestimate-only, bounded error, and exact
+# linearity of the month-merge.
+# ---------------------------------------------------------------------------
+from pyspark.sql import functions as F  # noqa: E402
+
+from golang_etl_spark.operators.sketches import (  # noqa: E402
+    _CMS_DEPTH,
+    _CMS_WIDTH,
+    _cms_cells,
+    _cms_estimates,
+    CMS_RANGE_MONTHS,
+    build_cms_store,
+)
+from golang_etl_spark.registry import all_queries  # noqa: E402
+from golang_etl_spark.sources.catalog import load_table  # noqa: E402
+
+
+def test_cms_overestimates_within_collision_bound(spark, sf_dir):
+    q = all_queries()
+    est = {
+        r["o_custkey"]: r["est_orders"]
+        for r in q["sketch_cms_store_freq"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_custkey"]: r["n_orders"]
+        for r in q["sketch_cms_exact_twin"].fn(spark, sf_dir).collect()
+    }
+    assert set(est) == set(exact)
+    n_range = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.date_format("o_orderdate", "yyyy-MM").isin(*CMS_RANGE_MONTHS)
+        )
+        .count()
+    )
+    # CMS never undercounts; expected collision mass per row is
+    # n_range/W, and the min over D rows keeps the realized error a
+    # small multiple of it (8x = far beyond the Markov-bound tail at
+    # D=4, deterministic fixtures make this stable).
+    bound = max(3, (8 * n_range) // _CMS_WIDTH)
+    for k, ex in exact.items():
+        assert est[k] >= ex, (k, est[k], ex)
+        assert est[k] <= ex + bound, (k, est[k], ex, bound)
+
+
+def test_cms_month_merge_equals_direct_build(spark, sf_dir):
+    # Counter grids are linear: summing the per-month sketches must
+    # give EXACTLY the sketch of the unioned range — estimates
+    # included. Build one directly over the filtered range and compare.
+    root = build_cms_store(spark, sf_dir)
+    sk = spark.read.parquet(root).filter(
+        F.col("ym").isin(*CMS_RANGE_MONTHS)
+    )
+    merged = (
+        sk.select(F.explode("cms").alias("cell", "cnt"))
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    direct = _cms_cells(
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.date_format("o_orderdate", "yyyy-MM").isin(*CMS_RANGE_MONTHS)
+        )
+        .select("o_custkey"),
+        "o_custkey",
+    )
+    a = {r["o_custkey"]: r["est_orders"] for r in _cms_estimates(spark, merged).collect()}
+    b = {r["o_custkey"]: r["est_orders"] for r in _cms_estimates(spark, direct).collect()}
+    assert a == b
+    # and the merged counter table itself is identical to the direct one
+    ma = {r["cell"]: r["cnt"] for r in merged.collect()}
+    mb = {r["cell"]: r["cnt"] for r in direct.collect()}
+    assert ma == mb
+
+
+def test_cms_store_rows_are_bounded(spark, sf_dir):
+    # each month's sparse map holds at most D*W entries regardless of
+    # how many orders the month has — the kilobytes-per-month contract
+    root = build_cms_store(spark, sf_dir)
+    sizes = (
+        spark.read.parquet(root)
+        .select(F.size("cms").alias("n"))
+        .agg(F.max("n"))
+        .collect()[0][0]
+    )
+    assert sizes <= _CMS_DEPTH * _CMS_WIDTH
