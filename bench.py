@@ -273,6 +273,8 @@ HEADLINE = [
     # round 7: mergeable Count-Min frequency store + exact twin
     "sketch_cms_store_freq",
     "sketch_cms_exact_twin",
+    # round 7: hash-checked mergeable histogram store (range median)
+    "sketch_histogram_range_median",
 ]
 
 

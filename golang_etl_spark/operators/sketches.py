@@ -455,3 +455,152 @@ def sketch_cms_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("o_orderkey").alias("n_orders"))
         .orderBy("o_custkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable equi-width HISTOGRAM store: range quantiles from bin-count
+# rows — the fully HASH-CHECKED member of the sketch-store family.
+# ---------------------------------------------------------------------------
+# HLL (distinct) and CMS (frequency) stores are rows-only because
+# their hash arithmetic has no DuckDB twin; a fixed-bin histogram's
+# arithmetic is plain integer bucketing, so the ENTIRE store pipeline
+# — per-month build, range merge (bin-wise sum: histograms are linear
+# like CMS grids), and quantile extraction — replays under the
+# driver's hash gate. Store = O(months x B) rows built in one scan;
+# any range median/quantile reads O(months x B) integers, never an
+# order row.
+_HIST_BINS = 64
+_HIST_LO = 0.0
+_HIST_HI = 600_000.0  # o_totalprice domain; top bin absorbs the tail
+_HIST_WIDTH = (_HIST_HI - _HIST_LO) / _HIST_BINS
+_HIST_STORE_BUILT: dict[str, str] = {}
+
+
+def build_hist_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize (ym, bin, c) order-price histogram rows for every
+    month to parquet. Idempotent per (process, sf_dir); one scan."""
+    if sf_dir in _HIST_STORE_BUILT:
+        return _HIST_STORE_BUILT[sf_dir]
+    from golang_etl_spark.operators.layout import _layout_dir
+
+    root = _layout_dir("hist_store", sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            F.least(
+                F.floor(F.col("o_totalprice") / F.lit(_HIST_WIDTH)).cast("int"),
+                F.lit(_HIST_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("ym", "bin")
+        .agg(F.count("*").alias("c"))
+        .write.mode("overwrite")
+        .parquet(root)
+    )
+    _HIST_STORE_BUILT[sf_dir] = root
+    return root
+
+
+_HIST_ORACLE = f"""
+WITH sel AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym,
+         LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH!r}) AS INT),
+               {_HIST_BINS - 1}) AS bin
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y-%m') IN
+        ({", ".join(f"'{m}'" for m in HLL_RANGE_MONTHS)})
+),
+uni AS (
+  SELECT ym, bin FROM sel
+  UNION ALL
+  SELECT '{_HLL_RANGE_LABEL}' AS ym, bin FROM sel
+),
+h AS (SELECT ym, bin, COUNT(*) AS c FROM uni GROUP BY ym, bin),
+cum AS (
+  SELECT ym, bin, c,
+         SUM(c) OVER (PARTITION BY ym ORDER BY bin) AS cum,
+         SUM(c) OVER (PARTITION BY ym) AS n
+  FROM h
+),
+med AS (
+  SELECT ym,
+         MIN(n) AS n,
+         MIN_BY(bin, bin) AS med_bin,
+         MIN_BY(c, bin) AS med_c,
+         MIN_BY(cum, bin) AS med_cum
+  FROM cum
+  WHERE cum >= CEIL(n / 2.0)
+  GROUP BY ym
+)
+SELECT ym,
+       CAST(n AS BIGINT) AS n_rows,
+       med_bin,
+       ROUND({_HIST_WIDTH!r} * med_bin +
+             {_HIST_WIDTH!r} * (CEIL(n / 2.0) - (med_cum - med_c)) / med_c,
+             6) AS est_median
+FROM med
+ORDER BY ym
+"""
+
+
+@register(
+    "sketch_histogram_range_median",
+    oracle=_HIST_ORACLE,
+    tags=("sketch", "aggregation", "layout"),
+)
+def sketch_histogram_range_median(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Probe the persisted histogram store: per-month order-price
+    medians for the 3 probe months plus the RANGE median from the
+    bin-wise SUM of exactly those month rows — interpolated within the
+    median bin (lower-median target CEIL(n/2)). Bucketing, merge, and
+    interpolation are identical integer-then-double arithmetic on both
+    engines, so unlike the HLL/CMS stores this one is fully
+    hash-checked. At 100 TB the store is months x 64 integer rows; an
+    exact range median would shuffle every in-range order through a
+    percentile sort per ad-hoc probe."""
+    from pyspark.sql import Window
+
+    root = build_hist_store(spark, sf_dir)
+    h = spark.read.parquet(root).filter(F.col("ym").isin(*HLL_RANGE_MONTHS))
+    both = h.unionByName(
+        h.select(F.lit(_HLL_RANGE_LABEL).alias("ym"), "bin", "c")
+    )
+    hh = both.groupBy("ym", "bin").agg(F.sum("c").alias("c"))
+    w_ord = Window.partitionBy("ym").orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy("ym")
+    cum = hh.select(
+        "ym",
+        "bin",
+        "c",
+        F.sum("c").over(w_ord).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    med = (
+        cum.filter(F.col("cum") >= F.ceil(F.col("n") / F.lit(2.0)))
+        .groupBy("ym")
+        .agg(
+            F.min("n").alias("n"),
+            F.min_by("bin", "bin").alias("med_bin"),
+            F.min_by("c", "bin").alias("med_c"),
+            F.min_by("cum", "bin").alias("med_cum"),
+        )
+    )
+    return med.select(
+        "ym",
+        F.col("n").cast("long").alias("n_rows"),
+        "med_bin",
+        F.round(
+            F.lit(_HIST_WIDTH) * F.col("med_bin")
+            + F.lit(_HIST_WIDTH)
+            * (
+                F.ceil(F.col("n") / F.lit(2.0)) - (F.col("med_cum") - F.col("med_c"))
+            )
+            / F.col("med_c"),
+            6,
+        ).alias("est_median"),
+    ).orderBy("ym")

@@ -205,3 +205,43 @@ def test_cms_store_rows_are_bounded(spark, sf_dir):
         .collect()[0][0]
     )
     assert sizes <= _CMS_DEPTH * _CMS_WIDTH
+
+
+def test_histogram_store_median_within_one_bin_of_exact(spark, sf_dir):
+    from golang_etl_spark.operators.sketches import (
+        _HIST_WIDTH,
+        HLL_RANGE_MONTHS,
+    )
+
+    q = all_queries()
+    rows = {
+        r["ym"]: r
+        for r in q["sketch_histogram_range_median"].fn(spark, sf_dir).collect()
+    }
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            F.date_format("o_orderdate", "yyyy-MM").isin(*HLL_RANGE_MONTHS)
+        )
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            "o_totalprice",
+        )
+    )
+    exact = {
+        r["ym"]: r["m"]
+        for r in sel.groupBy("ym")
+        .agg(F.expr("percentile(o_totalprice, 0.5)").alias("m"))
+        .collect()
+    }
+    exact["1996-01:1996-03"] = sel.agg(
+        F.expr("percentile(o_totalprice, 0.5)").alias("m")
+    ).collect()[0]["m"]
+    assert set(rows) == set(exact)
+    # interpolation cannot leave the median bin: |est - exact| < width
+    for ym, r in rows.items():
+        assert abs(r["est_median"] - exact[ym]) < _HIST_WIDTH, (ym, r, exact[ym])
+    # and the range row merges exactly the three month histograms
+    assert rows["1996-01:1996-03"]["n_rows"] == sum(
+        rows[m]["n_rows"] for m in HLL_RANGE_MONTHS
+    )
