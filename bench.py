@@ -275,6 +275,8 @@ HEADLINE = [
     "sketch_cms_exact_twin",
     # round 7: hash-checked mergeable histogram store (range median)
     "sketch_histogram_range_median",
+    # round 7: Markov transition matrix over user event journeys
+    "sessionize_markov_transitions",
 ]
 
 

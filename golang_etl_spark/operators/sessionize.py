@@ -325,3 +325,79 @@ def sessionize_native_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# First-order Markov transition matrix over per-user event journeys.
+# ---------------------------------------------------------------------------
+_MARKOV_ORACLE = """
+WITH nxt AS (
+  SELECT event_type,
+         COALESCE(
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id),
+           '__END__') AS next_type
+  FROM events
+),
+t AS (
+  SELECT event_type, next_type, COUNT(*) AS n_transitions
+  FROM nxt GROUP BY event_type, next_type
+)
+SELECT event_type, next_type,
+       CAST(n_transitions AS BIGINT) AS n_transitions,
+       ROUND(n_transitions * 1.0 /
+             SUM(n_transitions) OVER (PARTITION BY event_type),
+             6) AS p_transition
+FROM t
+ORDER BY event_type, next_type
+"""
+
+
+@register(
+    "sessionize_markov_transitions",
+    oracle=_MARKOV_ORACLE,
+    tags=("session", "window", "aggregation"),
+)
+def sessionize_markov_transitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov transition matrix of user journeys: for each
+    (event_type -> next event_type) pair — including the absorbing
+    '__END__' state for each user's final event — the transition count
+    and its row-normalized probability. The behavioral fingerprint
+    behind funnel drop-off analysis and synthetic-journey generation;
+    deterministic via the (ts, event_id) ordering tie-break.
+
+    100 TB shape: one shuffle on user_id for the LEAD window, then the
+    transition aggregation is over a |types|^2-bounded key space —
+    partial map-side aggregation collapses it before the exchange, and
+    the ratio-to-report normalization runs on the tiny matrix itself.
+
+    Reference parity: /root/reference has no sequence analytics
+    (row-migration only, extractor.go); beyond-reference extension per
+    the build brief.
+    """
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    nxt = events.select(
+        "event_type",
+        F.coalesce(
+            F.lead("event_type").over(
+                Window.partitionBy("user_id").orderBy("ts", "event_id")
+            ),
+            F.lit("__END__"),
+        ).alias("next_type"),
+    )
+    t = nxt.groupBy("event_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    w = Window.partitionBy("event_type")
+    return t.select(
+        "event_type",
+        "next_type",
+        F.col("n_transitions").cast("long").alias("n_transitions"),
+        F.round(
+            F.col("n_transitions") * 1.0 / F.sum("n_transitions").over(w), 6
+        ).alias("p_transition"),
+    ).orderBy("event_type", "next_type")
