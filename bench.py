@@ -277,6 +277,8 @@ HEADLINE = [
     "sketch_histogram_range_median",
     # round 7: Markov transition matrix over user event journeys
     "sessionize_markov_transitions",
+    # round 7: streaming CMS delta ingest (sketch store under arrival)
+    "streaming_cms_ingest",
 ]
 
 

@@ -1102,3 +1102,86 @@ def stream_incremental_dedup(
         spark.read.parquet(f"{out_root}/clean"),
         spark.read.parquet(f"{out_root}/matches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming CMS maintenance: the Count-Min frequency store
+# (operators/sketches.py) kept fresh under micro-batch arrival.
+# ---------------------------------------------------------------------------
+# Counter grids are linear, so incremental maintenance is pure
+# append: each micro-batch contributes its own (cell, cnt) delta —
+# computed from ONLY the batch's rows — to a batch-id-keyed delta
+# store (overwrite per batch id = idempotent on retry, same contract
+# as foreachbatch_parquet_sink). A probe sums store + deltas
+# cell-wise; by linearity the answer is EXACTLY the sketch of
+# everything ingested, independent of how arrival was chunked —
+# pinned by tests/test_streaming_multibatch.py. No read-modify-write
+# of the store inside the stream, so concurrent probes never see a
+# torn grid and the per-batch cost is O(batch), not O(history).
+_CMS_STREAM_PROBE_USERS = 10
+
+
+def stream_cms_ingest(ev: DataFrame, out_root: str) -> DataFrame:
+    """Ingest body: per micro-batch, write the batch's CMS cell-count
+    delta over user_id. Returns the merged (cell, cnt) counter table
+    read back from the delta store."""
+    from golang_etl_spark.operators.sketches import _cms_cells
+
+    spark = ev.sparkSession
+
+    def _delta_batch(batch_df, batch_id: int) -> None:
+        delta = _cms_cells(batch_df.select("user_id"), "user_id")
+        delta.write.mode("overwrite").parquet(
+            f"{out_root}/batch_id={batch_id}"
+        )
+
+    q = (
+        ev.writeStream.foreachBatch(_delta_batch)
+        .option("checkpointLocation", f"{out_root}/_checkpoints")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(out_root)
+        .groupBy("cell")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+@register(
+    "streaming_cms_ingest",
+    oracle=None,
+    tags=("streaming", "sketch", "aggregation", "layout"),
+)
+def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream the events table through the CMS delta ingest, then
+    answer per-user event-count estimates for user_ids 1..10 from the
+    merged deltas — identical estimates to a batch-built sketch over
+    the same rows (linearity; multi-batch-tested), overestimate-only
+    vs exact counts. Rows-only like the batch CMS store (xxhash64 has
+    no DuckDB twin); the batch twin pair sketch_cms_store_freq /
+    sketch_cms_exact_twin hash-pins the shared arithmetic."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from golang_etl_spark.operators.sketches import _cms_hash_cells
+
+    out_root = tempfile.mkdtemp(prefix="spark_graft_cms_stream_")
+    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+
+    ev = _stream_events(spark, sf_dir)
+    merged = stream_cms_ingest(ev, out_root)
+    probes = spark.range(1, _CMS_STREAM_PROBE_USERS + 1).select(
+        F.col("id").alias("user_id")
+    )
+    cells = probes.select(
+        "user_id", F.explode(_cms_hash_cells("user_id")).alias("cell")
+    )
+    return (
+        cells.join(F.broadcast(merged), "cell", "left")
+        .groupBy("user_id")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_events"))
+        .orderBy("user_id")
+    )

@@ -445,3 +445,55 @@ def test_index_probe_spans_batches(spark, sf_dir, tmp_path):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w and len(w) > 0
+
+
+def test_cms_delta_ingest_is_chunking_invariant(spark, sf_dir, tmp_path):
+    """Events split into 3 files -> 3 micro-batch CMS deltas; the
+    merged counter table must equal the one-pass batch build EXACTLY
+    (counter linearity), and estimates must overestimate-only vs exact
+    per-user counts — however arrival was chunked."""
+    from golang_etl_spark.operators.sketches import _cms_cells
+    from golang_etl_spark.streaming.jobs import stream_cms_ingest
+
+    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split_dir = str(tmp_path / "events_split")
+    raw.repartition(3).write.mode("overwrite").parquet(split_dir)
+
+    ev = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(split_dir)
+    )
+    merged = stream_cms_ingest(ev, str(tmp_path / "cms_out"))
+    got = {r["cell"]: r["cnt"] for r in merged.collect()}
+    want = {
+        r["cell"]: r["cnt"]
+        for r in _cms_cells(raw.select("user_id"), "user_id").collect()
+    }
+    assert got == want
+    # overestimate-only: min-over-depth vs the exact group-by
+    exact = {
+        r["user_id"]: r["n"]
+        for r in raw.groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    from pyspark.sql import functions as SF
+    from golang_etl_spark.operators.sketches import _cms_hash_cells
+
+    probes = spark.createDataFrame(
+        [(u,) for u in sorted(exact)[:20]], "user_id long"
+    )
+    cells = probes.select(
+        "user_id", SF.explode(_cms_hash_cells("user_id")).alias("cell")
+    )
+    mdf = spark.createDataFrame(
+        [(c, n) for c, n in got.items()], "cell long, cnt long"
+    )
+    est = {
+        r["user_id"]: r["est"]
+        for r in cells.join(mdf, "cell", "left")
+        .groupBy("user_id")
+        .agg(SF.min(SF.coalesce(SF.col("cnt"), SF.lit(0))).alias("est"))
+        .collect()
+    }
+    for u, e in est.items():
+        assert e >= exact[u]
