@@ -279,6 +279,9 @@ HEADLINE = [
     "sessionize_markov_transitions",
     # round 7: streaming CMS delta ingest (sketch store under arrival)
     "streaming_cms_ingest",
+    # round 7: categorical mutual information; blocked record linkage
+    "profile_mutual_information",
+    "etl_record_linkage",
 ]
 
 

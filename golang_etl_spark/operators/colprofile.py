@@ -96,3 +96,88 @@ def profile_column_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("norm_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mutual information between two categorical columns — the SOFT
+# dependency measure completing the profiler family: entropy (above)
+# scores single columns, functional-dependency discovery (fdeps.py)
+# tests the hard X -> Y case; MI quantifies everything in between.
+# ---------------------------------------------------------------------------
+# Same integer-logs discipline as the entropy profiler: with
+# S(g) = Σ c_g·log2(c_g) over a grouping g,
+#   H_x  = log2(N) - S(x)/N
+#   MI   = log2(N) + S(x,y)/N - S(x)/N - S(y)/N
+# so every log argument is an integer COUNT and the float path agrees
+# across engines; ROUND(.,6) absorbs summation-order last bits.
+# One scan: the joint table is |X|·|Y| rows; both margins re-aggregate
+# it (map-side combinable), never the fact table.
+_MI_ORACLE = """
+WITH joint AS (
+  SELECT o_orderpriority AS x, o_orderstatus AS y, COUNT(*) AS c
+  FROM orders GROUP BY 1, 2
+),
+tot AS (SELECT SUM(c) AS n, SUM(c * LOG2(c)) AS sxy FROM joint),
+mx AS (
+  SELECT SUM(cx * LOG2(cx)) AS sx
+  FROM (SELECT SUM(c) AS cx FROM joint GROUP BY x)
+),
+my AS (
+  SELECT SUM(cy * LOG2(cy)) AS sy
+  FROM (SELECT SUM(c) AS cy FROM joint GROUP BY y)
+)
+SELECT ROUND(LOG2(n) + sxy / n - sx / n - sy / n, 6) AS mi_bits,
+       ROUND(LOG2(n) - sx / n, 6) AS h_priority,
+       ROUND(LOG2(n) - sy / n, 6) AS h_status,
+       ROUND((LOG2(n) + sxy / n - sx / n - sy / n) /
+             SQRT((LOG2(n) - sx / n) * (LOG2(n) - sy / n)), 6) AS nmi
+FROM tot, mx, my
+"""
+
+
+@register(
+    "profile_mutual_information",
+    oracle=_MI_ORACLE,
+    tags=("profiling", "stats", "aggregation"),
+)
+def profile_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between order priority and order
+    status, with both marginal entropies and the normalized form
+    MI/sqrt(Hx·Hy). One fact-table scan builds the |X|·|Y| joint
+    count table; margins and totals re-aggregate that tiny table, and
+    the three 1-row aggregates attach by broadcast cross join. At
+    100 TB this is scan + one map-side-combined exchange on (x, y) —
+    the joint table stays |domains|-bounded however many rows feed
+    it."""
+    orders = load_table(spark, sf_dir, "orders")
+    joint = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    tot = joint.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c") * F.log2("c")).alias("sxy"),
+    )
+    mx = (
+        joint.groupBy("x")
+        .agg(F.sum("c").alias("cx"))
+        .agg(F.sum(F.col("cx") * F.log2("cx")).alias("sx"))
+    )
+    my = (
+        joint.groupBy("y")
+        .agg(F.sum("c").alias("cy"))
+        .agg(F.sum(F.col("cy") * F.log2("cy")).alias("sy"))
+    )
+    one = tot.crossJoin(F.broadcast(mx)).crossJoin(F.broadcast(my))
+    mi = F.log2("n") + F.col("sxy") / F.col("n") - F.col("sx") / F.col("n") - F.col("sy") / F.col("n")
+    hx = F.log2("n") - F.col("sx") / F.col("n")
+    hy = F.log2("n") - F.col("sy") / F.col("n")
+    return one.select(
+        F.round(mi, 6).alias("mi_bits"),
+        F.round(hx, 6).alias("h_priority"),
+        F.round(hy, 6).alias("h_status"),
+        F.round(mi / F.sqrt(hx * hy), 6).alias("nmi"),
+    )

@@ -206,5 +206,6 @@ def _load_all() -> None:
     from golang_etl_spark.operators import colprofile, pit_join  # noqa: F401
     from golang_etl_spark.operators import active_users, sql_scripting  # noqa: F401
     from golang_etl_spark.operators import fdeps  # noqa: F401
+    from golang_etl_spark.operators import linkage  # noqa: F401
 
     _LOADED = True
