@@ -282,6 +282,11 @@ HEADLINE = [
     # round 7: categorical mutual information; blocked record linkage
     "profile_mutual_information",
     "etl_record_linkage",
+    # round 7: SQL-defined functions; approx_top_k; mixture plan
+    "sql_udf_scalar",
+    "sql_udf_table",
+    "sketch_approx_topk",
+    "curation_mixture_plan",
 ]
 
 

@@ -193,3 +193,87 @@ def curation_domain_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= _DOMAIN_CAP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture sampling plan: turn target source weights + a token
+# budget into per-source sampling rates (the DoReMi-style data-mixing
+# planning table computed as a relation, not a notebook).
+# ---------------------------------------------------------------------------
+_MIX_BUDGET_FRAC = 0.6  # token budget = 60% of the corpus
+
+_MIXTURE_ORACLE = f"""
+WITH tok AS (
+  SELECT source,
+         CAST(CAST(SUBSTR(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w_raw,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(LENGTH(STRING_SPLIT(text, ' '))) AS BIGINT) AS tokens
+  FROM documents GROUP BY source
+),
+tot AS (
+  SELECT source, n_docs, tokens,
+         w_raw / SUM(w_raw) OVER () AS weight,
+         {_MIX_BUDGET_FRAC} * SUM(tokens) OVER () AS budget
+  FROM tok
+)
+SELECT source, n_docs, tokens,
+       ROUND(weight, 6) AS weight,
+       ROUND(LEAST(1.0, budget * weight / tokens), 6) AS sample_rate,
+       ROUND(tokens * LEAST(1.0, budget * weight / tokens), 4)
+         AS expected_tokens
+FROM tot
+ORDER BY source
+"""
+
+
+@register(
+    "curation_mixture_plan",
+    oracle=_MIXTURE_ORACLE,
+    tags=("curation", "llm", "aggregation"),
+)
+def curation_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling plan for a target training mixture: token
+    counts per source (one scan, whitespace tokens), target weights
+    (derived deterministically from the source id so every fixture SF
+    replays them), and the sampling rate min(1, budget·w_s/tokens_s)
+    that realizes the mixture under a fixed token budget — capped
+    sources surface as rate 1.0 (their weight is unachievable without
+    epoch repeats; sample_epoch_repeat is that follow-on step).
+
+    100 TB shape: scan → per-source aggregate (map-side combinable,
+    |sources| rows) → window normalization on the tiny plan table.
+    The plan feeds sample_split_hash-style deterministic row selection
+    downstream; computing it never touches more than one pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    tok = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("tokens"),
+    ).select(
+        "source",
+        (
+            (F.substring("source", 4, 10).cast("int") % 4 + 1).cast("double")
+        ).alias("w_raw"),
+        "n_docs",
+        "tokens",
+    )
+    w = Window.partitionBy()
+    tot = tok.select(
+        "source",
+        "n_docs",
+        "tokens",
+        (F.col("w_raw") / F.sum("w_raw").over(w)).alias("weight"),
+        (F.lit(_MIX_BUDGET_FRAC) * F.sum("tokens").over(w)).alias("budget"),
+    )
+    rate = F.least(
+        F.lit(1.0), F.col("budget") * F.col("weight") / F.col("tokens")
+    )
+    return tot.select(
+        "source",
+        "n_docs",
+        "tokens",
+        F.round("weight", 6).alias("weight"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.round(F.col("tokens") * rate, 4).alias("expected_tokens"),
+    ).orderBy("source")

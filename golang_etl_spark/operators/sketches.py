@@ -604,3 +604,44 @@ def sketch_histogram_range_median(
             6,
         ).alias("est_median"),
     ).orderBy("ym")
+
+
+# ---------------------------------------------------------------------------
+# approx_top_k (Spark 4.1 built-in frequent-items sketch).
+# ---------------------------------------------------------------------------
+_TOPK_K = 3
+
+_APPROX_TOPK_ORACLE = f"""
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY event_type
+ORDER BY n_events DESC, event_type
+LIMIT {_TOPK_K}
+"""
+
+
+@register(
+    "sketch_approx_topk",
+    oracle=_APPROX_TOPK_ORACLE,
+    tags=("sketch", "aggregation"),
+)
+def sketch_approx_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K event types via the approx_top_k sketch (Spark 4.1
+    built-in) — the one-expression alternative to the two-pass
+    Misra-Gries pipeline (freqitems.py) when bounded error is
+    acceptable. Pinned under the HASH gate by the same trick as the
+    BPE fixed-rule twin: the tracked-items capacity (10000) exceeds
+    the column's 5-value domain, so the sketch is provably EXACT here
+    and must match the plain GROUP BY oracle; at real cardinalities
+    the same expression degrades gracefully to approximate counts
+    while the mergeable sketch keeps the shuffle O(sketch) per
+    partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.agg(F.expr(f"approx_top_k(event_type, {_TOPK_K})").alias("tk"))
+        .select(F.explode("tk").alias("e"))
+        .select(
+            F.col("e.item").alias("event_type"),
+            F.col("e.count").cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("n_events"), "event_type")
+    )

@@ -661,3 +661,89 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n_orders AS BIGINT) AS n_orders",
         "total_open",
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-defined functions (Spark 4): CREATE FUNCTION ... RETURN <expr> —
+# reusable logic that stays INSIDE Catalyst. Unlike Python UDFs, a SQL
+# UDF's body is inlined into the plan at resolution time, so it
+# optimizes, prunes, and codegens like any built-in expression —
+# the first tool to reach for before pyfuncs.py's Arrow tiers.
+# ---------------------------------------------------------------------------
+_SQL_UDF_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+         AS charged
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+@register("sql_udf_scalar", oracle=_SQL_UDF_ORACLE, tags=("sql", "aggregation"))
+def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar SQL UDF: the charged-amount formula declared once as
+    CREATE TEMPORARY FUNCTION ... RETURN <expr>, then used inside an
+    aggregate. The body inlines into the plan (the oracle runs the
+    inlined form — hash equality IS the inlining proof), so at 100 TB
+    this costs exactly what writing the expression in place costs:
+    whole-stage codegen, no serialization boundary."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
+        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+        "RETURN price * (1 - disc) * (1 + tax)"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(COUNT(*) AS BIGINT) AS n_lines,
+               ROUND(SUM(charged_amount(l_extendedprice, l_discount, l_tax)), 4)
+                 AS charged
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )
+
+
+_SQL_TVF_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS revenue
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-04-01'
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@register("sql_udf_table", oracle=_SQL_TVF_ORACLE, tags=("sql", "aggregation"))
+def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL table function (Spark 4): a parameterized date-window view
+    declared as CREATE TEMPORARY FUNCTION ... RETURNS TABLE, called in
+    FROM position. The body inlines like a view with arguments — the
+    range predicate lands in the parquet scan (pushdown survives the
+    TVF boundary), which the oracle's inlined form pins via hash
+    equality. The SQL-native alternative to wrapping parameterized
+    extracts in driver-side string formatting."""
+    register_views(spark, sf_dir)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION orders_window("
+        "lo TIMESTAMP, hi TIMESTAMP) "
+        "RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE) "
+        "RETURN SELECT o_orderpriority, o_totalprice FROM orders "
+        "WHERE o_orderdate >= lo AND o_orderdate < hi"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS revenue
+        FROM orders_window(TIMESTAMP '1996-01-01', TIMESTAMP '1996-04-01')
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )

@@ -912,3 +912,25 @@ def test_whole_registry_plan_lint(spark, sf_dir):
             offenders["BatchEvalPython"].append(name)
     assert not offenders["CartesianProduct"], offenders
     assert not offenders["BatchEvalPython"], offenders
+
+
+def test_sql_tvf_body_inlines_and_pushes_down(spark, sf_dir):
+    # the SQL table function's range predicate must survive inlining
+    # all the way into the parquet scan — the TVF is a parameterized
+    # view, not an optimization barrier
+    plan = _plan(spark, sf_dir, "sql_udf_table")
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "o_orderdate" in pushed
+
+
+def test_sql_scalar_udf_stays_in_codegen(spark, sf_dir):
+    # the SQL UDF body inlines as a plain expression: no Python
+    # evaluation node, and the charged-amount arithmetic appears
+    # directly inside the partial aggregate (proof of inlining —
+    # WholeStageCodegen spans only materialize in the post-execution
+    # AQE plan, so assert on the expression placement instead)
+    plan = _plan(spark, sf_dir, "sql_udf_scalar")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_sum" in plan and "l_discount" in plan
