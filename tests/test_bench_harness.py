@@ -1,0 +1,78 @@
+"""End-to-end bench-harness contract, run as a real subprocess.
+
+Two production failure modes are pinned here:
+
+1. Exit path (rounds 5 and 7 post-mortems): StateStore maintenance /
+   session-teardown WARN chatter used to land AFTER the metric line,
+   and the driver — which keeps only a ~2 KB stdout tail — parsed the
+   artifact as null. The bench now stops all streams and the session
+   BEFORE printing, then os._exit(0)s; this test runs a 2-query bench
+   that INCLUDES a streaming query and asserts the captured stdout's
+   LAST line json-parses to the metric object.
+
+2. Per-query storage hygiene (rounds 7/8 post-mortems): persisted /
+   localCheckpoint'd RDDs accumulated across the ~190-query loop and
+   made rotating victims time 2-15x their isolated cost. The loop now
+   releases executor state (clearCache + unpersist of every
+   persistent RDD) at each query boundary and asserts the
+   persistent-RDD map is empty; the in-process test below drives
+   release_executor_state() against a deliberately persisted +
+   localCheckpoint'd frame.
+"""
+
+import json
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO_ROOT))
+
+import bench  # noqa: E402
+
+
+def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
+    detail_path = tmp_path / "detail.json"
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    # one relational + one STREAMING query: the stream leaves the
+    # StateStore machinery running, which is exactly the chatter the
+    # exit path must fence off the metric line from
+    env["SPARK_GRAFT_BENCH_ONLY"] = (
+        "agg_pricing_summary,streaming_tumbling_counts"
+    )
+    env["SPARK_GRAFT_BENCH_BUDGET_S"] = "30"
+    env["SPARK_GRAFT_BENCH_DETAIL_PATH"] = str(detail_path)
+    proc = subprocess.run(
+        [sys.executable, "bench.py"],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
+    assert lines, "bench printed nothing to stdout"
+    obj = json.loads(lines[-1])  # LAST line must be the metric line
+    assert obj["metric"] == "headline_query_wall_clock_total"
+    assert obj["n_queries"] == 2
+    assert obj["value"] > 0
+    # the full artifact went to the overridden detail path
+    detail = json.loads(detail_path.read_text())
+    assert set(detail["queries"]) == {
+        "agg_pricing_summary",
+        "streaming_tumbling_counts",
+    }
+
+
+def test_release_executor_state_frees_persist_and_localcheckpoint(spark):
+    df_p = spark.range(0, 1000).persist()
+    df_p.count()
+    df_c = spark.range(0, 1000).localCheckpoint()  # eager by default
+    df_c.count()
+    jsc = spark.sparkContext._jsc
+    assert jsc.getPersistentRDDs().size() >= 2
+    bench.release_executor_state(spark)
+    assert jsc.getPersistentRDDs().size() == 0
