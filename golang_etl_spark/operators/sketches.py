@@ -3,10 +3,13 @@
 Sketches are the 100 TB answer to exact distincts/percentiles: HLL and
 quantile sketches partial-aggregate map-side and merge in O(sketch)
 per partition, where exact COUNT(DISTINCT)/percentile shuffle every
-distinct value. Spark's and DuckDB's sketch implementations differ, so
-these register WITHOUT an oracle (the driver records a rows-only
-check); tests/test_sketches.py asserts accuracy bounds against the
-exact answers instead.
+distinct value. Where the sketch arithmetic is engine-specific (HLL
+register files, quantile summaries) the query registers WITHOUT an
+oracle and tests/test_sketches.py asserts accuracy bounds against the
+exact answers instead; where the arithmetic is engine-replayable —
+the Carter-Wegman Count-Min grid, the equi-width histogram store, and
+HLL probed in its exact-below-threshold regime — the DuckDB oracle
+replays it and the row is hash-checked like any relational query.
 
 applyInPandas (grouped-map pandas UDF) is the remaining UDF surface
 (SURVEY.md §2.5: mapInPandas and applyInPandasWithState live in
@@ -24,16 +27,42 @@ from golang_etl_spark.registry import register
 from golang_etl_spark.sources.catalog import load_table
 
 
-@register("sketch_approx_distinct", oracle=None, tags=("sketch", "aggregation"))
+_APPROX_DISTINCT_ORACLE = """
+SELECT l_linestatus,
+       CAST(COUNT(DISTINCT l_returnflag) AS BIGINT) AS approx_flags,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_linestatus
+"""
+
+
+@register(
+    "sketch_approx_distinct",
+    oracle=_APPROX_DISTINCT_ORACLE,
+    tags=("sketch", "aggregation"),
+)
 def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HyperLogLog++ distinct counts per return flag (rsd=2%). The
-    shuffle carries one ~kB sketch per (flag, partition) instead of
+    """HyperLogLog++ distinct counts per line status (rsd=2%). The
+    shuffle carries one ~kB sketch per (status, partition) instead of
     every distinct key — the only distinct-count that scales to 100 TB.
-    No oracle: HLL implementations differ across engines; accuracy is
-    asserted against the exact count in tests/test_sketches.py."""
+
+    HASH-checked since round 9 via HLL's exact-below-threshold regime:
+    at rsd=2% the register file is m=4096 and the estimator is linear
+    counting (m * ln(m / zero_registers)) for small cardinalities; for
+    n distinct values landing in n distinct registers that evaluates
+    to n + n^2/2m + O(n^3/m^2) < n + 1, so the truncated long is
+    EXACTLY n whenever n << m and no two values share a register —
+    both properties hold deterministically for this 3-value column
+    (value->register is a fixed hash, verified at every fixture SF),
+    so the estimate must equal the plain COUNT(DISTINCT) oracle. The
+    same expression on a high-cardinality column degrades gracefully
+    to a +-2%-rsd estimate while the shuffle stays O(sketch) —
+    tests/test_sketches.py asserts that regime against
+    sketch_exact_distinct (l_orderkey, unbounded domain), which stays
+    the hash-checked exact pairing."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    return li.groupBy("l_linestatus").agg(
+        F.approx_count_distinct("l_returnflag", rsd=0.02).alias("approx_flags"),
         F.count("*").alias("n_rows"),
     )
 
@@ -298,17 +327,27 @@ def sketch_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of data volume): build = one grouped count per (month, cell), merge
 # = explode + sum per cell — counter grids are linear, so a range
 # merge equals the sketch of the unioned range EXACTLY (pinned by
-# test_sketches.py). xxhash64(col, row_index) supplies the D
-# independent hashes without leaving codegen.
+# test_sketches.py).
+#
+# The D independent hashes are a Carter-Wegman family over the prime
+# P = 2^31 - 1: h_i(x) = ((x mod P) * A_i + B_i) mod P mod W — pure
+# 64-bit integer arithmetic that never overflows ((P-1)*A_i + B_i <
+# 2^62) and never leaves codegen. Round 9 switched from xxhash64 to
+# this family precisely because BOTH engines can evaluate it
+# bit-for-bit: the DuckDB oracle replays the entire sketch pipeline
+# (cell layout, counter build, range merge, min-over-depth probe), so
+# the CMS store rows are HASH-checked, not rows-only; the exact twin
+# below keeps pinning the estimate against true counts.
 #
 # 100 TB shape: the store is O(months x D*W) kilobyte rows built in
 # one scan; any range-frequency probe reads O(months) map rows and
 # never rescans orders — same pay-once discipline as the HLL / IVF /
-# MinHash stores. Rows-only under the driver (xxhash64 has no DuckDB
-# twin); sketch_cms_exact_twin hash-proves the identical probe shape
-# with exact counts, and the local gates bound the estimates.
+# MinHash stores.
 _CMS_DEPTH = 4
 _CMS_WIDTH = 512
+_CMS_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+_CMS_A = (1_299_721, 7_919, 104_729, 15_485_863)
+_CMS_B = (104_395_301, 32_452_843, 49_979_687, 67_867_967)
 _CMS_STORE_BUILT: dict[str, str] = {}
 
 # probe the same 3-month range as the HLL store, and custkeys 1..10
@@ -316,20 +355,40 @@ _CMS_STORE_BUILT: dict[str, str] = {}
 CMS_RANGE_MONTHS = HLL_RANGE_MONTHS
 _CMS_PROBE_KEYS = 10
 
+# DuckDB-side VALUES table of the per-depth hash constants, shared by
+# every CMS oracle so both engines address the same grid
+_CMS_AB_SQL = ", ".join(
+    f"({i}, {_CMS_A[i]}, {_CMS_B[i]})" for i in range(_CMS_DEPTH)
+)
+
 
 def _cms_hash_cells(item: str):
     """The D cell keys an item touches, as an array expression:
-    cell = row_index * W + xxhash64(item, row_index) % W. Shared by
-    the store builder and the probe side so both address the same
-    grid."""
+    cell = i * W + ((x mod P) * A_i + B_i) mod P mod W. Shared by the
+    store builder, the probe side, and (as _cms_cell_sql) the DuckDB
+    oracles, so all three address the same grid."""
+    x = F.pmod(F.col(item).cast("long"), F.lit(_CMS_P))
     return F.array(
         *[
             (
                 F.lit(i * _CMS_WIDTH)
-                + F.pmod(F.xxhash64(F.col(item), F.lit(i)), F.lit(_CMS_WIDTH))
+                + F.pmod(
+                    F.pmod(x * F.lit(_CMS_A[i]) + F.lit(_CMS_B[i]), F.lit(_CMS_P)),
+                    F.lit(_CMS_WIDTH),
+                )
             )
             for i in range(_CMS_DEPTH)
         ]
+    )
+
+
+def _cms_cell_sql(x: str) -> str:
+    """DuckDB twin of one _cms_hash_cells entry, parameterized on the
+    depth row ``ab`` (joined from the _CMS_AB_SQL VALUES table);
+    ``x`` must be a non-negative integer expression."""
+    return (
+        f"(ab.i * {_CMS_WIDTH} + "
+        f"(((({x} % {_CMS_P}) * ab.a + ab.b) % {_CMS_P}) % {_CMS_WIDTH}))"
     )
 
 
@@ -392,18 +451,44 @@ def _cms_estimates(spark: SparkSession, merged: DataFrame) -> DataFrame:
     )
 
 
+_CMS_STORE_ORACLE = f"""
+WITH ab(i, a, b) AS (VALUES {_CMS_AB_SQL}),
+cells AS (
+  SELECT {_cms_cell_sql("o.o_custkey")} AS cell, COUNT(*) AS cnt
+  FROM orders o CROSS JOIN ab
+  WHERE strftime(o.o_orderdate, '%Y-%m') IN
+        ({", ".join(f"'{m}'" for m in CMS_RANGE_MONTHS)})
+  GROUP BY 1
+),
+probe_cells AS (
+  SELECT gs.k AS o_custkey, {_cms_cell_sql("gs.k")} AS cell
+  FROM (SELECT range AS k FROM range(1, {_CMS_PROBE_KEYS + 1})) gs
+  CROSS JOIN ab
+)
+SELECT p.o_custkey,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_orders
+FROM probe_cells p LEFT JOIN cells c ON c.cell = p.cell
+GROUP BY p.o_custkey
+ORDER BY p.o_custkey
+"""
+
+
 @register(
-    "sketch_cms_store_freq", oracle=None, tags=("sketch", "aggregation", "layout")
+    "sketch_cms_store_freq",
+    oracle=_CMS_STORE_ORACLE,
+    tags=("sketch", "aggregation", "layout"),
 )
 def sketch_cms_store_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Probe the persisted CMS store: estimated order counts for
     custkeys 1..10 over the 3-month probe range, from the element-wise
     SUM of the three month sketches — the range answer reads 3 sparse
-    map rows, never an order row. Deterministic (fixed xxhash64 cell
-    layout) but engine-specific, so rows-only; sketch_cms_exact_twin
-    hash-proves the same probe keys/range with exact counts, and
-    test_sketches.py pins est >= exact, the collision upper bound, and
-    merge-equals-direct-build linearity."""
+    map rows, never an order row. HASH-checked since round 9: the
+    Carter-Wegman cell layout is plain 64-bit integer arithmetic, so
+    the DuckDB oracle rebuilds the counter grid directly over the
+    range rows (by linearity, direct build == month merge — also
+    pinned by test_sketches.py) and replays the min-over-depth probe
+    exactly. sketch_cms_exact_twin keeps proving est >= exact and the
+    collision upper bound against true counts."""
     root = build_cms_store(spark, sf_dir)
     sk = spark.read.parquet(root).filter(F.col("ym").isin(*CMS_RANGE_MONTHS))
     merged = (

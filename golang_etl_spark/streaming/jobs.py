@@ -1149,19 +1149,48 @@ def stream_cms_ingest(ev: DataFrame, out_root: str) -> DataFrame:
     )
 
 
+def _cms_stream_oracle() -> str:
+    from golang_etl_spark.operators.sketches import (
+        _CMS_AB_SQL,
+        _cms_cell_sql,
+    )
+
+    return f"""
+WITH ab(i, a, b) AS (VALUES {_CMS_AB_SQL}),
+cells AS (
+  SELECT {_cms_cell_sql("e.user_id")} AS cell, COUNT(*) AS cnt
+  FROM events e CROSS JOIN ab
+  GROUP BY 1
+),
+probe_cells AS (
+  SELECT gs.k AS user_id, {_cms_cell_sql("gs.k")} AS cell
+  FROM (SELECT range AS k
+        FROM range(1, {_CMS_STREAM_PROBE_USERS + 1})) gs
+  CROSS JOIN ab
+)
+SELECT p.user_id,
+       CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est_events
+FROM probe_cells p LEFT JOIN cells c ON c.cell = p.cell
+GROUP BY p.user_id
+ORDER BY p.user_id
+"""
+
+
 @register(
     "streaming_cms_ingest",
-    oracle=None,
+    oracle=_cms_stream_oracle(),
     tags=("streaming", "sketch", "aggregation", "layout"),
 )
 def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream the events table through the CMS delta ingest, then
     answer per-user event-count estimates for user_ids 1..10 from the
-    merged deltas — identical estimates to a batch-built sketch over
-    the same rows (linearity; multi-batch-tested), overestimate-only
-    vs exact counts. Rows-only like the batch CMS store (xxhash64 has
-    no DuckDB twin); the batch twin pair sketch_cms_store_freq /
-    sketch_cms_exact_twin hash-pins the shared arithmetic."""
+    merged deltas. HASH-checked since round 9: counter grids are
+    linear, so the merged micro-batch deltas equal the batch sketch of
+    everything ingested no matter how arrival was chunked
+    (multi-batch-tested in tests/test_streaming_multibatch.py), and
+    the Carter-Wegman cell arithmetic (operators/sketches.py) lets the
+    DuckDB oracle rebuild that batch sketch over the whole events
+    table and replay the min-over-depth probe exactly."""
     import atexit
     import shutil
     import tempfile

@@ -14,12 +14,36 @@ from golang_etl_spark.operators.sketches import (
 from golang_etl_spark.sources.catalog import load_table
 
 
-def test_approx_distinct_within_rsd(spark, sf_dir):
-    """The HLL estimate must sit within its advertised rsd of the
-    oracle-checked exact twin (sketch_exact_distinct) per group."""
+def test_approx_distinct_exact_regime(spark, sf_dir):
+    """The registered query probes HLL in its exact-below-threshold
+    regime (3-value column, m=4096 registers): the estimate must EQUAL
+    the true distinct count per group — the property its DuckDB oracle
+    hash-gates under the driver."""
+    li = load_table(spark, sf_dir, "lineitem")
     approx = {
-        r["l_returnflag"]: r["approx_orders"]
+        r["l_linestatus"]: r["approx_flags"]
         for r in sketch_approx_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_linestatus"]: r["e"]
+        for r in li.groupBy("l_linestatus")
+        .agg(F.countDistinct("l_returnflag").alias("e"))
+        .collect()
+    }
+    assert approx == exact
+
+
+def test_approx_distinct_within_rsd_high_cardinality(spark, sf_dir):
+    """The same HLL expression on an unbounded-domain column
+    (l_orderkey) must sit within its advertised rsd of the
+    oracle-checked exact twin (sketch_exact_distinct) per group — the
+    production regime the sketch exists for."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = {
+        r["l_returnflag"]: r["a"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey", rsd=0.02).alias("a"))
+        .collect()
     }
     exact = {
         r["l_returnflag"]: r["exact_orders"]
