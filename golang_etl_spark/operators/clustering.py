@@ -352,17 +352,17 @@ def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Shared brand-graph edge builder + triangle counting counting (graph analytics beyond connected components).
+# Shared graph edge builders + triangle counting (graph analytics beyond connected components).
 # ---------------------------------------------------------------------------
-_TRI_MIN_ORDERS = 40  # edge threshold: brands co-purchased this often
+_TRI_MIN_ORDERS = 40  # brand-edge threshold (PageRank/LPA substrate)
 
 
 def _brand_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
     """Undirected brand co-purchase edges (u < v), thresholded at
     ``min_orders`` shared orders: the one-exchange basket pipeline
     (broadcast part dim, collect_set per order, map-side HOF pair
-    expansion) shared by the triangle and PageRank kernels. Kept in
-    lockstep with the SQL twin CTEs (_TRI_ORACLE / _PR_EDGE_CTE)."""
+    expansion) shared by the PageRank and LPA kernels. Kept in
+    lockstep with the SQL twin CTEs (_PR_EDGE_CTE)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -387,17 +387,62 @@ def _brand_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame
         .select("u", "v")
     )
 
+# Triangle substrate (round 9): the brand graph is COMPLETE at
+# sf >= 0.01 (25 brands, every pair co-purchased often), and a clique
+# is the worst case for triangle enumeration — wedge cost is
+# sum-of-forward-degree^2, which densification blows up with sf (the
+# r6->r8 bench regressions). The PART co-purchase graph — the k-core
+# kernel's substrate — moves the opposite way: part count grows with
+# sf, so co-purchase collisions thin out and the graph gets SPARSER as
+# the data grows (sf0.001: 2.3k edges / 3.3k triangles; sf0.1: 3.6k
+# edges / ~1 triangle), which is the regime the oriented wedge join is
+# built for.
+_TRI_PART_MIN_ORDERS = 2  # parts sharing this many orders form an edge
+
+
+def _part_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
+    """Undirected PART co-purchase edges (u < v), thresholded at
+    ``min_orders`` shared orders — the sparse substrate shared by the
+    triangle and k-core kernels (same one-exchange basket pipeline as
+    _brand_edges, no dimension join needed: l_partkey is the vertex).
+    Kept in lockstep with the SQL twin CTEs (_TRI_EDGE_CTE /
+    _KCORE_EDGE_CTE)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    # no distinct() pre-pass: collect_set dedups partkeys within each
+    # order during the (partial-aggregating) basket build, so a
+    # separate distinct would just add a second full shuffle of the
+    # fact table for nothing
+    baskets = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_partkey").alias("parts")
+    )
+    return (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, p1 -> "
+                    "transform(filter(parts, p2 -> p2 > p1), "
+                    "p2 -> struct(p1 AS u, p2 AS v))))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= min_orders)
+        .select("u", "v")
+    )
+
+
 _TRI_ORACLE = f"""
-WITH ob AS (
-  SELECT DISTINCT l.l_orderkey, p.p_brand
-  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+WITH pb AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-edges AS (
-  SELECT a.p_brand AS u, b.p_brand AS v
-  FROM ob a JOIN ob b
-    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
-  GROUP BY a.p_brand, b.p_brand
-  HAVING COUNT(*) >= {_TRI_MIN_ORDERS}
+edges AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM pb a JOIN pb b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY a.l_partkey, b.l_partkey
+  HAVING COUNT(*) >= {_TRI_PART_MIN_ORDERS}
 ),
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
@@ -412,9 +457,9 @@ per_vertex AS (
     UNION ALL SELECT c FROM tri
   ) GROUP BY vertex
 )
-SELECT vertex AS p_brand, CAST(n_triangles AS BIGINT) AS n_triangles
+SELECT vertex AS l_partkey, CAST(n_triangles AS BIGINT) AS n_triangles
 FROM per_vertex
-ORDER BY n_triangles DESC, p_brand
+ORDER BY n_triangles DESC, l_partkey
 """
 
 
@@ -424,10 +469,14 @@ ORDER BY n_triangles DESC, p_brand
     tags=("join", "aggregation", "analytic"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-vertex triangle counts on the brand co-purchase graph
-    (edges = brand pairs co-purchased in >= _TRI_MIN_ORDERS orders) — the local
-    clustering-coefficient numerator, and the standard second graph
-    kernel after connected components (clustering.py:120).
+    """Per-vertex triangle counts on the part co-purchase graph
+    (edges = part pairs sharing >= _TRI_PART_MIN_ORDERS orders) — the
+    local clustering-coefficient numerator, and the standard second
+    graph kernel after connected components (clustering.py:120).
+    Moved off the brand graph in round 9: 25 brands form a clique at
+    sf >= 0.01 and wedge cost on a clique grows with density, the
+    opposite of how a real co-occurrence graph scales; the part graph
+    (k-core's substrate) gets sparser as sf grows.
 
     100 TB shape: edges build with the same one-exchange basket
     pipeline as agg_brand_cooccurrence; the triangle enumeration is
@@ -438,11 +487,11 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     power-law graphs, orient by (degree, id) instead to cap the
     heaviest wedge list (same plan, different comparator).
     """
-    edges = _brand_edges(spark, sf_dir, _TRI_MIN_ORDERS)
+    edges = _part_edges(spark, sf_dir, _TRI_PART_MIN_ORDERS)
     return (
         triangle_per_vertex(edges)
-        .select(F.col("vertex").alias("p_brand"), "n_triangles")
-        .orderBy(F.desc("n_triangles"), "p_brand")
+        .select(F.col("vertex").alias("l_partkey"), "n_triangles")
+        .orderBy(F.desc("n_triangles"), "l_partkey")
     )
 
 
@@ -783,28 +832,7 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     per the build brief, same fixed-round oracle discipline as
     graph_pagerank_fixed above.
     """
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    baskets = (
-        li.distinct()
-        .groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-    )
-    edges = (
-        baskets.select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(parts, p1 -> "
-                    "transform(filter(parts, p2 -> p2 > p1), "
-                    "p2 -> struct(p1 AS u, p2 AS v))))"
-                )
-            ).alias("e")
-        )
-        .select("e.u", "e.v")
-        .groupBy("u", "v")
-        .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= _KCORE_MIN_ORDERS)
-        .select("u", "v")
-    )
+    edges = _part_edges(spark, sf_dir, _KCORE_MIN_ORDERS)
     survivors, residual = kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS)
     return (
         survivors.join(residual, "vertex", "left")
