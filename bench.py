@@ -304,6 +304,10 @@ HEADLINE = [
     "sql_udf_table",
     "sketch_approx_topk",
     "curation_mixture_plan",
+    # round 9: seeded-literal quantizer twins (hash gates for the
+    # trained IVF/PQ query paths)
+    "similarity_ivf_seeded",
+    "similarity_pq_seeded",
 ]
 
 

@@ -24,6 +24,7 @@ import math
 import os
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -536,6 +537,125 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 3c. SEEDED-literal quantizer twins (round 9) — hash gates for the
+# trained paths' query-side arithmetic.
+# ---------------------------------------------------------------------------
+# The trained quantizers (3b above, 6 below) are rows-only by nature:
+# iterative k-means is not oracle-SQL-expressible. What IS checkable
+# is everything downstream of training — cell assignment, nprobe
+# probing, PQ encoding, ADC scoring, exact rerank — so these twins run
+# the IDENTICAL query code paths with codebooks that are pseudo-random
+# LITERALS generated by a seeded LCG: the same 4-decimal constants
+# appear in the Spark plan and in the oracle SQL, and the hash gate
+# replays the full pipeline. The trained variants stay registered as
+# the recall path (tests/test_similarity_recall.py).
+
+
+def _seeded_matrix(
+    rows: int, cols: int, seed: int, scale: float = 1.0
+) -> list[list[float]]:
+    """Deterministic pseudo-random matrix with entries in
+    [-scale, scale), rounded to 4 decimals: a 64-bit LCG keyed by
+    ``seed`` — no RNG library, so both engines see byte-identical
+    literals (each 4-decimal literal parses to the same double)."""
+    x = seed & ((1 << 64) - 1)
+    out = []
+    for _ in range(rows):
+        row = []
+        for _ in range(cols):
+            x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(round(((x >> 33) / float(1 << 30) - 1.0) * scale, 4))
+        out.append(row)
+    return out
+
+
+def _sql_double_list(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(v) for v in vals) + "]::DOUBLE[]"
+
+
+IVF_SEED_K = 16  # same cell count as the fixed/trained quantizers
+_IVF_SEED_CENTROIDS = _seeded_matrix(IVF_SEED_K, EMBED_DIM, seed=9001)
+
+_IVF_SEED_CENT_SQL = ", ".join(
+    f"({i}, {_sql_double_list(_IVF_SEED_CENTROIDS[i])})"
+    for i in range(IVF_SEED_K)
+)
+
+_IVF_SEED_ORACLE = f"""
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb,
+         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+  FROM embeddings
+),
+cent AS (
+  SELECT t.cell_id, t.c_emb,
+         sqrt(list_dot_product(t.c_emb, t.c_emb)) AS c_nrm
+  FROM (VALUES {_IVF_SEED_CENT_SQL}) AS t(cell_id, c_emb)
+),
+scored AS (
+  SELECT v.vec_id, v.emb, v.nrm, c.cell_id,
+         list_dot_product(v.emb, c.c_emb) / (v.nrm * c.c_nrm) AS ccos
+  FROM v CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, emb, nrm, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, emb AS q_emb, nrm AS q_nrm, cell_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY ccos DESC, cell_id) AS rn
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE rn <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id,
+         list_dot_product(p.q_emb, a.emb) / (p.q_nrm * a.nrm) AS cos
+  FROM probes p JOIN assigned a
+    ON a.cell_id = p.cell_id AND a.vec_id <> p.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cos, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_ivf_seeded", oracle=_IVF_SEED_ORACLE, tags=("ann", "llm"))
+def similarity_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of similarity_ivf_kmeans: the IDENTICAL query
+    code path (literal centroid frame via createDataFrame -> shared
+    _ivf_topk assignment/probe/score kernel) with seeded-literal
+    centroids instead of trained ones, so the DuckDB oracle replays
+    cell assignment, nprobe selection, and in-cell scoring exactly.
+    Together with the trained variant's recall gate this splits the
+    k-means path into a hash-checked query side and an accuracy-tested
+    training side. Scale shape: identical to similarity_ivf_topk."""
+    rows = [
+        (i, _IVF_SEED_CENTROIDS[i]) for i in range(IVF_SEED_K)
+    ]
+    cent = (
+        spark.createDataFrame(rows, "cell_id LONG, c_emb ARRAY<DOUBLE>")
+        .selectExpr(
+            "cell_id", "c_emb", f"sqrt({_dot_spark('c_emb', 'c_emb')}) AS c_nrm"
+        )
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
+        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    )
+    return _ivf_topk(v, cent)
+
+
+# ---------------------------------------------------------------------------
 # 4. Label centroid analytics (distributed array aggregation).
 # ---------------------------------------------------------------------------
 _CENTROID_ORACLE = f"""
@@ -769,7 +889,8 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieve-then-rerank pipeline (the exact pass touches C rows per
     query, not the corpus). Rows-only check (iterative k-means);
     recall floor asserted vs brute force in
-    tests/test_similarity_recall.py.
+    tests/test_similarity_recall.py, and similarity_pq_seeded
+    hash-gates this exact pipeline with literal codebooks.
 
     Scale shape: codebooks + query LUTs broadcast (a few KB); one
     Arrow-batched mapInPandas pass over the corpus encodes AND scores,
@@ -779,6 +900,17 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     by id (broadcast). No shuffle of the corpus, no Python per-row
     calls."""
     books = train_pq_codebooks(spark, sf_dir)  # (M, K, sub)
+    return _pq_adc_topk(spark, sf_dir, books)
+
+
+def _pq_adc_topk(
+    spark: SparkSession, sf_dir: str, books: np.ndarray
+) -> DataFrame:
+    """The PQ encode/ADC/rerank query path over ANY (M, K, sub)
+    codebook array — shared by the trained (similarity_pq_topk) and
+    seeded-literal (similarity_pq_seeded) variants so the latter's
+    hash gate covers exactly the pipeline the former runs."""
+    pq_m, _, pq_sub = books.shape
     emb = load_table(spark, sf_dir, "embeddings")
     qpdf = (
         emb.filter(F.col("vec_id") < N_QUERIES)
@@ -791,9 +923,10 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # query would otherwise NaN-poison its entire ADC LUT
     Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
     qids = qpdf["vec_id"].to_numpy()
-    sub = Q.shape[1] // PQ_M
     # per-query ADC lookup tables: luts[q, m, k] = <q_sub_m, books[m,k]>
-    luts = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, sub), books)
+    luts = np.einsum(
+        "qmd,mkd->qmk", Q.reshape(len(Q), pq_m, pq_sub), books
+    )
     sc = spark.sparkContext
     b_books, b_luts, b_qids = (
         sc.broadcast(books), sc.broadcast(luts), sc.broadcast(qids),
@@ -809,11 +942,11 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
             X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
             n, d = X.shape
-            Xs = X.reshape(n, PQ_M, sub)
+            Xs = X.reshape(n, pq_m, pq_sub)
             # encode: nearest centroid per subspace (argmin L2, matmul
             # form — the broadcast-difference form allocates n*K*sub)
-            codes = np.empty((n, PQ_M), dtype=np.int64)
-            for m in range(PQ_M):
+            codes = np.empty((n, pq_m), dtype=np.int64)
+            for m in range(pq_m):
                 Xm = Xs[:, m, :]
                 d2 = (
                     (Xm**2).sum(axis=1, keepdims=True)
@@ -824,10 +957,16 @@ def similarity_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = []
             # ADC: score[q, n] = sum_m luts[q, m, codes[n, m]]
             for q in range(len(qi)):
-                s = lt[q][np.arange(PQ_M)[None, :], codes].sum(axis=1)
+                s = lt[q][np.arange(pq_m)[None, :], codes].sum(axis=1)
                 mask = ids != qi[q]
                 cand_ids, cand_s = ids[mask], s[mask]
-                keep = np.argsort(-cand_s)[:top_k]
+                # deterministic cut: (score DESC, id ASC) — argsort
+                # alone tie-breaks by position, which is partition-
+                # layout-dependent; lexsort matches the downstream
+                # window's (adc_score DESC, neighbor_id) order so the
+                # per-partition top-C is a true prefix of the global
+                # order and the seeded twin's oracle replays it
+                keep = np.lexsort((cand_ids, -cand_s))[:top_k]
                 out.append(
                     pd.DataFrame(
                         {
@@ -1042,6 +1181,119 @@ def similarity_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 6c. PQ with SEEDED-literal codebooks — the hash gate for the TRAINED
+# mapInPandas pipeline (round 9; see 3c for the IVF counterpart).
+# ---------------------------------------------------------------------------
+# similarity_pq_fixed (6b) proves the ADC *arithmetic* in relational
+# form; this twin proves the actual PRODUCTION PIPELINE — the
+# Arrow-batched mapInPandas encode+score pass with per-partition
+# top-C emission, the global ADC cut, and the exact rerank — by
+# running _pq_adc_topk (the exact code similarity_pq_topk runs) with
+# seeded-literal codebooks the oracle can replay. The per-partition
+# top-C cut is safe to replay globally: a candidate in the global
+# ADC top-C is necessarily in its partition's top-C (fewer
+# competitors), so the union of partition cuts always contains the
+# global answer, and both cuts share the (score DESC, id ASC) order.
+# M=4 x K=16 keeps the oracle's literal codeword table small; entries
+# are scaled to ~subvector magnitude (|x| ~ 1/8 for unit 64-dim
+# vectors) so the encode argmin exercises varied codes.
+PQS_M = 4
+PQS_K = 16
+PQS_SUB = EMBED_DIM // PQS_M
+
+_PQ_SEED_BOOKS = np.array(
+    _seeded_matrix(PQS_M * PQS_K, PQS_SUB, seed=9002, scale=0.125)
+).reshape(PQS_M, PQS_K, PQS_SUB)
+
+_PQ_SEED_CW_SQL = ", ".join(
+    f"({m}, {k}, {_sql_double_list([float(x) for x in _PQ_SEED_BOOKS[m, k]])})"
+    for m in range(PQS_M)
+    for k in range(PQS_K)
+)
+
+_PQ_SEED_ORACLE = f"""
+WITH cw(m, k, c) AS (VALUES {_PQ_SEED_CW_SQL}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+),
+nv AS (
+  SELECT vec_id,
+         list_transform(
+           e, x -> x / greatest(sqrt(list_dot_product(e, e)), 1e-12)
+         ) AS emb
+  FROM v
+),
+subs AS (
+  SELECT vec_id, m.m AS m,
+         list_slice(emb, m.m * {PQS_SUB} + 1, (m.m + 1) * {PQS_SUB}) AS s
+  FROM nv, (SELECT unnest(range(0, {PQS_M})) AS m) m
+),
+codes AS (
+  SELECT vec_id, m, k FROM (
+    SELECT s.vec_id, s.m, c.k,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.vec_id, s.m
+             ORDER BY list_dot_product(s.s, s.s)
+                      - 2 * list_dot_product(s.s, c.c)
+                      + list_dot_product(c.c, c.c), c.k) AS rn
+    FROM subs s JOIN cw c ON c.m = s.m
+  ) WHERE rn = 1
+),
+qlut AS (
+  SELECT s.vec_id AS query_id, s.m, c.k, list_dot_product(s.s, c.c) AS p
+  FROM subs s JOIN cw c ON c.m = s.m
+  WHERE s.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT q.query_id, codes.vec_id AS neighbor_id, SUM(q.p) AS adc
+  FROM codes JOIN qlut q ON q.m = codes.m AND q.k = codes.k
+  WHERE codes.vec_id <> q.query_id
+  GROUP BY q.query_id, codes.vec_id
+),
+cand AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY adc DESC, neighbor_id) AS rn
+    FROM adc
+  ) WHERE rn <= {PQ_RERANK_C}
+),
+vv AS (
+  SELECT vec_id, e AS emb, sqrt(list_dot_product(e, e)) AS nrm FROM v
+),
+scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         list_dot_product(q.emb, x.emb) / (q.nrm * x.nrm) AS cosine
+  FROM cand c
+  JOIN vv x ON x.vec_id = c.neighbor_id
+  JOIN vv q ON q.vec_id = c.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register("similarity_pq_seeded", oracle=_PQ_SEED_ORACLE, tags=("ann", "llm"))
+def similarity_pq_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gated twin of similarity_pq_topk: the IDENTICAL
+    encode/ADC/rerank pipeline (_pq_adc_topk — Arrow-batched
+    mapInPandas scan emitting per-partition top-C, global ADC cut,
+    exact-cosine rerank) with seeded-literal codebooks, so the DuckDB
+    oracle replays every stage. The trained variant stays registered
+    as the recall path; this row proves the pipeline mechanics under
+    the driver's hash gate. Scale shape: identical to
+    similarity_pq_topk."""
+    return _pq_adc_topk(spark, sf_dir, _PQ_SEED_BOOKS)
+
+
+# ---------------------------------------------------------------------------
 # 7. Matryoshka (truncated-prefix) retrieval — the dimension-cut tier.
 # ---------------------------------------------------------------------------
 # Matryoshka-trained embeddings concentrate signal in their prefix, so
@@ -1137,146 +1389,250 @@ def similarity_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 8. The composed retrieval funnel: MRL prefix -> PQ ADC -> exact rerank.
 # ---------------------------------------------------------------------------
-# The production ANN story the three tiers above exist for, as ONE
-# pipeline: a cheap prefix screen touches MRL_DIM/EMBED_DIM of the
-# floats per corpus vector, PQ ADC refines only the screen's survivors
-# (table lookups on 8-byte codes), and exact full-precision cosine
-# reranks only the ADC survivors. Each tier multiplies selectivity;
-# the expensive arithmetic runs on a vanishing fraction of the corpus.
-FUNNEL_C1 = 60  # prefix-screen survivors per partition per query
+# The production ANN story the tiers above exist for, as ONE pipeline:
+# a cheap prefix screen touches MRL_DIM/EMBED_DIM of the floats per
+# corpus vector, PQ ADC refines only the screen's survivors (lookups
+# against the codebooks), and exact full-precision cosine reranks only
+# the ADC survivors. Each tier multiplies selectivity; the expensive
+# arithmetic runs on a vanishing fraction of the corpus.
+#
+# Round 9 made the funnel DETERMINISTIC and hash-gated: tiers cut at
+# GLOBAL top-C boundaries (ties broken by neighbor_id) and the PQ tier
+# uses the SEEDED-literal codebooks (6c above), so the DuckDB oracle
+# replays all three tiers exactly. (The previous formulation cut
+# top-C1/C2 per PARTITION inside one mapInPandas pass with trained
+# codebooks — a result that depended on data placement and training,
+# so it could only ever be rows-only-checked. That one-pass trained
+# pipeline still exists and is hash-gated via similarity_pq_topk /
+# similarity_pq_seeded; the funnel demonstrates the tier COMPOSITION
+# under the gate.) Tier-1/3 arithmetic stays on the raw-vector + norm
+# shape the brute-force/matryoshka oracles already pin — normalizing
+# the column with a per-element lambda would re-inline the aggregate
+# into every downstream expression (measured ~6x on tier 1); the PQ
+# tier normalizes inside its Arrow batch exactly as
+# similarity_pq_seeded's score() does.
+FUNNEL_C1 = 60  # prefix-screen survivors per query
 FUNNEL_C2 = 25  # ADC survivors per query fed to the exact rerank
 
 
-@register("similarity_funnel_mrl_pq", oracle=None, tags=("ann", "llm"))
+def _funnel_adc_udf():
+    """Vectorized (Arrow-batched) ADC scorer for the funnel's PQ tier:
+    L2-normalize the pair (same 1e-12 floor as _pq_adc_topk), encode
+    the corpus vector against the seeded codebooks (argmin d2 per
+    subspace; np.argmin takes the FIRST minimum = lowest k, matching
+    the oracle's (d2, k) order), and accumulate the per-query LUT
+    value <q_sub, codeword>. Identical arithmetic to
+    similarity_pq_seeded's score() (whose oracle parity is
+    hash-proven), applied to <= |queries| x FUNNEL_C1 rows — a bounded
+    candidate set, not a corpus scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    books = _PQ_SEED_BOOKS
+
+    @pandas_udf("double")
+    def adc(q_emb: pd.Series, n_emb: pd.Series) -> pd.Series:
+        n = len(n_emb)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        X = np.array(n_emb.tolist(), dtype=np.float64)
+        Q = np.array(q_emb.tolist(), dtype=np.float64)
+        X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+        Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
+        Xs = X.reshape(n, PQS_M, PQS_SUB)
+        Qs = Q.reshape(n, PQS_M, PQS_SUB)
+        out = np.zeros(n)
+        for m in range(PQS_M):
+            Xm = Xs[:, m, :]
+            d2 = (
+                (Xm**2).sum(axis=1, keepdims=True)
+                - 2.0 * (Xm @ books[m].T)
+                + (books[m] ** 2).sum(axis=1)[None, :]
+            )
+            codes = np.argmin(d2, axis=1)
+            out += np.einsum("nd,nd->n", Qs[:, m, :], books[m][codes])
+        return pd.Series(out)
+
+    return adc
+
+
+_FUNNEL_ORACLE = f"""
+WITH cw(m, k, c) AS (VALUES {_PQ_SEED_CW_SQL}),
+v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e,
+         list_slice(embedding::DOUBLE[], 1, {MRL_DIM}) AS p
+  FROM embeddings
+),
+pv AS (
+  SELECT vec_id, e, p,
+         sqrt(list_dot_product(e, e)) AS nrm,
+         sqrt(list_dot_product(p, p)) AS pn
+  FROM v WHERE list_dot_product(p, p) > 0
+),
+q AS (
+  SELECT vec_id AS query_id, e AS q_e, p AS q_p,
+         nrm AS q_nrm, pn AS q_pn
+  FROM pv WHERE vec_id < {N_QUERIES}
+),
+scored AS (
+  SELECT q.query_id, x.vec_id AS neighbor_id,
+         x.e AS n_e, x.nrm AS n_nrm, q.q_e, q.q_nrm,
+         list_dot_product(q.q_p, x.p) / (q.q_pn * x.pn) AS cos_mrl
+  FROM pv x JOIN q ON x.vec_id <> q.query_id
+),
+t1 AS (
+  SELECT query_id, neighbor_id, n_e, n_nrm, q_e, q_nrm FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cos_mrl DESC, neighbor_id) AS rn
+    FROM scored
+  ) WHERE rn <= {FUNNEL_C1}
+),
+t1n AS (
+  SELECT query_id, neighbor_id, n_e, n_nrm, q_e, q_nrm,
+         list_transform(
+           n_e, x -> x / greatest(sqrt(list_dot_product(n_e, n_e)), 1e-12)
+         ) AS nx,
+         list_transform(
+           q_e, x -> x / greatest(sqrt(list_dot_product(q_e, q_e)), 1e-12)
+         ) AS qx
+  FROM t1
+),
+subs AS (
+  SELECT query_id, neighbor_id, m.m AS m,
+         list_slice(nx, m.m * {PQS_SUB} + 1, (m.m + 1) * {PQS_SUB}) AS s,
+         list_slice(qx, m.m * {PQS_SUB} + 1, (m.m + 1) * {PQS_SUB}) AS qs
+  FROM t1n, (SELECT unnest(range(0, {PQS_M})) AS m) m
+),
+coded AS (
+  SELECT query_id, neighbor_id, m, p FROM (
+    SELECT s.query_id, s.neighbor_id, s.m,
+           list_dot_product(s.qs, c.c) AS p,
+           ROW_NUMBER() OVER (
+             PARTITION BY s.query_id, s.neighbor_id, s.m
+             ORDER BY list_dot_product(s.s, s.s)
+                      - 2 * list_dot_product(s.s, c.c)
+                      + list_dot_product(c.c, c.c), c.k) AS rn
+    FROM subs s JOIN cw c ON c.m = s.m
+  ) WHERE rn = 1
+),
+adc AS (
+  SELECT query_id, neighbor_id, SUM(p) AS adc
+  FROM coded GROUP BY query_id, neighbor_id
+),
+t2 AS (
+  SELECT t1.query_id, t1.neighbor_id,
+         list_dot_product(t1.q_e, t1.n_e) / (t1.q_nrm * t1.n_nrm) AS cosine
+  FROM t1
+  JOIN (
+    SELECT query_id, neighbor_id FROM (
+      SELECT query_id, neighbor_id,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY adc DESC, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= {FUNNEL_C2}
+  ) s USING (query_id, neighbor_id)
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM t2
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+@register(
+    "similarity_funnel_mrl_pq", oracle=_FUNNEL_ORACLE, tags=("ann", "llm")
+)
 def similarity_funnel_mrl_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Three-tier retrieval funnel in one corpus scan:
+    """Three-tier retrieval funnel, hash-gated end to end (round 9):
 
-    1. **MRL prefix screen** — cosine on the first MRL_DIM dims
-       (numpy matmul per Arrow batch; 1/4 the memory traffic of the
-       full vector), keep the top FUNNEL_C1 per query per partition.
-    2. **PQ ADC refine** — encode ONLY the screen's survivors with the
-       trained codebooks and score via the query LUTs (in production
-       the codes are precomputed at index-build; encoding-on-survivors
-       keeps the demo one-pass), emit the top FUNNEL_C2 per partition.
-    3. **Exact rerank** — global top-FUNNEL_C2 by ADC (one exchange of
-       |queries| x C2 x |partitions| candidate rows — never vectors),
-       broadcast-join the candidate ids back to the vector table, exact
-       full-dim cosine, top-K.
+    1. **MRL prefix screen** — prefix cosine on the first MRL_DIM dims
+       (raw vectors + precomputed norms, the brute-force/matryoshka
+       shape), global top-FUNNEL_C1 per query.
+    2. **PQ ADC refine** — encode each survivor against the
+       seeded-literal codebooks (similarity_pq_seeded's) and score the
+       per-query LUT value in one vectorized Arrow batch
+       (_funnel_adc_udf — numpy over the bounded survivor set); global
+       top-FUNNEL_C2 per query.
+    3. **Exact rerank** — full-dim cosine from the vectors already on
+       the row, top-K.
 
-    Rows-only check (trained k-means is engine-divergent); recall
-    floor vs brute force + tier-monotonicity asserted in
-    tests/test_similarity_recall.py. Scale shape: codebooks/LUTs/query
-    prefixes broadcast (KBs); the corpus is scanned once, never
-    shuffled; all exchanges carry candidate IDs."""
-    books = train_pq_codebooks(spark, sf_dir)  # (M, K, sub)
+    Tiers 1 and 3 are JVM array lambdas; tier 2 is the numpy
+    arithmetic whose oracle parity similarity_pq_seeded pins. All cuts
+    use deterministic (score DESC, neighbor_id) tie-breaks, so the
+    DuckDB oracle replays every tier; recall floor vs brute force +
+    tier monotonicity stay asserted in tests/test_similarity_recall.py.
+
+    Scale shape: ONE corpus scan; the query set broadcasts; tier 1's
+    per-query window cut runs partially per partition
+    (WindowGroupLimit) before one candidate exchange; tiers 2 and 3
+    are projections + window cuts over <= |queries| x C1 rows. The
+    demo carries the (small) vectors through the candidate exchange to
+    stay join-free; at billions of rows you would ship ids + scores
+    and broadcast-join vectors back for the rerank, as
+    similarity_pq_topk does."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qpdf = (
-        emb.filter(F.col("vec_id") < N_QUERIES)
-        .select("vec_id", "embedding")
-        .orderBy("vec_id")
-        .toPandas()
-    )
-    Q = np.array(qpdf["embedding"].tolist(), dtype=np.float64)
-    Q /= np.maximum(np.linalg.norm(Q, axis=1, keepdims=True), 1e-12)
-    qids = qpdf["vec_id"].to_numpy()
-    sub = Q.shape[1] // PQ_M
-    luts = np.einsum("qmd,mkd->qmk", Q.reshape(len(Q), PQ_M, sub), books)
-    # query prefixes, L2-normalized in MRL space (the screen ranks by
-    # prefix cosine, exactly like similarity_matryoshka_topk)
-    Qp = Q[:, :MRL_DIM].copy()
-    Qp /= np.maximum(np.linalg.norm(Qp, axis=1, keepdims=True), 1e-12)
-    sc = spark.sparkContext
-    b_books, b_luts, b_qids, b_qp = (
-        sc.broadcast(books),
-        sc.broadcast(luts),
-        sc.broadcast(qids),
-        sc.broadcast(Qp),
-    )
-    c1, c2 = FUNNEL_C1, FUNNEL_C2
-
-    def screen_and_refine(batches):
-        import pandas as pd
-
-        bk, lt, qi, qp = (
-            b_books.value, b_luts.value, b_qids.value, b_qp.value,
+    pv = (
+        emb.selectExpr(
+            "vec_id",
+            f"{_EMB_DOUBLE_SPARK} AS e",
+            f"slice({_EMB_DOUBLE_SPARK}, 1, {MRL_DIM}) AS p",
         )
-        for pdf in batches:
-            ids = pdf["vec_id"].to_numpy()
-            X = np.array(pdf["embedding"].tolist(), dtype=np.float64)
-            X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
-            # tier 1: prefix cosine, top-c1 per query in this batch
-            Xp = X[:, :MRL_DIM].copy()
-            Xp /= np.maximum(
-                np.linalg.norm(Xp, axis=1, keepdims=True), 1e-12
-            )
-            pre = qp @ Xp.T  # (queries, batch)
-            out = []
-            for q in range(len(qi)):
-                mask = ids != qi[q]
-                cand_idx = np.flatnonzero(mask)
-                if not len(cand_idx):
-                    continue
-                keep1 = cand_idx[
-                    np.argsort(-pre[q, cand_idx])[:c1]
-                ]
-                # tier 2: encode ONLY survivors, ADC-score via LUT
-                Xs = X[keep1].reshape(len(keep1), PQ_M, sub)
-                codes = np.empty((len(keep1), PQ_M), dtype=np.int64)
-                for m in range(PQ_M):
-                    Xm = Xs[:, m, :]
-                    d2 = (
-                        (Xm**2).sum(axis=1, keepdims=True)
-                        - 2.0 * (Xm @ bk[m].T)
-                        + (bk[m] ** 2).sum(axis=1)[None, :]
-                    )
-                    codes[:, m] = np.argmin(d2, axis=1)
-                s = lt[q][np.arange(PQ_M)[None, :], codes].sum(axis=1)
-                keep2 = np.argsort(-s)[:c2]
-                out.append(
-                    pd.DataFrame(
-                        {
-                            "query_id": qi[q],
-                            "neighbor_id": ids[keep1][keep2],
-                            "adc_score": s[keep2],
-                        }
-                    )
-                )
-            yield pd.concat(out) if out else pd.DataFrame(
-                {"query_id": [], "neighbor_id": [], "adc_score": []}
-            )
-
-    partial = emb.select("vec_id", "embedding").mapInPandas(
-        screen_and_refine, "query_id LONG, neighbor_id LONG, adc_score DOUBLE"
+        .filter(F.expr(f"{_dot_spark('p', 'p')} > 0"))
+        .selectExpr(
+            "vec_id",
+            "e",
+            "p",
+            f"sqrt({_dot_spark('e', 'e')}) AS nrm",
+            f"sqrt({_dot_spark('p', 'p')}) AS pn",
+        )
     )
-    w_adc = Window.partitionBy("query_id").orderBy(
-        F.col("adc_score").desc(), F.col("neighbor_id")
+    q = pv.filter(F.col("vec_id") < N_QUERIES).selectExpr(
+        "vec_id AS query_id", "e AS q_e", "p AS q_p",
+        "nrm AS q_nrm", "pn AS q_pn",
     )
-    cands = (
-        partial.withColumn("adc_rank", F.row_number().over(w_adc))
-        .filter(F.col("adc_rank") <= c2)
-        .select("query_id", "neighbor_id")
+    scored = pv.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).selectExpr(
+        "query_id",
+        "vec_id AS neighbor_id",
+        "e AS n_e",
+        "nrm AS n_nrm",
+        "q_e",
+        "q_nrm",
+        f"{_dot_spark('q_p', 'p')} / (q_pn * pn) AS cos_mrl",
     )
-    # tier 3: exact rerank of the tiny candidate set, all JVM-side
-    v = emb.selectExpr("vec_id", f"{_EMB_DOUBLE_SPARK} AS emb").selectExpr(
-        "vec_id", "emb", f"sqrt({_dot_spark('emb', 'emb')}) AS nrm"
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_mrl").desc(), F.col("neighbor_id")
     )
-    qv = v.filter(F.col("vec_id") < N_QUERIES).selectExpr(
-        "vec_id AS query_id", "emb AS q_emb", "nrm AS q_nrm"
+    t1 = (
+        scored.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= FUNNEL_C1)
+        .select("query_id", "neighbor_id", "n_e", "n_nrm", "q_e", "q_nrm")
     )
-    scored = (
-        v.join(F.broadcast(cands), v["vec_id"] == cands["neighbor_id"])
-        .join(F.broadcast(qv), "query_id")
+    t1 = t1.withColumn(
+        "adc", _funnel_adc_udf()(F.col("q_e"), F.col("n_e"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("neighbor_id")
+    )
+    t2 = (
+        t1.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= FUNNEL_C2)
         .selectExpr(
             "query_id",
             "neighbor_id",
-            f"{_dot_spark('q_emb', 'emb')} / (q_nrm * nrm) AS cosine",
+            f"{_dot_spark('q_e', 'n_e')} / (q_nrm * n_nrm) AS cosine",
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
+    w3 = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        t2.withColumn("rank", F.row_number().over(w3))
         .filter(F.col("rank") <= TOP_K)
         .select(
             "query_id",
