@@ -105,10 +105,28 @@ def _driver_history() -> dict[str, tuple[int, bool]]:
     return history
 
 
+# Queries whose SEMANTICS (result values, schema, or oracle status)
+# changed in a given round: any driver row from an earlier round
+# proves nothing about the current code, so rotation treats such a
+# name as unverified until a row from >= that round lands. Entries
+# expire on their own — once the driver samples the name again, its
+# history round catches up and the normal rotation takes over.
+_SEMANTICS_CHANGED_ROUND = {
+    # round 9: CMS Carter-Wegman hash + full oracle; HLL exact-regime
+    # conversion; part-substrate triangle count; hash-gated funnel.
+    "sketch_cms_store_freq": 9,
+    "streaming_cms_ingest": 9,
+    "sketch_approx_distinct": 9,
+    "graph_triangle_count": 9,
+    "similarity_funnel_mrl_pq": 9,
+}
+
+
 def _ordered() -> dict[str, QuerySpec]:
     """Registry ordered for driver-sample priority (stable within ties):
 
-    1. latest row non-green (re-verify landed fixes — a fix that
+    1. latest row non-green OR stale (the query's semantics changed
+       after its last driver row — re-verify landed fixes; a fix that
        never gets re-sampled stays unproven forever, while a new
        query merely waits a round for its first row),
     2. never driver-checked (new queries need their first row),
@@ -122,6 +140,8 @@ def _ordered() -> dict[str, QuerySpec]:
         if name not in history:
             return (1, 0, insertion[name])
         rnd, green = history[name]
+        if rnd < _SEMANTICS_CHANGED_ROUND.get(name, 0):
+            green = False  # stale row: the code it checked is gone
         return (0 if not green else 2, rnd, insertion[name])
 
     return {n: specs[n] for n in sorted(specs, key=key)}

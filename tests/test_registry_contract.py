@@ -15,6 +15,8 @@ def test_rotation_priority_order():
         if n not in history:
             return 1  # never checked: after landed-but-unproven fixes
         rnd, green = history[n]
+        if rnd < registry._SEMANTICS_CHANGED_ROUND.get(n, 0):
+            green = False  # stale: semantics changed after the row
         return 0 if not green else 2
 
     groups = [group(n) for n in names]
