@@ -934,3 +934,25 @@ def test_sql_scalar_udf_stays_in_codegen(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "partial_sum" in plan and "l_discount" in plan
+
+
+def test_funnel_tier1_cut_runs_partially_per_partition(spark, sf_dir):
+    """The funnel's scale claim: the per-query top-C1 screen must push
+    a partial WindowGroupLimit below the candidate exchange (so the
+    exchange carries <= C1 x partitions x queries rows, not the whole
+    scored cross product), and the broadcast of the tiny query side
+    must never degenerate into a cartesian product."""
+    plan = _plan(spark, sf_dir, "similarity_funnel_mrl_pq")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pq_seeded_runs_the_mapinpandas_pipeline(spark, sf_dir):
+    """similarity_pq_seeded exists to hash-gate the PRODUCTION PQ
+    pipeline, so its plan must actually contain the Arrow-batched
+    mapInPandas scan stage (not a relational re-derivation) plus the
+    global ADC window cut."""
+    plan = _plan(spark, sf_dir, "similarity_pq_seeded")
+    assert "MapInPandas" in plan
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
