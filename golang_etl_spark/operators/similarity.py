@@ -516,8 +516,10 @@ def similarity_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     vectors. Trained cells track the data distribution, so recall at
     equal nprobe is higher (asserted vs brute force in
     tests/test_similarity_recall.py). Rows-only check by design:
-    iterative k-means is not oracle-SQL-expressible; the fixed-ID IVF
-    keeps the hash-checked variant."""
+    iterative k-means is not oracle-SQL-expressible; the query side of
+    this exact code path (literal centroid frame -> _ivf_topk) is
+    hash-gated by similarity_ivf_seeded, and the fixed-ID IVF
+    (similarity_ivf_topk) keeps the corpus-vector variant checked."""
     cent_np = train_kmeans_centroids(spark, sf_dir)
     rows = [
         (int(i), [float(x) for x in cent_np[i]])
