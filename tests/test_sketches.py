@@ -269,3 +269,62 @@ def test_histogram_store_median_within_one_bin_of_exact(spark, sf_dir):
     assert rows["1996-01:1996-03"]["n_rows"] == sum(
         rows[m]["n_rows"] for m in HLL_RANGE_MONTHS
     )
+
+
+def test_cms_cell_arithmetic_three_way_parity(spark):
+    """The CMS hash gate rests on three textually-separate copies of
+    the Carter-Wegman cell arithmetic staying identical: the Spark
+    expression (_cms_hash_cells), the DuckDB oracle snippet
+    (_cms_cell_sql), and the documented formula
+    i*W + ((x mod P) * A_i + B_i) mod P mod W. Pin all three on edge
+    keys (0, 1, P-1, P, P+1, 2^31, large) plus LCG-random keys so an
+    edit to any one copy fails here in seconds, not at driver time."""
+    import duckdb
+
+    from golang_etl_spark.operators.sketches import (
+        _CMS_A,
+        _CMS_AB_SQL,
+        _CMS_B,
+        _CMS_DEPTH,
+        _CMS_P,
+        _CMS_WIDTH,
+        _cms_cell_sql,
+        _cms_hash_cells,
+    )
+
+    keys = [0, 1, _CMS_P - 1, _CMS_P, _CMS_P + 1, 2**32, 2**40 + 12345]
+    x = 42
+    for _ in range(100):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        keys.append(x)
+    assert len(set(keys)) == len(keys)  # VALUES/dict compare needs unique keys
+
+    def reference(k):
+        return [
+            i * _CMS_WIDTH
+            + (((k % _CMS_P) * _CMS_A[i] + _CMS_B[i]) % _CMS_P) % _CMS_WIDTH
+            for i in range(_CMS_DEPTH)
+        ]
+
+    expected = {k: reference(k) for k in keys}
+
+    df = spark.createDataFrame([(k,) for k in keys], "k LONG")
+    got_spark = {
+        r["k"]: list(r["cells"])
+        for r in df.select("k", _cms_hash_cells("k").alias("cells")).collect()
+    }
+    assert got_spark == expected
+
+    con = duckdb.connect()
+    rows = con.sql(
+        f"""
+        WITH ab(i, a, b) AS (VALUES {_CMS_AB_SQL}),
+        ks(k) AS (VALUES {", ".join(f"({k})" for k in keys)})
+        SELECT ks.k, ab.i, {_cms_cell_sql("ks.k")} AS cell
+        FROM ks CROSS JOIN ab ORDER BY ks.k, ab.i
+        """
+    ).fetchall()
+    got_sql = {}
+    for k, i, cell in rows:
+        got_sql.setdefault(k, []).append(int(cell))
+    assert got_sql == expected
