@@ -380,6 +380,16 @@ DETAIL_PATH = os.environ.get(
 )
 
 
+def n_runs_for(spent: float) -> int:
+    """Repeat-run policy by elapsed loop time: warm + best-of-3 while
+    under half the budget, warm + best-of-2 up to double the budget
+    (the whole tail in a normal full run — see BUDGET_S comment), and
+    warm + single timed run only in genuine overrun."""
+    if spent <= 0.5 * BUDGET_S:
+        return 4
+    return 3 if spent <= 2 * BUDGET_S else 2
+
+
 def release_executor_state(spark) -> None:
     """Free EVERY block the previous run left in the executors: cached
     tables AND persisted/localCheckpoint'd RDDs. clearCache() alone
@@ -428,10 +438,7 @@ def main() -> None:
         # persist() their self-join subtrees, and without the release
         # a repeat run would time a cache read, not the query — and
         # localCheckpoint blocks would accumulate across the loop.
-        spent = time.perf_counter() - loop_start
-        n_runs = 4 if spent <= 0.5 * BUDGET_S else (
-            3 if spent <= 2 * BUDGET_S else 2
-        )
+        n_runs = n_runs_for(time.perf_counter() - loop_start)
         for _ in range(n_runs):
             release_executor_state(spark)
             t0 = time.perf_counter()

@@ -44,3 +44,18 @@ def test_compact_line_fits_tail_capture_worst_case():
         }
     )
     assert len(line.encode()) <= bench.MAX_LINE_BYTES, len(line.encode())
+
+
+def test_run_shedding_bands():
+    """The repeat-run policy: best-of-3 timed runs in the first half
+    of the budget, best-of-2 through DOUBLE the budget (so the whole
+    tail of a normal full run keeps jitter filtering — the r09
+    post-mortem traced every run-over-run outlier to the old
+    single-timed-run band past 1x budget), single timed run only in
+    genuine overrun."""
+    b = bench.BUDGET_S
+    assert bench.n_runs_for(0.0) == 4
+    assert bench.n_runs_for(0.5 * b) == 4
+    assert bench.n_runs_for(0.6 * b) == 3
+    assert bench.n_runs_for(1.9 * b) == 3
+    assert bench.n_runs_for(2.1 * b) == 2
