@@ -305,9 +305,11 @@ HEADLINE = [
     "sketch_approx_topk",
     "curation_mixture_plan",
     # round 9: seeded-literal quantizer twins (hash gates for the
-    # trained IVF/PQ query paths)
+    # trained IVF/PQ query paths); quality-aware cluster representative
+    # selection (keep-longest policy)
     "similarity_ivf_seeded",
     "similarity_pq_seeded",
+    "dedup_keep_longest",
 ]
 
 

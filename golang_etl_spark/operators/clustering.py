@@ -352,6 +352,107 @@ def dedup_fuzzy_keep_one(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cluster-representative selection: keep the LONGEST member per
+# near-dup cluster (quality-aware keep policy).
+# ---------------------------------------------------------------------------
+# dedup_fuzzy_keep_one keeps each cluster's minimum doc_id — the
+# cheapest deterministic policy. Real curation pipelines usually keep
+# the best member instead (longest text, highest quality score): near
+# dups are often truncations or boilerplate-injected copies of one
+# canonical document, and keep-min silently prefers whichever copy got
+# the smaller id. This query emits each cluster's representative under
+# the keep-longest policy (tie -> lowest doc_id) with the cluster size
+# — the audit table a curator reviews before applying the drop.
+#
+# 100 TB shape: pairs and labels are candidate-scale; the doc-metadata
+# join touches only clustered ids (AQE broadcasts when small); the
+# per-cluster argmax is a struct-max that partial-aggregates map-side,
+# so the exchange carries one row per cluster member, and the corpus
+# itself is never shuffled.
+_KEEP_LONGEST_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  {{minhash}}
+),
+edges AS (
+  SELECT doc_id_a AS src, doc_id_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_id_b AS src, doc_id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS doc_id, src AS label FROM edges
+  UNION
+  SELECT e.dst AS doc_id, r.label
+  FROM reach r JOIN edges e ON e.src = r.doc_id
+),
+labels AS (
+  SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+members AS (
+  SELECT l.cluster_id, l.doc_id, d.n_chars
+  FROM labels l JOIN documents d ON d.doc_id = l.doc_id
+),
+rep AS (
+  SELECT cluster_id, doc_id, n_chars,
+         COUNT(*) OVER (PARTITION BY cluster_id) AS n_members,
+         ROW_NUMBER() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rn
+  FROM members
+)
+SELECT cluster_id, doc_id AS kept_doc_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_chars AS BIGINT) AS kept_chars
+FROM rep WHERE rn = 1
+ORDER BY cluster_id
+"""
+
+
+def _keep_longest_oracle() -> str:
+    return _KEEP_LONGEST_ORACLE.format(minhash=_minhash_oracle())
+
+
+@register(
+    "dedup_keep_longest",
+    oracle=_keep_longest_oracle(),
+    tags=("dedup", "llm"),
+)
+def dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware cluster representatives: MinHash+LSH near-dup
+    pairs -> transitive closure -> per cluster keep the member with
+    the MOST characters (tie -> lowest doc_id). Emits one audit row
+    per cluster (representative id, member count, its length); the
+    companion dedup_fuzzy_keep_one applies the cheaper keep-min policy
+    corpus-wide. The per-cluster argmax is a single struct-max
+    aggregation ((n_chars, -doc_id) — highest length, then lowest id),
+    identical to the oracle's ROW_NUMBER(ORDER BY n_chars DESC,
+    doc_id) = 1."""
+    from golang_etl_spark.sources.catalog import load_table
+
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("doc_id_a", "doc_id_b")
+    labels = connected_components(pairs).select(
+        "doc_id", F.col("label").alias("cluster_id")
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = labels.join(docs, "doc_id")
+    best = F.max(
+        F.struct(
+            F.col("n_chars").alias("n_chars"),
+            (-F.col("doc_id")).alias("nid"),
+        )
+    )
+    return (
+        members.groupBy("cluster_id")
+        .agg(F.count("*").alias("n_members"), best.alias("s"))
+        .select(
+            "cluster_id",
+            (-F.col("s.nid")).alias("kept_doc_id"),
+            F.col("n_members").cast("long").alias("n_members"),
+            F.col("s.n_chars").cast("long").alias("kept_chars"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Shared graph edge builders + triangle counting (graph analytics beyond connected components).
 # ---------------------------------------------------------------------------
 _TRI_MIN_ORDERS = 40  # brand-edge threshold (PageRank/LPA substrate)
