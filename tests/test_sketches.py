@@ -7,6 +7,7 @@ the exact answers computed on the same data.
 from pyspark.sql import functions as F
 
 from golang_etl_spark.operators.sketches import (
+    _PCT_FRACTIONS,
     sketch_approx_distinct,
     sketch_exact_distinct,
     sketch_percentile_approx,
@@ -55,10 +56,47 @@ def test_approx_distinct_within_rsd_high_cardinality(spark, sf_dir):
         assert abs(approx[flag] - e) <= max(1, 0.08 * e), (flag, approx[flag], e)
 
 
-def test_percentile_approx_within_rank_error(spark, sf_dir):
+def test_percentile_approx_exact_regime(spark, sf_dir):
+    """The registered query runs percentile_approx at accuracy >=
+    rows-per-group, where the rank error is < 1: the result must EQUAL
+    the exact discrete quantile — the property its DuckDB oracle
+    hash-gates under the driver."""
     rows = sketch_percentile_approx(spark, sf_dir).collect()
     li = load_table(spark, sf_dir, "lineitem")
     for r in rows:
+        vals = sorted(
+            x["l_quantity"]
+            for x in li.filter(F.col("l_returnflag") == r["l_returnflag"])
+            .select("l_quantity")
+            .collect()
+        )
+        n = len(vals)
+        assert n == r["n_rows"]
+        for q, got in zip(
+            _PCT_FRACTIONS, (r["p25"], r["p49"], r["p75"])
+        ):
+            # exact discrete quantile, tolerant of the +-1 rank
+            # convention difference the mid-bucket fractions absorb
+            cands = {vals[min(n - 1, max(0, int(q * (n - 1)) + d))] for d in (0, 1)}
+            assert got in cands, (r["l_returnflag"], q, got, cands)
+
+
+def test_percentile_approx_production_regime_within_rank_error(spark, sf_dir):
+    """The 100 TB setting — accuracy 10^4 on an unbounded domain
+    (l_extendedprice) — must sit within its advertised rank error of
+    the sorted data; this is the regime the registered exact-accuracy
+    probe cannot cover under the hash gate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    approx = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile_approx(
+                "l_extendedprice", [0.5, 0.95, 0.99], 10000
+            ).alias("q")
+        )
+        .collect()
+    )
+    for r in approx:
         flag = r["l_returnflag"]
         vals = sorted(
             x["l_extendedprice"]
@@ -67,7 +105,7 @@ def test_percentile_approx_within_rank_error(spark, sf_dir):
             .collect()
         )
         n = len(vals)
-        for q, got in zip((0.5, 0.95, 0.99), (r["p50"], r["p95"], r["p99"])):
+        for q, got in zip((0.5, 0.95, 0.99), r["q"]):
             # rank-error bound: the approx answer must be between the
             # values at rank (q ± 1%) of the sorted data
             lo = vals[max(0, int((q - 0.01) * n) - 1)]
@@ -118,19 +156,22 @@ def test_psi_total_is_sum_of_contributions(spark, sf_dir):
     assert total >= 0  # PSI is a nonnegative divergence
 
 
-def test_hll_store_merge_bounds_vs_exact_twin(spark, sf_dir):
-    """Every estimate from the persisted HLL store must sit within 5%
-    of its exact-twin count (default lgConfigK=12 -> ~1.6% rsd, 3x
-    headroom), and the merged-range estimate must respect union
-    algebra: >= the largest per-month estimate (a union never shrinks)
-    and <= the sum (a union never exceeds disjoint addition)."""
+def test_hll_store_custkey_bounds_vs_exact_twin(spark, sf_dir):
+    """Every WIDE-domain (o_custkey) estimate from the persisted HLL
+    store must sit within 5% of its exact-twin count (default
+    lgConfigK=12 -> ~1.6% rsd, 3x headroom), and the merged-range
+    estimate must respect union algebra: >= the largest per-month
+    estimate (a union never shrinks) and <= the sum (a union never
+    exceeds disjoint addition). This is the production regime the
+    hash-checked registered probe (5-value o_orderpriority, exact
+    coupon mode) cannot cover."""
     from golang_etl_spark.operators.sketches import (
         _HLL_RANGE_LABEL,
+        hll_custkey_estimates,
         sketch_hll_exact_twin,
-        sketch_hll_store_merge,
     )
 
-    est = {r["ym"]: r["est_custs"] for r in sketch_hll_store_merge(spark, sf_dir).collect()}
+    est = {r["ym"]: r["est_custs"] for r in hll_custkey_estimates(spark, sf_dir).collect()}
     exact = {r["ym"]: r["n_custs"] for r in sketch_hll_exact_twin(spark, sf_dir).collect()}
     assert set(est) == set(exact) and len(est) == 4
     for ym, e in est.items():
@@ -140,6 +181,42 @@ def test_hll_store_merge_bounds_vs_exact_twin(spark, sf_dir):
     months = [v for k, v in est.items() if k != _HLL_RANGE_LABEL]
     assert max(months) <= est[_HLL_RANGE_LABEL] * 1.05
     assert est[_HLL_RANGE_LABEL] <= sum(months) * 1.05
+
+
+def test_hll_store_merge_exact_regime(spark, sf_dir):
+    """The registered store probe (sketch_hll_store_merge) runs over
+    the 5-value o_orderpriority domain, where DataSketches HLL stays
+    in exact coupon mode: every per-month estimate AND the
+    hll_union_agg range estimate must EQUAL the true distinct count —
+    the property its DuckDB oracle hash-gates under the driver."""
+    from golang_etl_spark.operators.sketches import (
+        _HLL_RANGE_LABEL,
+        HLL_RANGE_MONTHS,
+        sketch_hll_store_merge,
+    )
+
+    est = {
+        r["ym"]: r["n_prios"]
+        for r in sketch_hll_store_merge(spark, sf_dir).collect()
+    }
+    sel = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("ym"),
+            "o_orderpriority",
+        )
+        .filter(F.col("ym").isin(*HLL_RANGE_MONTHS))
+    )
+    exact = {
+        r["ym"]: r["e"]
+        for r in sel.groupBy("ym")
+        .agg(F.countDistinct("o_orderpriority").alias("e"))
+        .collect()
+    }
+    exact[_HLL_RANGE_LABEL] = (
+        sel.agg(F.countDistinct("o_orderpriority")).collect()[0][0]
+    )
+    assert est == exact
 
 
 # ---------------------------------------------------------------------------
