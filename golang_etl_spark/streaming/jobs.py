@@ -37,6 +37,33 @@ from golang_etl_spark.registry import register
 
 _COUNTER = itertools.count()
 
+# Temp roots created by the streaming sinks below, inventoried so a
+# harness that must hard-exit (bench.py ends with os._exit(0) to keep
+# its metric line the last stdout byte — atexit never runs there) can
+# reap them explicitly. Normal interpreter exits (pytest, the driver)
+# still get the atexit cleanup.
+_TEMP_ROOTS: list[str] = []
+
+
+def _tracked_tmpdir(prefix: str) -> str:
+    import atexit
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix=prefix)
+    _TEMP_ROOTS.append(root)
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    return root
+
+
+def reap_temp_roots() -> None:
+    """Remove every temp root this module created in this process.
+    Idempotent; safe to call with streams already stopped."""
+    import shutil
+
+    while _TEMP_ROOTS:
+        shutil.rmtree(_TEMP_ROOTS.pop(), ignore_errors=True)
+
 # ts declared per the actual fixture vintage (see _events_ts_kind):
 # INT64 TIMESTAMP(NANOS) drops read as LONG under nanosAsLong; current
 # TIMESTAMP(MICROS) drops read as TIMESTAMP_NTZ.
@@ -825,12 +852,7 @@ def streaming_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Delta/Iceberg MERGE) with the identical LWW join; versioned
     directories + batch-id idempotence are the plain-parquet
     equivalent."""
-    import atexit
-    import shutil
-    import tempfile
-
-    out_root = tempfile.mkdtemp(prefix="spark_graft_cdc_")
-    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_root = _tracked_tmpdir("spark_graft_cdc_")
     ev = _stream_events(spark, sf_dir)
     return cdc_apply_pipeline(ev, out_root)
 
@@ -1023,13 +1045,8 @@ def streaming_dedup_index_probe(
 
     Scale shape: per micro-batch cost is O(batch signatures) +
     O(candidates); corpus-side work happened once at index build."""
-    import atexit
-    import shutil
-    import tempfile
-
     build_minhash_index(spark, sf_dir)  # offline step, not per batch
-    out_root = tempfile.mkdtemp(prefix="spark_graft_dedup_probe_")
-    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_root = _tracked_tmpdir("spark_graft_dedup_probe_")
 
     docs = _stream_docs(spark, sf_dir).filter(F.expr(_IS_BATCH_SQL))
     return index_probe_pipeline(docs, sf_dir, out_root)
@@ -1191,14 +1208,9 @@ def streaming_cms_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     the Carter-Wegman cell arithmetic (operators/sketches.py) lets the
     DuckDB oracle rebuild that batch sketch over the whole events
     table and replay the min-over-depth probe exactly."""
-    import atexit
-    import shutil
-    import tempfile
-
     from golang_etl_spark.operators.sketches import _cms_hash_cells
 
-    out_root = tempfile.mkdtemp(prefix="spark_graft_cms_stream_")
-    atexit.register(shutil.rmtree, out_root, ignore_errors=True)
+    out_root = _tracked_tmpdir("spark_graft_cms_stream_")
 
     ev = _stream_events(spark, sf_dir)
     merged = stream_cms_ingest(ev, out_root)

@@ -59,3 +59,17 @@ def test_run_shedding_bands():
     assert bench.n_runs_for(0.6 * b) == 3
     assert bench.n_runs_for(1.9 * b) == 3
     assert bench.n_runs_for(2.1 * b) == 2
+
+
+def test_pinned_queries_keep_full_repeats_at_any_elapsed_time():
+    """window_gaps_islands sits deep in the frozen HEADLINE order and
+    was r09's only out-of-band driver sample (0.73s vs 0.23s local, a
+    single best-of-2 tail measurement). Pinned names must get the full
+    warm+best-of-3 policy no matter how much budget has burned."""
+    assert "window_gaps_islands" in bench.ALWAYS_BEST_OF_3
+    assert bench.ALWAYS_BEST_OF_3 <= set(bench.HEADLINE)
+    for spent in (0.0, bench.BUDGET_S, 3 * bench.BUDGET_S):
+        for name in bench.ALWAYS_BEST_OF_3:
+            assert bench.n_runs_for(spent, name) == 4
+    # and the pin does not change the policy for everyone else
+    assert bench.n_runs_for(3 * bench.BUDGET_S, "agg_pricing_summary") == 2

@@ -34,16 +34,23 @@ import bench  # noqa: E402
 
 def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     detail_path = tmp_path / "detail.json"
+    tmp_root = tmp_path / "tmproot"
+    tmp_root.mkdir()
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
-    # one relational + one STREAMING query: the stream leaves the
-    # StateStore machinery running, which is exactly the chatter the
-    # exit path must fence off the metric line from
+    # one relational + one STREAMING query that mkdtemps a parquet
+    # sink root: the stream leaves the StateStore machinery running
+    # (the chatter the exit path must fence off the metric line from)
+    # and the temp root must be reaped despite os._exit skipping
+    # atexit (ADVICE r09: every bench run used to leak several
+    # parquet-filled dirs). TMPDIR points the roots at this test's dir
+    # so the assertion is hermetic.
     env["SPARK_GRAFT_BENCH_ONLY"] = (
-        "agg_pricing_summary,streaming_tumbling_counts"
+        "agg_pricing_summary,streaming_cms_ingest"
     )
     env["SPARK_GRAFT_BENCH_BUDGET_S"] = "30"
     env["SPARK_GRAFT_BENCH_DETAIL_PATH"] = str(detail_path)
+    env["TMPDIR"] = str(tmp_root)
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         cwd=REPO_ROOT,
@@ -63,8 +70,24 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     detail = json.loads(detail_path.read_text())
     assert set(detail["queries"]) == {
         "agg_pricing_summary",
-        "streaming_tumbling_counts",
+        "streaming_cms_ingest",
     }
+    # a clean run records no per-query persistent-RDD residue
+    assert detail["leaked_rdds"] == {}
+    # every parquet-filled spark_graft_* temp root (streaming sinks +
+    # layout store) was reaped before exit. The uid-keyed symlink
+    # staging dir (spark_graft_stream_*) is exempt: it is shared
+    # across processes by design (reaping it could yank links out
+    # from under a concurrent session's live file stream) and holds
+    # only symlinks into the read-only fixtures — zero data bytes.
+    leftovers = sorted(
+        p.name
+        for p in tmp_root.glob("spark_graft_*")
+        if not p.name.startswith("spark_graft_stream_")
+    )
+    assert not leftovers, leftovers
+    staging = list(tmp_root.glob("spark_graft_stream_*/*/events/*"))
+    assert all(p.is_symlink() for p in staging), staging
 
 
 def test_release_executor_state_frees_persist_and_localcheckpoint(spark):
