@@ -36,6 +36,19 @@ from golang_etl_spark.sources.catalog import load_table
 TOP_K = 10
 N_QUERIES = 5  # query set: vec_id < N_QUERIES
 
+# Decimal places every numpy-computed score is rounded to BEFORE any
+# rank/argmin cut whose oracle twin recomputes the score in DuckDB
+# (ADVICE r09): numpy's BLAS matmul / norm reassociate summation, so
+# the two engines can differ in the last ulp — harmless on the
+# rounded OUTPUT columns (ROUND(...,6)) but enough to flip a cut at a
+# near-tie, failing the hash gate with no semantic bug. Rounding both
+# sides at 1e-9 (values are O(1); ulp noise is ~1e-16) turns those
+# unstable comparisons into exact ties that the deterministic
+# secondary keys (codeword k / neighbor_id) resolve identically.
+# JVM-side scores (aggregate(zip_with(...))) need no rounding: they
+# are sequential, bit-identical to DuckDB's list_dot_product.
+_SCORE_CUT_DECIMALS = 9
+
 # ANN hyperplanes (seed 11 — distinct from dedup's seed-7 planes).
 ANN_PLANES = 8
 EMBED_DIM = 64
@@ -955,11 +968,23 @@ def _pq_adc_topk(
                     - 2.0 * (Xm @ bk[m].T)
                     + (bk[m] ** 2).sum(axis=1)[None, :]
                 )
-                codes[:, m] = np.argmin(d2, axis=1)
+                # round before the argmin cut: numpy's BLAS matmul
+                # reassociates the sum, so a near-tie between two
+                # codewords could otherwise resolve differently here
+                # than in the oracle's sequential arithmetic (which
+                # rounds identically before ITS cut); after rounding,
+                # exact ties break to the lowest k on both sides
+                # (np.argmin takes the first minimum)
+                codes[:, m] = np.argmin(np.round(d2, _SCORE_CUT_DECIMALS), axis=1)
             out = []
-            # ADC: score[q, n] = sum_m luts[q, m, codes[n, m]]
+            # ADC: score[q, n] = sum_m luts[q, m, codes[n, m]] —
+            # rounded before the top-C cuts (this lexsort AND the
+            # downstream window) for the same near-tie stability
             for q in range(len(qi)):
-                s = lt[q][np.arange(pq_m)[None, :], codes].sum(axis=1)
+                s = np.round(
+                    lt[q][np.arange(pq_m)[None, :], codes].sum(axis=1),
+                    _SCORE_CUT_DECIMALS,
+                )
                 mask = ids != qi[q]
                 cand_ids, cand_s = ids[mask], s[mask]
                 # deterministic cut: (score DESC, id ASC) — argsort
@@ -1235,9 +1260,9 @@ codes AS (
     SELECT s.vec_id, s.m, c.k,
            ROW_NUMBER() OVER (
              PARTITION BY s.vec_id, s.m
-             ORDER BY list_dot_product(s.s, s.s)
+             ORDER BY ROUND(list_dot_product(s.s, s.s)
                       - 2 * list_dot_product(s.s, c.c)
-                      + list_dot_product(c.c, c.c), c.k) AS rn
+                      + list_dot_product(c.c, c.c), 9), c.k) AS rn
     FROM subs s JOIN cw c ON c.m = s.m
   ) WHERE rn = 1
 ),
@@ -1247,7 +1272,7 @@ qlut AS (
   WHERE s.vec_id < {N_QUERIES}
 ),
 adc AS (
-  SELECT q.query_id, codes.vec_id AS neighbor_id, SUM(q.p) AS adc
+  SELECT q.query_id, codes.vec_id AS neighbor_id, ROUND(SUM(q.p), 9) AS adc
   FROM codes JOIN qlut q ON q.m = codes.m AND q.k = codes.k
   WHERE codes.vec_id <> q.query_id
   GROUP BY q.query_id, codes.vec_id
@@ -1450,9 +1475,11 @@ def _funnel_adc_udf():
                 - 2.0 * (Xm @ books[m].T)
                 + (books[m] ** 2).sum(axis=1)[None, :]
             )
-            codes = np.argmin(d2, axis=1)
+            # same pre-cut rounding as _pq_adc_topk's score() — see
+            # _SCORE_CUT_DECIMALS for why both cuts round
+            codes = np.argmin(np.round(d2, _SCORE_CUT_DECIMALS), axis=1)
             out += np.einsum("nd,nd->n", Qs[:, m, :], books[m][codes])
-        return pd.Series(out)
+        return pd.Series(np.round(out, _SCORE_CUT_DECIMALS))
 
     return adc
 
@@ -1510,14 +1537,14 @@ coded AS (
            list_dot_product(s.qs, c.c) AS p,
            ROW_NUMBER() OVER (
              PARTITION BY s.query_id, s.neighbor_id, s.m
-             ORDER BY list_dot_product(s.s, s.s)
+             ORDER BY ROUND(list_dot_product(s.s, s.s)
                       - 2 * list_dot_product(s.s, c.c)
-                      + list_dot_product(c.c, c.c), c.k) AS rn
+                      + list_dot_product(c.c, c.c), 9), c.k) AS rn
     FROM subs s JOIN cw c ON c.m = s.m
   ) WHERE rn = 1
 ),
 adc AS (
-  SELECT query_id, neighbor_id, SUM(p) AS adc
+  SELECT query_id, neighbor_id, ROUND(SUM(p), 9) AS adc
   FROM coded GROUP BY query_id, neighbor_id
 ),
 t2 AS (

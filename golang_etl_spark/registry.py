@@ -123,6 +123,11 @@ _SEMANTICS_CHANGED_ROUND = {
     # AND new hash-checked status (old rows-only rows prove nothing).
     "sketch_percentile_approx": 10,
     "sketch_hll_store_merge": 10,
+    # round 10: pre-cut score rounding in the PQ/funnel pipelines
+    # (near-tie cut membership can legitimately differ from r09 rows).
+    "similarity_pq_seeded": 10,
+    "similarity_pq_topk": 10,
+    "similarity_funnel_mrl_pq": 10,
 }
 
 
