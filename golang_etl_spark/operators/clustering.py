@@ -506,8 +506,8 @@ def _part_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
     ``min_orders`` shared orders — the sparse substrate shared by the
     triangle and k-core kernels (same one-exchange basket pipeline as
     _brand_edges, no dimension join needed: l_partkey is the vertex).
-    Kept in lockstep with the SQL twin CTEs (_TRI_EDGE_CTE /
-    _KCORE_EDGE_CTE)."""
+    Kept in lockstep with its DuckDB twin _part_edge_cte, the single
+    edge-CTE source both _TRI_ORACLE and _KCORE_ORACLE build on."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # no distinct() pre-pass: collect_set dedups partkeys within each
     # order during the (partial-aggregating) basket build, so a
@@ -534,17 +534,27 @@ def _part_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
     )
 
 
-_TRI_ORACLE = f"""
-WITH pb AS MATERIALIZED (
+def _part_edge_cte(alias: str, min_orders: int) -> str:
+    """DuckDB twin of _part_edges, kept in lockstep with it: the same
+    DISTINCT (order, part) basket, the same u < v vertex-order
+    convention, the same shared-order threshold. The ONE source of
+    edge SQL for both graph-kernel oracles (_TRI_ORACLE binds it as
+    ``edges``, _KCORE_ORACLE as ``e0``), so the two cannot drift from
+    each other or from the Spark substrate independently."""
+    return f"""pb AS MATERIALIZED (
   SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
 ),
-edges AS MATERIALIZED (
+{alias} AS MATERIALIZED (
   SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM pb a JOIN pb b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
   GROUP BY a.l_partkey, b.l_partkey
-  HAVING COUNT(*) >= {_TRI_PART_MIN_ORDERS}
-),
+  HAVING COUNT(*) >= {min_orders}
+)"""
+
+
+_TRI_ORACLE = f"""
+WITH {_part_edge_cte("edges", _TRI_PART_MIN_ORDERS)},
 tri AS (
   SELECT e1.u AS a, e1.v AS b, e2.v AS c
   FROM edges e1
@@ -856,17 +866,7 @@ _KCORE_MIN_ORDERS = 2
 # an unrolled peel would re-expand e0 ~3x per round (the same lineage
 # fan-out the Spark kernel cuts with localCheckpoint — measured 100s+
 # inlined vs sub-second materialized).
-_KCORE_EDGE_CTE = f"""
-pb AS MATERIALIZED (
-  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-),
-e0 AS MATERIALIZED (
-  SELECT a.l_partkey AS u, b.l_partkey AS v
-  FROM pb a JOIN pb b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-  GROUP BY a.l_partkey, b.l_partkey
-  HAVING COUNT(*) >= {_KCORE_MIN_ORDERS}
-)"""
+_KCORE_EDGE_CTE = _part_edge_cte("e0", _KCORE_MIN_ORDERS)
 
 
 def _kcore_round_sql(r: int) -> str:
