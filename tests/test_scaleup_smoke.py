@@ -83,11 +83,16 @@ def test_minhash_scales_subquadratically(spark, scaled_dir):
 def test_simhash_pairs_scale(spark, scaled_dir):
     from golang_etl_spark.operators.dedup import simhash_pairs
 
-    spark.catalog.clearCache()
-    base = simhash_pairs(spark, SF_BIG).count()
-    spark.catalog.clearCache()
-    big = simhash_pairs(spark, scaled_dir).count()
+    base, t_base = _timed_count(spark, simhash_pairs, SF_BIG)
+    big, t_big = _timed_count(spark, simhash_pairs, scaled_dir)
     assert big >= base * REPLICAS, f"pairs lost at scale: {base} -> {big}"
+    # same anti-n^2 evidence as the minhash smoke: band buckets keep
+    # the candidate exchange output-proportional, so 10x docs must
+    # stay far under the 1.2e9-pair space and per-pair cost flat
+    assert t_big < 240, f"all-pairs-scale blowup: {t_big:.1f}s at {REPLICAS}x"
+    assert t_big / big <= t_base / base, (
+        f"per-pair cost grew: {t_base / base:.2e}s -> {t_big / big:.2e}s"
+    )
 
 
 def test_cluster_cc_scales_subquadratically(spark, scaled_dir):
@@ -576,6 +581,46 @@ def test_lpa_kernel_rounds_constant_cost_linear(spark):
     assert t_big < 120, f"lpa blowup: {t_big:.1f}s at {REPLICAS}x edges"
     assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
         f"lpa superlinear: {t_base:.2f}s -> {t_big:.2f}s"
+    )
+
+
+def test_funnel_ann_scales_subquadratically(spark, scaled_emb_dir):
+    """The three-tier ANN funnel at 10x vectors (sf0.1 x 10 — the
+    sf1.0-equivalent corpus; with this, all five heaviest families
+    from the r09 verdict — minhash_lsh, simhash, cluster_cc,
+    jaccard_prefix, and the funnel — carry a timed decade-up smoke).
+    Tier 1 is the only corpus-proportional stage (one scan + a
+    per-query window cut); tiers 2/3 work on <= |queries| x C1
+    survivor rows whatever the corpus size, so output is FIXED
+    (queries x TOP_K) and wall time must track the scan (~10x), never
+    a pair space (20k vectors all-pairs = 4e8 cosines). The executed
+    plan at 10x must stay exchange-bounded: broadcast the query set,
+    never a cartesian product."""
+    from golang_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        similarity_funnel_mrl_pq,
+    )
+
+    base, t_base = _timed_count(spark, similarity_funnel_mrl_pq, SF_BIG)
+    big, t_big = _timed_count(spark, similarity_funnel_mrl_pq, scaled_emb_dir)
+
+    assert base == big == N_QUERIES * TOP_K, (
+        f"funnel output must stay queries x TOP_K: {base} -> {big}"
+    )
+    plan = (
+        similarity_funnel_mrl_pq(spark, scaled_emb_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, "funnel degraded to all-pairs at 10x"
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, (
+        "query side stopped broadcasting at 10x"
+    )
+    assert t_big < 120, f"funnel blowup: {t_big:.1f}s at {REPLICAS}x vectors"
+    assert t_big <= 3 * REPLICAS * max(t_base, 0.3), (
+        f"funnel superlinear: {t_base:.2f}s -> {t_big:.2f}s"
     )
 
 
