@@ -1551,10 +1551,99 @@ def text_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # text_bpe_pair_counts ranks the FIRST merge's candidates; this trains
 # an actual merge table: K rounds of (count adjacent symbol pairs,
 # take the argmax, fuse it everywhere). Iterative + data-dependent
-# argmax per round — not expressible as one SQL statement, so it
-# registers rows-only; tests/test_bpe_train.py replays the identical
-# algorithm in pure Python and asserts rule-for-rule equality.
+# argmax per round — but K is a compile-time constant, so the loop
+# UNROLLS into one SQL statement (round 10; the sql_scripting_robust_
+# mean unrolled-oracle pattern) and the trainer is HASH-checked, not
+# rows-only. tests/test_bpe_train.py additionally replays the
+# identical algorithm in pure Python on fixture + hypothesis-random
+# corpora and asserts rule-for-rule equality.
 BPE_MERGES = 8
+
+# One marker char per unrolled round: the oracle mirrors Spark's
+# array<string> symbol sequences as plain strings in which every
+# SYMBOL is exactly one character — [a-z] for the initial characters,
+# one fresh digit for each learned merge (the vocabulary is [a-z]+
+# only, so digits cannot collide; same scheme the fixed-rule twin
+# text_bpe_apply_fixed proved). Single-char symbols make DuckDB's
+# replace(s, ml || mr, marker) — greedy leftmost non-overlapping,
+# exactly the fold's semantics — the fusion step, with DATA-DEPENDENT
+# ml/mr pulled from each round's one-row argmax CTE.
+_BPE_MARKERS = "01234567"
+assert len(_BPE_MARKERS) >= BPE_MERGES
+
+
+def _bpe_round_sql(r: int) -> str:
+    """One unrolled training round: count adjacent symbol pairs over
+    v{r-1} (marker chars = symbols), pick the argmax with Spark's
+    exact tie-break — count DESC, then the DECODED left/right symbol
+    strings ASC, via the running symbol table st{r-1} — fuse it
+    everywhere with replace(), and extend the symbol table. AS
+    MATERIALIZED throughout: DuckDB inlines plain CTEs, and an
+    unrolled 8-round chain would re-expand the vocabulary scan
+    exponentially (the k-core oracle lesson)."""
+    m = _BPE_MARKERS[r - 1]
+    return f"""
+p{r} AS MATERIALIZED (
+  SELECT substr(s, g.i, 1) AS ml, substr(s, g.i + 1, 1) AS mr,
+         SUM(freq) AS c
+  FROM v{r - 1}, UNNEST(generate_series(1, length(s) - 1)) AS g(i)
+  WHERE length(s) >= 2
+  GROUP BY 1, 2
+),
+r{r} AS MATERIALIZED (
+  SELECT p.ml, p.mr, dl.dec AS dl, dr.dec AS dr, p.c
+  FROM p{r} p
+  JOIN st{r - 1} dl ON dl.m = p.ml
+  JOIN st{r - 1} dr ON dr.m = p.mr
+  ORDER BY p.c DESC, dl.dec, dr.dec
+  LIMIT 1
+),
+v{r} AS MATERIALIZED (
+  SELECT replace(v.s, rr.ml || rr.mr, '{m}') AS s, v.freq
+  FROM v{r - 1} v CROSS JOIN r{r} rr
+),
+st{r} AS MATERIALIZED (
+  SELECT m, dec FROM st{r - 1}
+  UNION ALL SELECT '{m}', dl || dr FROM r{r}
+)"""
+
+
+def _bpe_unrolled_with(k: int) -> str:
+    """The shared WITH body for both BPE oracles: vocabulary build,
+    initial a-z symbol table, and k unrolled training rounds."""
+    head = """
+words AS MATERIALIZED (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+),
+v0 AS MATERIALIZED (SELECT w AS s, COUNT(*) AS freq FROM words GROUP BY w),
+st0 AS MATERIALIZED (
+  SELECT chr(CAST(g.c AS INT)) AS m, chr(CAST(g.c AS INT)) AS dec
+  FROM UNNEST(generate_series(97, 122)) AS g(c)
+)"""
+    return "WITH " + head.strip() + "," + ",".join(
+        _bpe_round_sql(r) for r in range(1, k + 1)
+    )
+
+
+# Grouping pairs by MARKER equals Spark's grouping by decoded symbol
+# strings iff no two markers decode to the same string. Distinct
+# merge PATHS can in principle decode identically (e.g. (t,he) and
+# (th,e) both yielding 'the'), which Spark — whose symbols ARE their
+# strings — would unify; test_bpe_train.py pins that all learned
+# symbols stay pairwise distinct at every fixture SF, and the
+# hash gate itself would surface a violation as a mismatch, never a
+# silent wrong-green.
+_BPE_TRAIN_ORACLE = (
+    _bpe_unrolled_with(BPE_MERGES)
+    + "\n"
+    + "\nUNION ALL ".join(
+        f'SELECT {r} AS merge_rank, dl AS "left", dr AS "right", '
+        f"dl || dr AS merged, CAST(c AS BIGINT) AS pair_count FROM r{r}"
+        for r in range(1, BPE_MERGES + 1)
+    )
+    + "\nORDER BY merge_rank"
+)
 
 
 def _bpe_merge_fold(a: str, b: str) -> str:
@@ -1580,15 +1669,26 @@ def _bpe_merge_fold(a: str, b: str) -> str:
 
 
 @register(
-    "text_bpe_train_merges", oracle=None, tags=("text", "llm", "analytic")
+    "text_bpe_train_merges",
+    oracle=_BPE_TRAIN_ORACLE,
+    tags=("text", "llm", "analytic"),
 )
 def text_bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train a BPE merge table: BPE_MERGES greedy rounds, each counting
     frequency-weighted adjacent symbol pairs over the vocabulary and
     fusing the (count DESC, pair ASC) argmax everywhere it occurs.
-    Returns the learned rules (rank, left, right, merged, pair_count)
-    — deterministic, so the pure-Python replay in
-    tests/test_bpe_train.py matches rule-for-rule (fixture corpus +
+    Returns the learned rules (rank, left, right, merged, pair_count).
+
+    HASH-checked since round 10: K is a constant, so the DuckDB oracle
+    unrolls all K rounds (_bpe_round_sql) with single-char marker
+    encoding for merged symbols and replays the data-dependent argmax
+    — including Spark's (count DESC, left, right) tie-break on the
+    DECODED symbol strings — and the greedy-leftmost fusion via
+    replace(). Assumes (a) the corpus slice yields at least K rounds
+    of pairs (the trainer breaks early on exhaustion; the oracle
+    cannot) and (b) learned symbols stay pairwise distinct — both
+    pinned by tests/test_bpe_train.py, which also replays the
+    algorithm in pure Python rule-for-rule (fixture corpus +
     hypothesis-random corpora).
 
     100 TB shape: the corpus is touched ONCE (the word-frequency
@@ -1646,16 +1746,44 @@ def train_bpe_merges(
     )
 
 
+_BPE_APPLY_ORACLE = (
+    _bpe_unrolled_with(BPE_MERGES)
+    + f""",
+stats AS (
+  SELECT (SELECT SUM(freq) FROM v0) AS n_words,
+         (SELECT SUM(length(s) * freq) FROM v0) AS t0,
+         (SELECT SUM(length(s) * freq) FROM v{BPE_MERGES}) AS t1
+)
+SELECT CAST({BPE_MERGES} AS INT) AS n_rules,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(t0 AS BIGINT) AS tokens_before,
+       CAST(t1 AS BIGINT) AS tokens_after,
+       ROUND(t1 / t0, 6) AS compression,
+       ROUND(t1 / n_words, 6) AS tokens_per_word
+FROM stats
+"""
+)
+
+
 @register(
-    "text_bpe_apply_stats", oracle=None, tags=("text", "llm", "analytic")
+    "text_bpe_apply_stats",
+    oracle=_BPE_APPLY_ORACLE,
+    tags=("text", "llm", "analytic"),
 )
 def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Close the tokenizer loop: train the BPE_MERGES-rule merge table
     (text_bpe_train_merges), APPLY the rules in rank order to the
     corpus vocabulary, and report the compression they bought —
     frequency-weighted token counts before/after and tokens-per-word.
-    Iterative like the trainer (rows-only at the driver);
-    tests/test_bpe_train.py replays it in pure Python.
+
+    HASH-checked since round 10 via the same unrolled oracle as the
+    trainer: applying the K learned rules in rank order to the
+    original vocabulary equals (by induction) the trainer's final
+    round-K vocabulary, so the oracle just measures v{K}. The ratio
+    columns round with F.round — Spark's HALF_UP matches DuckDB's
+    ROUND for positives, the convention every cosine column already
+    relies on (Python's round() would banker-round exact halves the
+    other way).
 
     100 TB shape: identical to training — the corpus feeds ONE
     word-frequency aggregation; every apply step is a JVM fold over
@@ -1690,19 +1818,21 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     after = vocab.selectExpr(
         "CAST(sum(size(syms) * freq) AS BIGINT) AS t"
     ).first()
-    return spark.createDataFrame(
-        [
-            (
-                len(rules),
-                before["n_words"],
-                before["t"],
-                after["t"],
-                round(after["t"] / before["t"], 6),
-                round(after["t"] / before["n_words"], 6),
-            )
-        ],
+    row = spark.createDataFrame(
+        [(len(rules), before["n_words"], before["t"], after["t"])],
         "n_rules INT, n_words BIGINT, tokens_before BIGINT, "
-        "tokens_after BIGINT, compression DOUBLE, tokens_per_word DOUBLE",
+        "tokens_after BIGINT",
+    )
+    # ratios rounded with F.round (HALF_UP), the engine-matched
+    # convention the oracle's ROUND(...) replays — see docstring
+    return row.select(
+        "*",
+        F.round(F.col("tokens_after") / F.col("tokens_before"), 6).alias(
+            "compression"
+        ),
+        F.round(F.col("tokens_after") / F.col("n_words"), 6).alias(
+            "tokens_per_word"
+        ),
     )
 
 
@@ -1715,8 +1845,10 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # can't collide, the vocabulary is [a-z]+ only): every rule's left and
 # right are single symbol units, and replace() is greedy leftmost
 # non-overlapping exactly like the fold, so the two formulations are
-# equivalent by construction. A green hash proves the fold ARITHMETIC;
-# only the trainer's argmax loop remains rows-only.
+# equivalent by construction. A green hash proves the fold ARITHMETIC
+# in isolation; since round 10 the trainer's argmax loop is ALSO
+# hash-checked (unrolled oracle above), making this the minimal
+# fold-only control for diagnosing a trainer-oracle mismatch.
 _BPE_FIXED_RULES = [("t", "h"), ("th", "e"), ("i", "n")]
 
 _BPE_FIXED_ORACLE = """

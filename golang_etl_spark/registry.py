@@ -128,6 +128,10 @@ _SEMANTICS_CHANGED_ROUND = {
     "similarity_pq_seeded": 10,
     "similarity_pq_topk": 10,
     "similarity_funnel_mrl_pq": 10,
+    # round 10: BPE trainer/apply-stats converted to unrolled hash-
+    # checked oracles (apply-stats rounding convention also changed).
+    "text_bpe_train_merges": 10,
+    "text_bpe_apply_stats": 10,
 }
 
 

@@ -1,9 +1,14 @@
-"""text_bpe_train_merges is iterative + data-dependent (rows-only at
-the driver), so its correctness gate lives here: a pure-Python replay
-of the identical algorithm — word-frequency vocab, K rounds of
-(count frequency-weighted adjacent pairs, argmax by (count DESC, pair
-ASC), greedy leftmost non-overlapping fuse) — must match the Spark
-result rule-for-rule, counts included.
+"""BPE trainer correctness gates. A pure-Python replay of the
+identical algorithm — word-frequency vocab, K rounds of (count
+frequency-weighted adjacent pairs, argmax by (count DESC, pair ASC),
+greedy leftmost non-overlapping fuse) — must match the Spark result
+rule-for-rule, counts included, on the fixture AND hypothesis-random
+corpora. Since round 10 the trainer is also hash-checked at the
+driver by an UNROLLED DuckDB oracle (text.py _bpe_round_sql); the
+two assumptions that oracle rests on — the corpus yields >= K rounds,
+and learned symbols stay pairwise distinct (its single-char marker
+encoding groups pairs by marker, which equals Spark's by-string
+grouping only then) — are pinned here too.
 """
 
 import re
@@ -85,6 +90,35 @@ def test_bpe_merged_symbols_compose(spark):
         learned.add(r["merged"])
 
 
+def test_bpe_unrolled_oracle_assumptions_hold(spark):
+    """The driver oracle unrolls exactly BPE_MERGES rounds and encodes
+    each learned symbol as one marker char. That replay equals the
+    trainer only while (a) the corpus yields a full K rounds (the
+    trainer breaks early on pair exhaustion; the unrolled SQL cannot)
+    and (b) no two learned symbols decode to the same string (two
+    merge paths like (t,he)/(th,e) would be one string-keyed symbol to
+    Spark but two markers to the oracle). Pin both at every fixture
+    SF the driver/bench touch, so a fixture regeneration that breaks
+    an assumption fails HERE with an explanation, not at driver time
+    as a bare hash mismatch."""
+    from golang_etl_spark.operators.text import text_bpe_train_merges
+
+    for sf_dir in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        rows = text_bpe_train_merges(spark, sf_dir).collect()
+        assert len(rows) == BPE_MERGES, f"{sf_dir}: pair exhaustion"
+        merged = [r["merged"] for r in rows]
+        assert len(set(merged)) == len(merged), (
+            f"{sf_dir}: duplicate decoded symbols {merged} — the "
+            "oracle's marker encoding no longer matches string-keyed "
+            "symbol grouping"
+        )
+        assert all(len(m) >= 2 for m in merged)
+
+
 # ---------------------------------------------------------------------------
 # Property: the distributed trainer equals the pure-Python reference on
 # ARBITRARY corpora, not just the fixture (tie-heavy tiny vocabularies
@@ -157,4 +191,6 @@ def test_bpe_apply_stats_match_pure_python(spark):
     assert row["tokens_before"] == before
     assert row["tokens_after"] == after
     assert row["n_words"] == n_words
-    assert row["compression"] == round(after / before, 6)
+    # F.round is HALF_UP (matched to the DuckDB oracle); Python round
+    # banker-rounds, so compare with a half-ulp-at-6-decimals tolerance
+    assert abs(row["compression"] - after / before) <= 5.1e-7
