@@ -136,3 +136,32 @@ def test_funnel_recall_and_consistency(spark, sf_dir):
         assert [x["rank"] for x in rows] == list(range(1, len(rows) + 1))
         scores = [x["cosine"] for x in rows]
         assert scores == sorted(scores, reverse=True), f"rank disorder {qid}"
+
+
+def test_score_cut_rounding_parity_between_engines():
+    """The PQ/funnel hash gates survive near-ties only because BOTH
+    engines round scores to the same precision before every rank or
+    argmin cut (similarity._SCORE_CUT_DECIMALS on the numpy side,
+    ROUND(..., 9) literals in the oracle SQL). Pin the two against
+    each other so editing one side alone fails in milliseconds."""
+    import re
+
+    from golang_etl_spark.operators.similarity import (
+        _FUNNEL_ORACLE,
+        _PQ_SEED_ORACLE,
+        _SCORE_CUT_DECIMALS,
+    )
+
+    assert _SCORE_CUT_DECIMALS == 9
+    # encode argmin: the distance expression is rounded before the
+    # (d2, k) order in both data-dependent oracles
+    for sql in (_PQ_SEED_ORACLE, _FUNNEL_ORACLE):
+        assert re.search(
+            r"ORDER BY ROUND\(list_dot_product\(s\.s, s\.s\).*?"
+            r"list_dot_product\(c\.c, c\.c\), 9\), c\.k",
+            sql,
+            re.S,
+        ), "encode argmin lost its pre-cut ROUND(..., 9)"
+    # ADC sum: rounded before the top-C rank cut
+    assert "ROUND(SUM(q.p), 9) AS adc" in _PQ_SEED_ORACLE
+    assert "ROUND(SUM(p), 9) AS adc" in _FUNNEL_ORACLE

@@ -81,6 +81,24 @@ def test_percentile_approx_exact_regime(spark, sf_dir):
             assert got in cands, (r["l_returnflag"], q, got, cands)
 
 
+def test_percentile_exact_regime_accuracy_covers_fixtures(spark):
+    """The hash gate's exactness claim is accuracy >= rows-per-group
+    (rank error < 1). Pin that inequality against the LARGEST fixture
+    the driver or bench ever runs (sf0.1), with 2x headroom so a
+    fixture regeneration that outgrows the accuracy fails here with an
+    explanation instead of at driver time as a bare hash mismatch."""
+    from golang_etl_spark.operators.sketches import _PCT_ACCURACY
+
+    li = load_table(spark, "/root/testdata/sf0.1", "lineitem")
+    max_group = (
+        li.groupBy("l_returnflag").count().agg(F.max("count")).first()[0]
+    )
+    assert _PCT_ACCURACY >= 2 * max_group, (
+        f"accuracy {_PCT_ACCURACY} no longer dominates the largest "
+        f"group ({max_group} rows) — the exact-regime oracle is void"
+    )
+
+
 def test_percentile_approx_production_regime_within_rank_error(spark, sf_dir):
     """The 100 TB setting — accuracy 10^4 on an unbounded domain
     (l_extendedprice) — must sit within its advertised rank error of
