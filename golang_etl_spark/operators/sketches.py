@@ -290,20 +290,27 @@ def build_hll_store(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-_HLL_STORE_ORACLE = f"""
+def _hll_store_oracle_sql(months: tuple[str, ...], label: str) -> str:
+    """Oracle generator for hll_prio_counts over ANY month subset —
+    the registered constant below binds it to HLL_RANGE_MONTHS; the
+    fuzz test regenerates it per random range."""
+    return f"""
 WITH sel AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS ym, o_orderpriority
   FROM orders
   WHERE strftime(o_orderdate, '%Y-%m') IN
-        ({", ".join(f"'{m}'" for m in HLL_RANGE_MONTHS)})
+        ({", ".join(f"'{m}'" for m in months)})
 )
 SELECT ym, CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
 FROM sel GROUP BY ym
 UNION ALL
-SELECT '{_HLL_RANGE_LABEL}' AS ym,
+SELECT '{label}' AS ym,
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS n_prios
 FROM sel
 """
+
+
+_HLL_STORE_ORACLE = _hll_store_oracle_sql(HLL_RANGE_MONTHS, _HLL_RANGE_LABEL)
 
 
 @register(
@@ -333,10 +340,21 @@ def sketch_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_sketches.py bounds those estimates (<=5%) against the
     hash-checked exact twin (sketch_hll_exact_twin) plus the union
     algebra (max-month <= range-union <= month-sum)."""
+    return hll_prio_counts(spark, sf_dir, HLL_RANGE_MONTHS, _HLL_RANGE_LABEL)
+
+
+def hll_prio_counts(
+    spark: SparkSession,
+    sf_dir: str,
+    months: tuple[str, ...],
+    label: str,
+) -> DataFrame:
+    """The store probe proper, over ANY month subset (split out so
+    tests/test_sketch_store_fuzz.py can replay random ranges against
+    freshly generated oracle SQL — the registered query pins one
+    range; the fuzz pins the pipeline across the parameter space)."""
     root = build_hll_store(spark, sf_dir)
-    sk = spark.read.parquet(root).filter(
-        F.col("ym").isin(*HLL_RANGE_MONTHS)
-    )
+    sk = spark.read.parquet(root).filter(F.col("ym").isin(*months))
     per_month = sk.select(
         "ym", F.expr("hll_sketch_estimate(sketch_prio)").alias("n_prios")
     )
@@ -344,7 +362,7 @@ def sketch_hll_store_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("hll_sketch_estimate(hll_union_agg(sketch_prio))").alias(
             "n_prios"
         )
-    ).select(F.lit(_HLL_RANGE_LABEL).alias("ym"), "n_prios")
+    ).select(F.lit(label).alias("ym"), "n_prios")
     return per_month.unionByName(merged)
 
 
@@ -554,13 +572,19 @@ def _cms_estimates(spark: SparkSession, merged: DataFrame) -> DataFrame:
     )
 
 
-_CMS_STORE_ORACLE = f"""
+def _cms_store_oracle_sql(months: tuple[str, ...]) -> str:
+    """Oracle generator for cms_range_estimates over ANY month subset:
+    rebuilds the counter grid DIRECTLY over the range rows (grid
+    linearity makes direct build == month merge) and replays the
+    min-over-depth probe. Bound to CMS_RANGE_MONTHS for the registered
+    query; regenerated per random range by the fuzz test."""
+    return f"""
 WITH ab(i, a, b) AS (VALUES {_CMS_AB_SQL}),
 cells AS (
   SELECT {_cms_cell_sql("o.o_custkey")} AS cell, COUNT(*) AS cnt
   FROM orders o CROSS JOIN ab
   WHERE strftime(o.o_orderdate, '%Y-%m') IN
-        ({", ".join(f"'{m}'" for m in CMS_RANGE_MONTHS)})
+        ({", ".join(f"'{m}'" for m in months)})
   GROUP BY 1
 ),
 probe_cells AS (
@@ -574,6 +598,9 @@ FROM probe_cells p LEFT JOIN cells c ON c.cell = p.cell
 GROUP BY p.o_custkey
 ORDER BY p.o_custkey
 """
+
+
+_CMS_STORE_ORACLE = _cms_store_oracle_sql(CMS_RANGE_MONTHS)
 
 
 @register(
@@ -592,8 +619,18 @@ def sketch_cms_store_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by test_sketches.py) and replays the min-over-depth probe
     exactly. sketch_cms_exact_twin keeps proving est >= exact and the
     collision upper bound against true counts."""
+    return cms_range_estimates(spark, sf_dir, CMS_RANGE_MONTHS)
+
+
+def cms_range_estimates(
+    spark: SparkSession, sf_dir: str, months: tuple[str, ...]
+) -> DataFrame:
+    """The store probe proper, over ANY month subset (split out for
+    tests/test_sketch_store_fuzz.py — the counter grid's linearity
+    means the merge-then-probe must hash-match the oracle's
+    direct-build for every range, not just the registered one)."""
     root = build_cms_store(spark, sf_dir)
-    sk = spark.read.parquet(root).filter(F.col("ym").isin(*CMS_RANGE_MONTHS))
+    sk = spark.read.parquet(root).filter(F.col("ym").isin(*months))
     merged = (
         sk.select(F.explode("cms").alias("cell", "cnt"))
         .groupBy("cell")
@@ -690,19 +727,23 @@ def build_hist_store(spark: SparkSession, sf_dir: str) -> str:
     return root
 
 
-_HIST_ORACLE = f"""
+def _hist_oracle_sql(months: tuple[str, ...], label: str) -> str:
+    """Oracle generator for hist_range_median over ANY month subset —
+    bound to HLL_RANGE_MONTHS for the registered query; regenerated
+    per random range by the fuzz test."""
+    return f"""
 WITH sel AS (
   SELECT strftime(o_orderdate, '%Y-%m') AS ym,
          LEAST(CAST(FLOOR(o_totalprice / {_HIST_WIDTH!r}) AS INT),
                {_HIST_BINS - 1}) AS bin
   FROM orders
   WHERE strftime(o_orderdate, '%Y-%m') IN
-        ({", ".join(f"'{m}'" for m in HLL_RANGE_MONTHS)})
+        ({", ".join(f"'{m}'" for m in months)})
 ),
 uni AS (
   SELECT ym, bin FROM sel
   UNION ALL
-  SELECT '{_HLL_RANGE_LABEL}' AS ym, bin FROM sel
+  SELECT '{label}' AS ym, bin FROM sel
 ),
 h AS (SELECT ym, bin, COUNT(*) AS c FROM uni GROUP BY ym, bin),
 cum AS (
@@ -732,6 +773,9 @@ ORDER BY ym
 """
 
 
+_HIST_ORACLE = _hist_oracle_sql(HLL_RANGE_MONTHS, _HLL_RANGE_LABEL)
+
+
 @register(
     "sketch_histogram_range_median",
     oracle=_HIST_ORACLE,
@@ -749,12 +793,25 @@ def sketch_histogram_range_median(
     hash-checked. At 100 TB the store is months x 64 integer rows; an
     exact range median would shuffle every in-range order through a
     percentile sort per ad-hoc probe."""
+    return hist_range_median(spark, sf_dir, HLL_RANGE_MONTHS, _HLL_RANGE_LABEL)
+
+
+def hist_range_median(
+    spark: SparkSession,
+    sf_dir: str,
+    months: tuple[str, ...],
+    label: str,
+) -> DataFrame:
+    """The store probe proper, over ANY month subset (split out for
+    tests/test_sketch_store_fuzz.py — bin-wise linearity and the
+    in-bin interpolation must hash-match the oracle for every range,
+    not just the registered one)."""
     from pyspark.sql import Window
 
     root = build_hist_store(spark, sf_dir)
-    h = spark.read.parquet(root).filter(F.col("ym").isin(*HLL_RANGE_MONTHS))
+    h = spark.read.parquet(root).filter(F.col("ym").isin(*months))
     both = h.unionByName(
-        h.select(F.lit(_HLL_RANGE_LABEL).alias("ym"), "bin", "c")
+        h.select(F.lit(label).alias("ym"), "bin", "c")
     )
     hh = both.groupBy("ym", "bin").agg(F.sum("c").alias("c"))
     w_ord = Window.partitionBy("ym").orderBy("bin").rowsBetween(
