@@ -1232,14 +1232,25 @@ _PQ_SEED_BOOKS = np.array(
     _seeded_matrix(PQS_M * PQS_K, PQS_SUB, seed=9002, scale=0.125)
 ).reshape(PQS_M, PQS_K, PQS_SUB)
 
-_PQ_SEED_CW_SQL = ", ".join(
-    f"({m}, {k}, {_sql_double_list([float(x) for x in _PQ_SEED_BOOKS[m, k]])})"
-    for m in range(PQS_M)
-    for k in range(PQS_K)
-)
 
-_PQ_SEED_ORACLE = f"""
-WITH cw(m, k, c) AS (VALUES {_PQ_SEED_CW_SQL}),
+def _pq_cw_sql(books: np.ndarray) -> str:
+    """DuckDB VALUES table for ANY (M, K, sub) codebook array — bound
+    to _PQ_SEED_BOOKS for the registered query, regenerated per random
+    codebook by tests/test_sketch_store_fuzz.py so the encode/ADC/
+    rerank parity holds across codebook space (different codebooks =
+    different near-tie layouts, exactly what the pre-cut rounding must
+    survive)."""
+    m_n, k_n, _ = books.shape
+    return ", ".join(
+        f"({m}, {k}, {_sql_double_list([float(x) for x in books[m, k]])})"
+        for m in range(m_n)
+        for k in range(k_n)
+    )
+
+
+def _pq_seed_oracle_sql(books: np.ndarray) -> str:
+    return f"""
+WITH cw(m, k, c) AS (VALUES {_pq_cw_sql(books)}),
 v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
 ),
@@ -1305,6 +1316,9 @@ SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
        ROUND(cosine, 6) AS cosine
 FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+_PQ_SEED_ORACLE = _pq_seed_oracle_sql(_PQ_SEED_BOOKS)
 
 
 @register("similarity_pq_seeded", oracle=_PQ_SEED_ORACLE, tags=("ann", "llm"))
@@ -1485,7 +1499,7 @@ def _funnel_adc_udf():
 
 
 _FUNNEL_ORACLE = f"""
-WITH cw(m, k, c) AS (VALUES {_PQ_SEED_CW_SQL}),
+WITH cw(m, k, c) AS (VALUES {_pq_cw_sql(_PQ_SEED_BOOKS)}),
 v AS (
   SELECT vec_id, embedding::DOUBLE[] AS e,
          list_slice(embedding::DOUBLE[], 1, {MRL_DIM}) AS p

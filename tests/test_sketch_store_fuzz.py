@@ -58,6 +58,43 @@ def test_hll_store_fuzz_ranges(spark, sf_dir):
         assert got == want, f"HLL store probe diverged on range {months}"
 
 
+def test_percentile_exact_regime_fuzz_fractions(spark, sf_dir):
+    """The percentile hash gate uses three fixed mid-bucket fractions;
+    the exactness argument (accuracy >= rows-per-group + fractions
+    interior to a 1/50-wide value bucket) holds for EVERY mid-bucket
+    fraction. Replay seeded-random k/50 + 0.01 fractions — dead center
+    of bucket k+1 — through percentile_approx at the registered
+    accuracy against DuckDB quantile_disc."""
+    from pyspark.sql import functions as F
+
+    from golang_etl_spark.operators.sketches import _PCT_ACCURACY
+
+    rng = random.Random(100_040)
+    con = duckdb_connection(sf_dir)
+    for _ in range(N_RANGES):
+        ks = sorted(rng.sample(range(50), 3))
+        fracs = [round(k / 50 + 0.01, 6) for k in ks]
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        got = (
+            li.groupBy("l_returnflag")
+            .agg(
+                F.percentile_approx(
+                    "l_quantity", fracs, _PCT_ACCURACY
+                ).alias("q")
+            )
+            .collect()
+        )
+        got = {r["l_returnflag"]: tuple(r["q"]) for r in got}
+        q_sql = ", ".join(f"quantile_disc(l_quantity, {f})" for f in fracs)
+        want = {
+            row[0]: tuple(row[1:])
+            for row in con.execute(
+                f"SELECT l_returnflag, {q_sql} FROM lineitem GROUP BY 1"
+            ).fetchall()
+        }
+        assert got == want, f"diverged at fractions {fracs}"
+
+
 def test_hist_store_fuzz_ranges(spark, sf_dir):
     con = duckdb_connection(sf_dir)
     for months in _random_ranges(con, 100_030):
@@ -80,3 +117,36 @@ def test_hist_store_fuzz_ranges(spark, sf_dir):
             # both sides ROUND(...,6); one last-ulp of slack for the
             # two engines' double formatting of the rounded value
             assert abs(gm - m) < 1e-9, (months, ym, gm, m)
+
+
+def test_pq_seeded_pipeline_fuzz_codebooks(spark, sf_dir):
+    """The seeded-PQ hash gate pins ONE codebook; the encode/ADC/
+    rerank parity — including the round-10 pre-cut score rounding that
+    keeps near-ties from flipping cut membership — must hold for ANY
+    codebook. Drive the exact production pipeline (_pq_adc_topk, the
+    same function similarity_pq_topk and similarity_pq_seeded run)
+    with seeded-random codebooks against freshly generated oracle SQL.
+    Different codebooks lay near-ties in different places, so this is
+    a direct stress of the cross-engine cut stability."""
+    import numpy as np
+
+    from golang_etl_spark.operators import similarity as SIM
+
+    con = duckdb_connection(sf_dir)
+    for seed in (4242, 77_001):
+        books = np.array(
+            SIM._seeded_matrix(
+                SIM.PQS_M * SIM.PQS_K, SIM.PQS_SUB, seed=seed, scale=0.125
+            )
+        ).reshape(SIM.PQS_M, SIM.PQS_K, SIM.PQS_SUB)
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in SIM._pq_adc_topk(spark, sf_dir, books).collect()
+        )
+        want = sorted(
+            (q, n, rk, c)
+            for q, n, rk, c in con.execute(
+                SIM._pq_seed_oracle_sql(books)
+            ).fetchall()
+        )
+        assert got == want, f"PQ pipeline diverged for codebook seed {seed}"
