@@ -591,12 +591,18 @@ def _sql_double_list(vals: list[float]) -> str:
 IVF_SEED_K = 16  # same cell count as the fixed/trained quantizers
 _IVF_SEED_CENTROIDS = _seeded_matrix(IVF_SEED_K, EMBED_DIM, seed=9001)
 
-_IVF_SEED_CENT_SQL = ", ".join(
-    f"({i}, {_sql_double_list(_IVF_SEED_CENTROIDS[i])})"
-    for i in range(IVF_SEED_K)
-)
 
-_IVF_SEED_ORACLE = f"""
+def _ivf_seed_oracle_sql(centroids: list[list[float]]) -> str:
+    """Oracle generator for the seeded-IVF query path over ANY
+    centroid table — bound to _IVF_SEED_CENTROIDS for the registered
+    query; regenerated per random centroid set by
+    tests/test_sketch_store_fuzz.py so assignment/probe/score parity
+    holds across quantizer space."""
+    cent_sql = ", ".join(
+        f"({i}, {_sql_double_list(centroids[i])})"
+        for i in range(len(centroids))
+    )
+    return f"""
 WITH v AS (
   SELECT vec_id, embedding::DOUBLE[] AS emb,
          sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
@@ -605,7 +611,7 @@ WITH v AS (
 cent AS (
   SELECT t.cell_id, t.c_emb,
          sqrt(list_dot_product(t.c_emb, t.c_emb)) AS c_nrm
-  FROM (VALUES {_IVF_SEED_CENT_SQL}) AS t(cell_id, c_emb)
+  FROM (VALUES {cent_sql}) AS t(cell_id, c_emb)
 ),
 scored AS (
   SELECT v.vec_id, v.emb, v.nrm, c.cell_id,
@@ -644,6 +650,9 @@ FROM ranked WHERE rank <= {TOP_K}
 """
 
 
+_IVF_SEED_ORACLE = _ivf_seed_oracle_sql(_IVF_SEED_CENTROIDS)
+
+
 @register("similarity_ivf_seeded", oracle=_IVF_SEED_ORACLE, tags=("ann", "llm"))
 def similarity_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash-gated twin of similarity_ivf_kmeans: the IDENTICAL query
@@ -654,9 +663,16 @@ def similarity_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     Together with the trained variant's recall gate this splits the
     k-means path into a hash-checked query side and an accuracy-tested
     training side. Scale shape: identical to similarity_ivf_topk."""
-    rows = [
-        (i, _IVF_SEED_CENTROIDS[i]) for i in range(IVF_SEED_K)
-    ]
+    return ivf_literal_topk(spark, sf_dir, _IVF_SEED_CENTROIDS)
+
+
+def ivf_literal_topk(
+    spark: SparkSession, sf_dir: str, centroids: list[list[float]]
+) -> DataFrame:
+    """The literal-centroid IVF query path over ANY centroid table
+    (split out so tests/test_sketch_store_fuzz.py can replay random
+    centroid sets against _ivf_seed_oracle_sql)."""
+    rows = [(i, centroids[i]) for i in range(len(centroids))]
     cent = (
         spark.createDataFrame(rows, "cell_id LONG, c_emb ARRAY<DOUBLE>")
         .selectExpr(

@@ -1634,16 +1634,26 @@ st0 AS MATERIALIZED (
 # symbols stay pairwise distinct at every fixture SF, and the
 # hash gate itself would surface a violation as a mismatch, never a
 # silent wrong-green.
-_BPE_TRAIN_ORACLE = (
-    _bpe_unrolled_with(BPE_MERGES)
-    + "\n"
-    + "\nUNION ALL ".join(
-        f'SELECT {r} AS merge_rank, dl AS "left", dr AS "right", '
-        f"dl || dr AS merged, CAST(c AS BIGINT) AS pair_count FROM r{r}"
-        for r in range(1, BPE_MERGES + 1)
+def _bpe_train_oracle_sql(k: int) -> str:
+    """The full unrolled-trainer oracle for ANY round count k <=
+    len(_BPE_MARKERS) — bound to BPE_MERGES for the registered query;
+    tests/test_bpe_train.py replays it on hypothesis-random corpora
+    against the pure-Python reference to pin the unrolling logic
+    itself (argmax tie-breaks, marker fusion) across tie-heavy
+    cases the fixtures never hit."""
+    return (
+        _bpe_unrolled_with(k)
+        + "\n"
+        + "\nUNION ALL ".join(
+            f'SELECT {r} AS merge_rank, dl AS "left", dr AS "right", '
+            f"dl || dr AS merged, CAST(c AS BIGINT) AS pair_count FROM r{r}"
+            for r in range(1, k + 1)
+        )
+        + "\nORDER BY merge_rank"
     )
-    + "\nORDER BY merge_rank"
-)
+
+
+_BPE_TRAIN_ORACLE = _bpe_train_oracle_sql(BPE_MERGES)
 
 
 def _bpe_merge_fold(a: str, b: str) -> str:

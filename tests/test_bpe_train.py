@@ -194,3 +194,36 @@ def test_bpe_apply_stats_match_pure_python(spark):
     # F.round is HALF_UP (matched to the DuckDB oracle); Python round
     # banker-rounds, so compare with a half-ulp-at-6-decimals tolerance
     assert abs(row["compression"] - after / before) <= 5.1e-7
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(docs=st.lists(_DOC, min_size=1, max_size=6))
+def test_bpe_unrolled_oracle_matches_reference_on_random_corpora(docs):
+    """The driver-facing UNROLLED SQL oracle (not just the Spark
+    trainer) must equal the pure-Python reference on arbitrary
+    corpora — tie-heavy tiny vocabularies are where an argmax
+    tie-break or marker-fusion bug in the SQL generator would hide,
+    and the fixtures never produce them. Runs DuckDB-only (no Spark).
+    Cases that violate the oracle's documented assumptions — fewer
+    than k rounds of pairs, or duplicate decoded symbols — are
+    skipped, because there the oracle is DEFINED not to apply (the
+    fixture assumption test pins that they never occur in the corpora
+    the driver checks)."""
+    from golang_etl_spark.operators.text import _bpe_train_oracle_sql
+
+    k = 4
+    ref = _reference_bpe(docs, k)
+    if len(ref) < k:
+        return  # early pair exhaustion: outside the oracle's contract
+    merged = [m for _, _, _, m, _ in ref]
+    if len(set(merged)) != len(merged):
+        return  # duplicate decoded symbols: outside the contract
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)", [(t,) for t in docs])
+    got = [tuple(r) for r in con.execute(_bpe_train_oracle_sql(k)).fetchall()]
+    assert got == ref, f"unrolled oracle diverged from reference on {docs!r}"

@@ -150,3 +150,25 @@ def test_pq_seeded_pipeline_fuzz_codebooks(spark, sf_dir):
             ).fetchall()
         )
         assert got == want, f"PQ pipeline diverged for codebook seed {seed}"
+
+
+def test_ivf_seeded_pipeline_fuzz_centroids(spark, sf_dir):
+    """The seeded-IVF hash gate pins ONE centroid table; cell
+    assignment, nprobe selection, and in-cell scoring must replay for
+    ANY quantizer. Drive the literal-centroid query path
+    (ivf_literal_topk — the function similarity_ivf_seeded runs) with
+    random-seed centroid sets against freshly generated oracle SQL."""
+    from golang_etl_spark.operators import similarity as SIM
+
+    con = duckdb_connection(sf_dir)
+    for seed in (5151, 88_002):
+        cents = SIM._seeded_matrix(SIM.IVF_SEED_K, SIM.EMBED_DIM, seed=seed)
+        got = sorted(
+            (r["query_id"], r["neighbor_id"], r["rank"], r["cosine"])
+            for r in SIM.ivf_literal_topk(spark, sf_dir, cents).collect()
+        )
+        want = sorted(
+            tuple(row)
+            for row in con.execute(SIM._ivf_seed_oracle_sql(cents)).fetchall()
+        )
+        assert got == want, f"IVF pipeline diverged for centroid seed {seed}"
