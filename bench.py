@@ -573,11 +573,15 @@ def main() -> None:
             q.stop()
         except Exception:
             pass  # a stream already winding down must not eat the line
+    # purge with the session still alive: the layout reaper's DROP
+    # TABLE half needs a working catalog (after spark.stop() it would
+    # silently no-op and leave metastore entries behind); the temp
+    # roots' only readers (streams, finished queries) are done.
+    purge_temp_artifacts()
     try:
         spark.stop()
     except Exception:
         pass
-    purge_temp_artifacts()
     sys.stdout.write(line + "\n")
     sys.stdout.flush()
     os._exit(0)
