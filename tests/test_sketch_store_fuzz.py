@@ -172,3 +172,27 @@ def test_ivf_seeded_pipeline_fuzz_centroids(spark, sf_dir):
             for row in con.execute(SIM._ivf_seed_oracle_sql(cents)).fetchall()
         )
         assert got == want, f"IVF pipeline diverged for centroid seed {seed}"
+
+
+def test_store_probes_never_rescan_the_fact_table(spark, sf_dir):
+    """The sketch stores' 100 TB claim is pay-once: after the build,
+    ANY range probe reads O(months) store rows and never an order row.
+    Gate it at the plan level — the probe's executed plan must scan
+    only the store parquet, with the month filter pushed into that
+    scan, and contain no orders.parquet FileScan."""
+    probes = {
+        "hll": SK.hll_prio_counts(spark, sf_dir, SK.HLL_RANGE_MONTHS, "rng"),
+        "cms": SK.cms_range_estimates(spark, sf_dir, SK.CMS_RANGE_MONTHS),
+        "hist": SK.hist_range_median(
+            spark, sf_dir, SK.HLL_RANGE_MONTHS, "rng"
+        ),
+    }
+    for name, df in probes.items():
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "orders.parquet" not in plan, (
+            f"{name} store probe rescans the fact table"
+        )
+        assert f"{name}_store" in plan, f"{name} probe does not read its store"
+        assert "PushedFilters: [" in plan and "In(ym" in plan, (
+            f"{name} month filter not pushed into the store scan"
+        )
