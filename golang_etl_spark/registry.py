@@ -118,7 +118,6 @@ _SEMANTICS_CHANGED_ROUND = {
     "streaming_cms_ingest": 9,
     "sketch_approx_distinct": 9,
     "graph_triangle_count": 9,
-    "similarity_funnel_mrl_pq": 9,
     # round 10: exact-regime oracle conversions — new columns/values
     # AND new hash-checked status (old rows-only rows prove nothing).
     "sketch_percentile_approx": 10,

@@ -137,3 +137,28 @@ def test_no_query_emits_complex_typed_columns(spark, sf_dir):
     finally:
         spark.catalog.clearCache()
     assert not offenders, f"complex-typed result columns: {offenders}"
+
+
+def test_semantics_changed_round_literal_has_unique_keys():
+    """A duplicate key in the _SEMANTICS_CHANGED_ROUND dict literal is
+    silently last-wins in Python; if the EARLIER entry were the intended
+    one, rotation priority would weaken without any visible failure
+    (VERDICT r10 nit #2). Parse the module AST and assert every key in
+    the literal is unique."""
+    import ast
+    import inspect
+
+    src = inspect.getsource(registry)
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(node, ast.Assign) and any(
+            isinstance(t, ast.Name) and t.id == "_SEMANTICS_CHANGED_ROUND"
+            for t in node.targets
+        ):
+            assert isinstance(node.value, ast.Dict)
+            keys = [ast.literal_eval(k) for k in node.value.keys]
+            dupes = {k for k in keys if keys.count(k) > 1}
+            assert not dupes, f"duplicate keys in _SEMANTICS_CHANGED_ROUND: {dupes}"
+            break
+    else:
+        raise AssertionError("_SEMANTICS_CHANGED_ROUND assignment not found")
