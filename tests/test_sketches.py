@@ -423,3 +423,33 @@ def test_cms_cell_arithmetic_three_way_parity(spark):
     for k, i, cell in rows:
         got_sql.setdefault(k, []).append(int(cell))
     assert got_sql == expected
+
+
+def test_bounded_profile_hash_gate_all_fixture_sfs(spark):
+    """profile_orders_approx_bounded's exact-regime claim — the HLL++
+    estimates for the 3-value o_orderstatus and 5-value
+    o_orderpriority domains truncate to exactly COUNT(DISTINCT)
+    (collision-free registers, linear-counting regime) — verified
+    empirically against the DuckDB oracle at EVERY fixture SF, not
+    just the suite default, so a fixture regeneration or Spark hash
+    change fails here with an explanation instead of at driver time
+    as a bare hash mismatch."""
+    from golang_etl_spark.oracle import compare_query, duckdb_connection
+    from golang_etl_spark.registry import all_queries
+
+    spec = all_queries()["profile_orders_approx_bounded"]
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        sf_dir = f"/root/testdata/{sf}"
+        con = duckdb_connection(sf_dir)
+        try:
+            res = compare_query(
+                "profile_orders_approx_bounded",
+                spark,
+                sf_dir,
+                spec.fn,
+                spec.oracle,
+                con,
+            )
+        finally:
+            con.close()
+        assert res.ok, (sf, str(res))
