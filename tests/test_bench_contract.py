@@ -39,11 +39,40 @@ def test_compact_line_fits_tail_capture_worst_case():
             "sf": 0.1,
             "n_queries": len(bench.HEADLINE),
             "core_total": 9999.9999,
+            "total_worst": 99999.9999,
+            "rel_spread_p90": 99.9999,
             "queries": {n: 9999.9999 for n in bench.CORE},
             "detail": "BENCH_DETAIL.json",
         }
     )
     assert len(line.encode()) <= bench.MAX_LINE_BYTES, len(line.encode())
+
+
+def test_repeat_stats_error_bars():
+    """The canary error bars are a permanent bench output (VERDICT r10
+    ask #5): repeat_stats must summarize the timed (post-warmup) runs
+    the best-of-N loop already collects — totals band from per-query
+    best/worst, relative spreads, widest offenders — and stay defined
+    for degenerate inputs (single timed run => no spread rows)."""
+    s = bench.repeat_stats(
+        {
+            "a": [1.0, 1.5, 1.25],  # spread 0.5
+            "b": [2.0, 2.0],  # spread 0.0
+            "c": [3.0],  # overrun band: single timed run
+        }
+    )
+    assert s["queries_with_repeats"] == 2
+    assert s["timed_runs_total"] == 6
+    assert s["total_best"] == 6.0
+    assert s["total_worst"] == 6.5
+    assert s["rel_spread_max"] == 0.5
+    assert set(s["widest"]) == {"a", "b"}
+    assert s["widest"]["a"] == 0.5
+    # single-run-only input (full-overrun bench) must not divide by 0
+    empty = bench.repeat_stats({"x": [1.0]})
+    assert empty["queries_with_repeats"] == 0
+    assert empty["rel_spread_median"] == 0.0
+    assert empty["rel_spread_max"] == 0.0
 
 
 def test_run_shedding_bands():
