@@ -42,9 +42,15 @@ N_QUERIES = 5  # query set: vec_id < N_QUERIES
 # the two engines can differ in the last ulp — harmless on the
 # rounded OUTPUT columns (ROUND(...,6)) but enough to flip a cut at a
 # near-tie, failing the hash gate with no semantic bug. Rounding both
-# sides at 1e-9 (values are O(1); ulp noise is ~1e-16) turns those
-# unstable comparisons into exact ties that the deterministic
+# sides at 1e-9 (values are O(1); ulp noise is ~1e-16) turns almost
+# every unstable comparison into an exact tie that the deterministic
 # secondary keys (codeword k / neighbor_id) resolve identically.
+# Residual risk (ADVICE r10): the two engines round with different
+# conventions (numpy half-to-even vs DuckDB half-away-from-zero), so
+# a score within ~1 ulp of a 0.5e-9 grid midpoint can still land on
+# different grid points — rounding shrinks the unstable region ~1e6x,
+# it does not eliminate it; the seeded-parameter fuzz runs
+# (tests/test_similarity_recall.py) are the empirical backstop.
 # JVM-side scores (aggregate(zip_with(...))) need no rounding: they
 # are sequential, bit-identical to DuckDB's list_dot_product.
 _SCORE_CUT_DECIMALS = 9
