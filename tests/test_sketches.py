@@ -453,3 +453,46 @@ def test_bounded_profile_hash_gate_all_fixture_sfs(spark):
         finally:
             con.close()
         assert res.ok, (sf, str(res))
+
+
+def test_profile_generator_fuzz(spark, sf_dir):
+    """Durability fuzz for the profile oracle generator (the r10
+    discipline: parameterize the oracle, keep the registered constant
+    frozen, fuzz random parameters through the SAME pipeline fn vs
+    generated SQL). Exact variant over arbitrary column subsets —
+    num/ts/str min-max slots, null accounting, stack arity — and the
+    approx variant over subsets of the exact-regime columns."""
+    import random
+
+    from golang_etl_spark.operators import profiling as P
+    from golang_etl_spark.oracle import compare_query, duckdb_connection
+
+    rng = random.Random(1107)
+    con = duckdb_connection(sf_dir)
+    try:
+        for trial in range(4):
+            cols = rng.sample(
+                P._ORDERS_COLS, rng.randint(1, len(P._ORDERS_COLS))
+            )
+            res = compare_query(
+                f"profile_fuzz_exact_{trial}",
+                spark,
+                sf_dir,
+                lambda s, d, c=cols: P._profile(s, d, c, approx=False),
+                P._profile_oracle(cols),
+                con,
+            )
+            assert res.ok, (trial, cols, str(res))
+        for trial in range(3):
+            cols = rng.sample(P._BOUNDED_COLS, rng.randint(1, 2))
+            res = compare_query(
+                f"profile_fuzz_bounded_{trial}",
+                spark,
+                sf_dir,
+                lambda s, d, c=cols: P._profile(s, d, c, approx=True),
+                P._profile_oracle(cols),
+                con,
+            )
+            assert res.ok, (trial, cols, str(res))
+    finally:
+        con.close()
