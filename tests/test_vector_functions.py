@@ -113,5 +113,11 @@ def test_resolve_sample_mod_derives_from_corpus_count(monkeypatch):
             return 3_200_000
 
     monkeypatch.setattr(sim, "load_table", lambda *a, **k: FakeDF())
-    assert sim._resolve_sample_mod(None, "/fake", None) == 32
+    # A non-statable fixture path disables quantizer memoization and
+    # warns ONCE (similarity.py _fixture_fingerprint); reset the
+    # once-guard so the warning is deterministic here, and assert it
+    # so the suite stays warning-clean under filterwarnings=error.
+    monkeypatch.setattr(sim, "_FP_MISS_COUNTER", 0)
+    with pytest.warns(UserWarning, match="not statable"):
+        assert sim._resolve_sample_mod(None, "/fake", None) == 32
     assert sim._resolve_sample_mod(None, "/fake", 7) == 7
