@@ -162,3 +162,20 @@ def test_semantics_changed_round_literal_has_unique_keys():
             break
     else:
         raise AssertionError("_SEMANTICS_CHANGED_ROUND assignment not found")
+
+
+def test_no_oracle_set_is_frozen_to_the_sanctioned_trio():
+    """The oracle-conversion program closed in round 11: exactly three
+    rows-only queries remain, each permanently sanctioned with a
+    hash-green twin of the same pipeline (seeded codebooks for the
+    trained ANN pair, the bounded-column exact-regime gate for the HLL
+    profile). A new oracle-less registration is a verification
+    regression and must be a loud, deliberate change here."""
+    no_oracle = {
+        n for n, s in registry.all_queries().items() if s.oracle is None
+    }
+    assert no_oracle == {
+        "profile_orders_approx",
+        "similarity_ivf_kmeans",
+        "similarity_pq_topk",
+    }, f"no_oracle set drifted: {sorted(no_oracle)}"
