@@ -388,6 +388,22 @@ def test_approx_profile_has_no_expand(spark, sf_dir):
     assert "Expand" in exact
 
 
+def test_bounded_profile_prunes_scan_to_its_two_columns(spark, sf_dir):
+    """The exact-regime hash gate restricts the pipeline to two
+    bounded-cardinality columns; the parquet scan must read ONLY
+    those (ReadSchema pruning), stay Expand-free like its full-width
+    twin, and keep the single-scan shape."""
+    plan = _plan(spark, sf_dir, "profile_orders_approx_bounded")
+    assert "Expand" not in plan
+    assert plan.count("FileScan") == 1
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    read_cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert read_cols == {"o_orderstatus", "o_orderpriority"}, read_cols
+
+
 def test_rollup_hierarchy_single_scan_single_exchange(spark, sf_dir):
     """All four rollup granularities must come from ONE scan + ONE
     Expand + ONE aggregation exchange — the whole point vs running

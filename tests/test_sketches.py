@@ -496,3 +496,79 @@ def test_profile_generator_fuzz(spark, sf_dir):
             assert res.ok, (trial, cols, str(res))
     finally:
         con.close()
+
+
+def test_percentile_fraction_fuzz(spark, sf_dir):
+    """Durability fuzz for the percentile exact-regime oracle: random
+    probe fractions, accepted only when they are provably mid-bucket
+    in the ACTUAL per-group data (ranks within +-2 of the target all
+    share one value, absorbing both engines' rank conventions), then
+    replayed through the same percentile_approx pipeline shape vs
+    generated quantile_disc SQL. Complements the registered constant
+    probe (_PCT_FRACTIONS) the way the store fuzzes complement the
+    frozen store queries."""
+    import random
+
+    from golang_etl_spark.operators.sketches import _PCT_ACCURACY
+    from golang_etl_spark.oracle import compare_query, duckdb_connection
+    from golang_etl_spark.sources.catalog import load_table
+
+    con = duckdb_connection(sf_dir)
+    try:
+        groups = con.execute(
+            "SELECT l_returnflag, list(l_quantity ORDER BY l_quantity) "
+            "FROM lineitem GROUP BY l_returnflag"
+        ).fetchall()
+        rng = random.Random(1111)
+        safe, attempts = [], 0
+        while len(safe) < 3 and attempts < 500:
+            attempts += 1
+            f = round(rng.uniform(0.05, 0.95), 4)
+            ok = True
+            for _, vals in groups:
+                n = len(vals)
+                r = int(f * n)
+                window = {
+                    vals[i]
+                    for i in range(max(0, r - 2), min(n - 1, r + 2) + 1)
+                }
+                if len(window) != 1:
+                    ok = False
+                    break
+            if ok:
+                safe.append(f)
+        assert len(safe) == 3, f"no mid-bucket fractions in {attempts} tries"
+
+        cols = ", ".join(
+            f"quantile_disc(l_quantity, {f}) AS q{i}"
+            for i, f in enumerate(safe)
+        )
+        oracle = (
+            f"SELECT l_returnflag, {cols}, "
+            "CAST(COUNT(*) AS BIGINT) AS n_rows "
+            "FROM lineitem GROUP BY l_returnflag"
+        )
+
+        def fn(s, d, fr=tuple(safe)):
+            li = load_table(s, d, "lineitem")
+            q = li.groupBy("l_returnflag").agg(
+                F.percentile_approx(
+                    "l_quantity", list(fr), _PCT_ACCURACY
+                ).alias("q"),
+                F.count("*").alias("n_rows"),
+            )
+            return q.select(
+                "l_returnflag",
+                *[
+                    F.element_at("q", i + 1).alias(f"q{i}")
+                    for i in range(len(fr))
+                ],
+                "n_rows",
+            )
+
+        res = compare_query(
+            "percentile_fraction_fuzz", spark, sf_dir, fn, oracle, con
+        )
+        assert res.ok, (safe, str(res))
+    finally:
+        con.close()
