@@ -495,11 +495,31 @@ def purge_temp_artifacts() -> None:
         pass
 
 
+def silence_unpersist_warns(spark) -> None:
+    """release_executor_state unpersists the iterative kernels'
+    localCheckpoint blocks at every query boundary — deliberate (the
+    frames are never re-read), but each unpersist logs a
+    `MapPartitionsRDD: RDD N was locally checkpointed ...` WARN, and
+    across a ~220-query run those lines crowd the driver's ~2 KB
+    stdout tail (VERDICT r11 nit #1). Scope-minimal fix: that ONE
+    logger to ERROR, bench process only — the suite still sees every
+    Spark WARN. Best-effort: logging config must never cost the run."""
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+            "org.apache.spark.rdd.MapPartitionsRDD",
+            jvm.org.apache.logging.log4j.Level.ERROR,
+        )
+    except Exception:
+        pass
+
+
 def main() -> None:
     from golang_etl_spark.registry import all_queries
     from golang_etl_spark.session import get_spark
 
     spark = get_spark(app_name="golang_etl_spark_bench")
+    silence_unpersist_warns(spark)
     available = all_queries()
     names = [n for n in HEADLINE if n in available]
     if ONLY:

@@ -690,11 +690,17 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     this costs exactly what writing the expression in place costs:
     whole-stage codegen, no serialization boundary."""
     register_views(spark, sf_dir)
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION charged_amount("
-        "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE "
-        "RETURN price * (1 - disc) * (1 + tax)"
-    )
+    # Idempotent registration: the body is a module constant, so a
+    # re-run can only ever re-create the identical function — skip the
+    # CREATE instead of OR REPLACE-ing it, which logged a
+    # SimpleFunctionRegistry WARN per repeat run and crowded the
+    # bench's ~2 KB driver stdout tail (VERDICT r11 nit #1).
+    if not spark.catalog.functionExists("charged_amount"):
+        spark.sql(
+            "CREATE TEMPORARY FUNCTION charged_amount("
+            "price DOUBLE, disc DOUBLE, tax DOUBLE) RETURNS DOUBLE "
+            "RETURN price * (1 - disc) * (1 + tax)"
+        )
     return spark.sql(
         """
         SELECT l_returnflag,
@@ -730,13 +736,16 @@ def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     equality. The SQL-native alternative to wrapping parameterized
     extracts in driver-side string formatting."""
     register_views(spark, sf_dir)
-    spark.sql(
-        "CREATE OR REPLACE TEMPORARY FUNCTION orders_window("
-        "lo TIMESTAMP, hi TIMESTAMP) "
-        "RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE) "
-        "RETURN SELECT o_orderpriority, o_totalprice FROM orders "
-        "WHERE o_orderdate >= lo AND o_orderdate < hi"
-    )
+    # Idempotent for the same reason as charged_amount above (the
+    # repeat-run WARN here came from SimpleTableFunctionRegistry).
+    if not spark.catalog.functionExists("orders_window"):
+        spark.sql(
+            "CREATE TEMPORARY FUNCTION orders_window("
+            "lo TIMESTAMP, hi TIMESTAMP) "
+            "RETURNS TABLE(o_orderpriority STRING, o_totalprice DOUBLE) "
+            "RETURN SELECT o_orderpriority, o_totalprice FROM orders "
+            "WHERE o_orderdate >= lo AND o_orderdate < hi"
+        )
     return spark.sql(
         """
         SELECT o_orderpriority,
