@@ -22,15 +22,18 @@ no teardown WARN chatter can land after it. So the printed line is now COMPACT: 
 all-queries total
 plus a fixed ~32-query CORE subset under stable names (present in
 every round's bench since r01, so cross-round per-query comparison
-survives registry growth). The full per-query map, per-family
-subtotals, and the slowest-10 list are written to BENCH_DETAIL.json
-next to this file instead. A byte guard trims the line if it ever
-approaches the capture limit.
+survives registry growth) and, since round 12, a rotating `extras`
+map — EXTRAS_PER_ROUND non-headline queries per round, excluded from
+the headline total so it stays comparable. The full per-query map,
+per-family subtotals, and the slowest-10 list are written to
+BENCH_DETAIL.json next to this file instead. A byte guard trims the
+line (extras first) if it ever approaches the capture limit.
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import sys
@@ -377,10 +380,15 @@ CORE = [
     "pipeline_training_export",
 ]
 
-# Keep the printed line comfortably under the driver's ~2 KB stdout
-# tail capture (round 5 post-mortem: a longer line gets its HEAD cut,
-# which is where the total lives).
-MAX_LINE_BYTES = 1600
+# Keep the printed line comfortably under the driver's stdout tail
+# capture (round 5 post-mortem: a longer line gets its HEAD cut,
+# which is where the total lives). The r11 capture demonstrably held
+# ~2.4 KB (the full 1.55 KB metric line plus ~850 B of WARN chatter
+# ahead of it), and that chatter is gone at source since r12, so a
+# 2000-byte ceiling keeps ~400 B of margin; the byte guard trims
+# extras entries before core entries (extras are rotating one-off
+# samples, the core map is the cross-round comparison key set).
+MAX_LINE_BYTES = 2000
 DETAIL_PATH = os.environ.get(
     "SPARK_GRAFT_BENCH_DETAIL_PATH",
     os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -395,6 +403,48 @@ DETAIL_PATH = os.environ.get(
 # with nothing to blow up). The pin costs one extra sub-second run per
 # name; the list order itself stays frozen (cross-round comparison).
 ALWAYS_BEST_OF_3 = {"window_gaps_islands"}
+
+
+# Rotating extras slot (VERDICT r11 ask #3): the ~52 registered
+# queries outside HEADLINE are all hash-green for correctness but had
+# no timing row in any round's artifact. Each round times
+# EXTRAS_PER_ROUND of them — deterministic round-robin by round
+# number over the sorted non-headline set — in a separate `extras`
+# field, so every registered query gets a perf sample every ~5 rounds
+# while the headline `value` stays comparable across rounds (extras
+# are excluded from the total, the families map, slowest-10, and
+# repeat_run_stats).
+EXTRAS_PER_ROUND = 10
+
+
+def infer_round() -> int:
+    """Current round number, inferred from the BENCH_r{N}.json
+    artifacts the driver wrote for PRIOR rounds next to this file
+    (the driver writes round N's artifact after this process exits,
+    so max(N)+1 is the round being benched). Overridable for tests
+    and falls back to round 1 in a bare checkout."""
+    if "SPARK_GRAFT_BENCH_ROUND" in os.environ:
+        return int(os.environ["SPARK_GRAFT_BENCH_ROUND"])
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [0]
+    for fname in os.listdir(here):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", fname)
+        if m:
+            rounds.append(int(m.group(1)))
+    return max(rounds) + 1
+
+
+def extras_for_round(round_no: int, non_headline: list[str]) -> list[str]:
+    """The deterministic extras slot for a round: EXTRAS_PER_ROUND
+    consecutive names from the sorted non-headline pool, starting at
+    a stride-by-round offset (wraparound), so consecutive rounds tile
+    the whole pool. Pure function so test_bench_contract can pin it."""
+    pool = sorted(non_headline)
+    if not pool:
+        return []
+    start = ((round_no - 1) * EXTRAS_PER_ROUND) % len(pool)
+    k = min(EXTRAS_PER_ROUND, len(pool))
+    return [pool[(start + i) % len(pool)] for i in range(k)]
 
 
 def n_runs_for(spent: float, name: str | None = None) -> int:
@@ -425,15 +475,25 @@ def repeat_stats(timed_runs: dict[str, list[float]]) -> dict:
     spreads = sorted(rel.values())
 
     def pctl(q: float) -> float:
+        # standard nearest-rank: ceil(q*n)-1, clamped. The previous
+        # int(q*n) index was upper-biased (with two spreads the
+        # "median" was the max — ADVICE r11), slightly overstating
+        # typical jitter.
         if not spreads:
             return 0.0
-        return spreads[min(len(spreads) - 1, int(q * len(spreads)))]
+        return spreads[min(len(spreads) - 1, math.ceil(q * len(spreads)) - 1)]
 
+    total_best = round(sum(min(r) for r in timed_runs.values()), 4)
+    total_worst = round(sum(max(r) for r in timed_runs.values()), 4)
     return {
         "queries_with_repeats": len(rel),
         "timed_runs_total": sum(len(r) for r in timed_runs.values()),
-        "total_best": round(sum(min(r) for r in timed_runs.values()), 4),
-        "total_worst": round(sum(max(r) for r in timed_runs.values()), 4),
+        "total_best": total_best,
+        "total_worst": total_worst,
+        # unbiased denominator for the driver-vs-local canary ratio
+        # (VERDICT r11 ask #4): best-of-N systematically flatters the
+        # local side, so future rounds quote driver/total_mid.
+        "total_mid": round((total_best + total_worst) / 2, 4),
         "rel_spread_median": pctl(0.5),
         "rel_spread_p90": pctl(0.9),
         "rel_spread_max": spreads[-1] if spreads else 0.0,
@@ -556,6 +616,33 @@ def main() -> None:
         if n_leaked:
             leaked_rdds[name] = n_leaked
 
+    # Rotating extras slot: after the headline loop, time this round's
+    # EXTRAS_PER_ROUND non-headline names (warm + best-of-2 — an
+    # occasional sample, not a regression-tracked number). Skipped
+    # under the ONLY test seam and in genuine budget overrun: the
+    # headline numbers and the metric line always come first.
+    extras: dict[str, float] = {}
+    round_no = infer_round()
+    if not ONLY:
+        pool = sorted(set(available) - set(HEADLINE))
+        for name in extras_for_round(round_no, pool):
+            if time.perf_counter() - loop_start > 2 * BUDGET_S:
+                break  # protect the line; missing extras are benign
+            fn = available[name].fn
+            runs = []
+            for _ in range(3):
+                release_executor_state(spark)
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+                assert n >= 0
+            extras[name] = round(min(runs[1:]), 4)
+            release_executor_state(spark)
+            n_leaked = leaked_rdd_count(spark)
+            if n_leaked:
+                leaked_rdds[name] = n_leaked
+
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
     total = round(sum(timings.values()), 4)
@@ -594,10 +681,13 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "budget_s": BUDGET_S,
+        "round": round_no,
         "queries": timings,
         "families": dict(sorted(families.items())),
         "twin_ratios": twin_ratios,
         "slowest": slowest,
+        "extras": extras,
+        "extras_total": round(sum(extras.values()), 4),
         "leaked_rdds": leaked_rdds,
         "repeat_run_stats": repeat_stats(timed_runs),
     }
@@ -618,12 +708,19 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "core_total": round(sum(core_timings.values()), 4),
+        "total_mid": rstats["total_mid"],
         "total_worst": rstats["total_worst"],
         "rel_spread_p90": rstats["rel_spread_p90"],
         "queries": core_timings,
+        "extras": extras,
         "detail": "BENCH_DETAIL.json",
     }
     line = json.dumps(line_obj)
+    while len(line.encode()) > MAX_LINE_BYTES and line_obj["extras"]:
+        # Defensive: shed the rotating one-off samples before touching
+        # the cross-round core map (they stay in BENCH_DETAIL.json).
+        line_obj["extras"].popitem()
+        line = json.dumps(line_obj)
     while len(line.encode()) > MAX_LINE_BYTES and line_obj["queries"]:
         # Defensive only — 32 core entries serialize to ~1.2 KB. Trim
         # from the end of the core map rather than risk a cut head.

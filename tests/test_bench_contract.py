@@ -30,7 +30,12 @@ def test_core_is_a_stable_headline_subset():
 
 
 def test_compact_line_fits_tail_capture_worst_case():
-    # worst case: every core query at a 4-digit-second timing
+    # worst case: every core query at a 4-digit-second timing, plus an
+    # extras slot filled with the LONGEST non-headline names (the r12
+    # rotation could land on any 10 of them)
+    pool = sorted(
+        set(all_queries()) - set(bench.HEADLINE), key=len, reverse=True
+    )
     line = json.dumps(
         {
             "metric": "headline_query_wall_clock_total",
@@ -39,9 +44,13 @@ def test_compact_line_fits_tail_capture_worst_case():
             "sf": 0.1,
             "n_queries": len(bench.HEADLINE),
             "core_total": 9999.9999,
+            "total_mid": 99999.9999,
             "total_worst": 99999.9999,
             "rel_spread_p90": 99.9999,
             "queries": {n: 9999.9999 for n in bench.CORE},
+            "extras": {
+                n: 9999.9999 for n in pool[: bench.EXTRAS_PER_ROUND]
+            },
             "detail": "BENCH_DETAIL.json",
         }
     )
@@ -65,7 +74,13 @@ def test_repeat_stats_error_bars():
     assert s["timed_runs_total"] == 6
     assert s["total_best"] == 6.0
     assert s["total_worst"] == 6.5
+    # unbiased canary denominator (VERDICT r11 ask #4)
+    assert s["total_mid"] == 6.25
     assert s["rel_spread_max"] == 0.5
+    # standard nearest-rank percentiles (ADVICE r11): with spreads
+    # [0.0, 0.5] the median is the LOWER middle, not the max
+    assert s["rel_spread_median"] == 0.0
+    assert s["rel_spread_p90"] == 0.5
     assert set(s["widest"]) == {"a", "b"}
     assert s["widest"]["a"] == 0.5
     # single-run-only input (full-overrun bench) must not divide by 0
@@ -73,6 +88,7 @@ def test_repeat_stats_error_bars():
     assert empty["queries_with_repeats"] == 0
     assert empty["rel_spread_median"] == 0.0
     assert empty["rel_spread_max"] == 0.0
+    assert empty["total_mid"] == empty["total_best"] == empty["total_worst"] == 1.0
 
 
 def test_run_shedding_bands():
@@ -102,3 +118,37 @@ def test_pinned_queries_keep_full_repeats_at_any_elapsed_time():
             assert bench.n_runs_for(spent, name) == 4
     # and the pin does not change the policy for everyone else
     assert bench.n_runs_for(3 * bench.BUDGET_S, "agg_pricing_summary") == 2
+
+
+def test_extras_rotation_is_deterministic_and_tiles_the_pool():
+    """The rotating extras slot (VERDICT r11 ask #3): 10 non-headline
+    names per round, pure function of (round number, pool), consecutive
+    rounds cover every name, and selection never touches HEADLINE — so
+    the headline total stays comparable across rounds while every
+    registered query gets a timing row every ~5 rounds."""
+    pool = sorted(set(all_queries()) - set(bench.HEADLINE))
+    assert len(pool) >= 50, "non-headline tail shrank unexpectedly"
+    sel = bench.extras_for_round(12, pool)
+    assert len(sel) == bench.EXTRAS_PER_ROUND
+    assert set(sel) <= set(pool)
+    assert not set(sel) & set(bench.HEADLINE)
+    # deterministic and input-order-insensitive
+    assert sel == bench.extras_for_round(12, list(reversed(pool)))
+    # consecutive rounds tile the whole pool
+    seen: set = set()
+    rounds_to_cover = -(-len(pool) // bench.EXTRAS_PER_ROUND)
+    for r in range(1, rounds_to_cover + 1):
+        seen.update(bench.extras_for_round(r, pool))
+    assert seen == set(pool)
+    # degenerate pools stay defined
+    assert bench.extras_for_round(5, []) == []
+    assert bench.extras_for_round(5, ["only"]) == ["only"]
+
+
+def test_infer_round_env_override_and_artifact_scan(monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "7")
+    assert bench.infer_round() == 7
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_ROUND")
+    # the repo root carries BENCH_r01..r11, so the round being benched
+    # from this checkout is at least 12
+    assert bench.infer_round() >= 12

@@ -89,6 +89,16 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     }
     # a clean run records no per-query persistent-RDD residue
     assert detail["leaked_rdds"] == {}
+    # the ONLY test seam skips the rotating extras slot (the metric
+    # line and headline numbers always come first), but the round and
+    # canary fields are still published
+    assert detail["extras"] == {}
+    assert detail["extras_total"] == 0
+    assert detail["round"] >= 12
+    rstats = detail["repeat_run_stats"]
+    assert (
+        rstats["total_best"] <= rstats["total_mid"] <= rstats["total_worst"]
+    )
     # every parquet-filled spark_graft_* temp root (streaming sinks +
     # layout store) was reaped before exit. The uid-keyed symlink
     # staging dir (spark_graft_stream_*) is exempt: it is shared
