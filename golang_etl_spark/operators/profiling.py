@@ -161,8 +161,10 @@ def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     conversion program (VERDICT r10 ask #2). The wide-domain columns
     (o_orderkey, o_custkey, o_totalprice, o_orderdate — thousands of
     distinct values at every fixture SF) sit far above HLL++'s exact
-    linear-counting regime (n < sqrt(2m) ~ 90 at rsd=2%'s m=4096, see
-    sketch_approx_distinct), so their estimates are functions of
+    linear-counting regime (the bias term n^2/2m crosses the 0.5
+    rounding threshold near sqrt(m) ~ 64 at rsd=2%'s m=4096, so ~64
+    is the safe ceiling — see sketch_approx_distinct), so their
+    estimates are functions of
     Spark's internal HLL++ hash/register layout that DuckDB cannot
     replay; and the driver's value hash covers the WHOLE result, so
     hash-gating this row would mean deleting or degrading exactly the
@@ -179,8 +181,11 @@ def profile_orders_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # The orders columns whose cardinality keeps approx_count_distinct in
 # HLL++'s exact regime at EVERY fixture SF: o_orderstatus has 3
-# values, o_orderpriority 5 — both far below the sqrt(2m) ~ 90 bound
-# where the linear-counting estimate truncates to exactly n (and
+# values, o_orderpriority 5 — both far below the exact-regime ceiling
+# of ~sqrt(m) ~ 64 at m=4096 (ADVICE r11: the linear-counting bias
+# n^2/2m reaches the 0.5 rounding threshold near sqrt(m), well before
+# the sqrt(2m) ~ 90 once quoted here), so the estimate truncates to
+# exactly n (and
 # collision-freeness of the fixed value sets is verified empirically
 # at sf0.001/0.01/0.1 in tests/test_sketches.py).
 _BOUNDED_COLS = [("o_orderstatus", "str"), ("o_orderpriority", "str")]

@@ -179,3 +179,12 @@ def test_no_oracle_set_is_frozen_to_the_sanctioned_trio():
         "similarity_ivf_kmeans",
         "similarity_pq_topk",
     }, f"no_oracle set drifted: {sorted(no_oracle)}"
+
+
+def test_registry_is_frozen_at_273_queries():
+    """Construction ended at r09 and the oracle-conversion program
+    closed at r11 — the remaining rounds are rotation-drain and
+    polish, with an explicit no-new-breadth prescription (VERDICT r11
+    ask #6). Pin the total so breadth-padding OR an accidental
+    deregistration is a loud, deliberate diff, not a silent drift."""
+    assert len(registry.all_queries()) == 273

@@ -4,6 +4,8 @@ approximate answers must sit within their advertised error bounds of
 the exact answers computed on the same data.
 """
 
+import os
+
 from pyspark.sql import functions as F
 
 from golang_etl_spark.operators.sketches import (
@@ -425,7 +427,7 @@ def test_cms_cell_arithmetic_three_way_parity(spark):
     assert got_sql == expected
 
 
-def test_bounded_profile_hash_gate_all_fixture_sfs(spark):
+def test_bounded_profile_hash_gate_all_fixture_sfs(spark, sf_dir, sf_dir_med):
     """profile_orders_approx_bounded's exact-regime claim — the HLL++
     estimates for the 3-value o_orderstatus and 5-value
     o_orderpriority domains truncate to exactly COUNT(DISTINCT)
@@ -438,8 +440,13 @@ def test_bounded_profile_hash_gate_all_fixture_sfs(spark):
     from golang_etl_spark.registry import all_queries
 
     spec = all_queries()["profile_orders_approx_bounded"]
-    for sf in ("sf0.001", "sf0.01", "sf0.1"):
-        sf_dir = f"/root/testdata/{sf}"
+    # derive all three fixture dirs from the conftest fixtures (which
+    # honor the SPARK_GRAFT_TEST_SF_DIR* env overrides) instead of
+    # hardcoding /root/testdata (ADVICE r11): sf0.1 is taken as a
+    # sibling of the suite-default small fixture.
+    sf_small = sf_dir  # the conftest suite-default small fixture
+    sf_big = os.path.join(os.path.dirname(sf_small), "sf0.1")
+    for sf_dir in (sf_small, sf_dir_med, sf_big):
         con = duckdb_connection(sf_dir)
         try:
             res = compare_query(
@@ -452,7 +459,7 @@ def test_bounded_profile_hash_gate_all_fixture_sfs(spark):
             )
         finally:
             con.close()
-        assert res.ok, (sf, str(res))
+        assert res.ok, (sf_dir, str(res))
 
 
 def test_profile_generator_fuzz(spark, sf_dir):
