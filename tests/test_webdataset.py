@@ -62,10 +62,14 @@ def test_shards_are_byte_deterministic(spark, sf_dir, tmp_path):
     assert files_a == files_b
 
     def digest(d):
-        return {
-            f: hashlib.md5(open(os.path.join(d, f), "rb").read()).hexdigest()
-            for f in os.listdir(d)
-        }
+        out = {}
+        for f in os.listdir(d):
+            # context-managed: the old inline open() leaked the handle
+            # to GC, caught once the suite's ResourceWarning ignore was
+            # message-scoped to Py4J sockets (ADVICE r11)
+            with open(os.path.join(d, f), "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
 
     assert digest(a) == digest(b), "re-run produced different tar bytes"
 
