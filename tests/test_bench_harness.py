@@ -99,6 +99,7 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     # canary fields are still published
     assert detail["extras"] == {}
     assert detail["extras_total"] == 0
+    assert detail["extras_errors"] == {}
     assert detail["round"] >= 12
     rstats = detail["repeat_run_stats"]
     assert (
