@@ -506,6 +506,24 @@ def repeat_stats(timed_runs: dict[str, list[float]]) -> dict:
     }
 
 
+def compact_line(line_obj: dict) -> str:
+    """Serialize the driver-visible metric line, trimming map entries
+    if it would exceed MAX_LINE_BYTES — an over-long line gets its
+    HEAD cut by the driver's tail capture, which is where the total
+    lives (round-5 post-mortem). Shed order: the rotating `extras`
+    one-off samples first (they stay in BENCH_DETAIL.json), then from
+    the end of the cross-round core map. Mutates line_obj's maps.
+    Pure enough for test_bench_contract to pin the shed order."""
+    line = json.dumps(line_obj)
+    while len(line.encode()) > MAX_LINE_BYTES and line_obj.get("extras"):
+        line_obj["extras"].popitem()
+        line = json.dumps(line_obj)
+    while len(line.encode()) > MAX_LINE_BYTES and line_obj.get("queries"):
+        line_obj["queries"].popitem()
+        line = json.dumps(line_obj)
+    return line
+
+
 def release_executor_state(spark) -> None:
     """Free EVERY block the previous run left in the executors: cached
     tables AND persisted/localCheckpoint'd RDDs. clearCache() alone
@@ -736,17 +754,7 @@ def main() -> None:
         "extras": extras,
         "detail": "BENCH_DETAIL.json",
     }
-    line = json.dumps(line_obj)
-    while len(line.encode()) > MAX_LINE_BYTES and line_obj["extras"]:
-        # Defensive: shed the rotating one-off samples before touching
-        # the cross-round core map (they stay in BENCH_DETAIL.json).
-        line_obj["extras"].popitem()
-        line = json.dumps(line_obj)
-    while len(line.encode()) > MAX_LINE_BYTES and line_obj["queries"]:
-        # Defensive only — 32 core entries serialize to ~1.2 KB. Trim
-        # from the end of the core map rather than risk a cut head.
-        line_obj["queries"].popitem()
-        line = json.dumps(line_obj)
+    line = compact_line(line_obj)
 
     # Exit contract: the metric line must be the LAST thing on stdout.
     # Streaming queries leave StateStore maintenance threads and the

@@ -145,6 +145,37 @@ def test_extras_rotation_is_deterministic_and_tiles_the_pool():
     assert bench.extras_for_round(5, ["only"]) == ["only"]
 
 
+def test_compact_line_sheds_extras_before_core():
+    """The byte guard's trim path (never reached by a normal-size
+    line): an oversized line must drop rotating extras entries first
+    and only then eat into the cross-round core map — and always
+    return a parseable line whose scalar head (the total) survives."""
+    big = {f"core_q_{i:02d}": 9999.9999 for i in range(40)}
+    extras = {f"extra_q_{i:02d}": 9999.9999 for i in range(10)}
+    obj = {
+        "metric": "headline_query_wall_clock_total",
+        "value": 123.4567,
+        "queries": dict(big),
+        "extras": dict(extras),
+        "detail": "BENCH_DETAIL.json",
+    }
+    # force trimming with a tiny budget, restore after
+    orig = bench.MAX_LINE_BYTES
+    bench.MAX_LINE_BYTES = 700
+    try:
+        line = bench.compact_line(obj)
+    finally:
+        bench.MAX_LINE_BYTES = orig
+    parsed = json.loads(line)
+    assert len(line.encode()) <= 700
+    assert parsed["value"] == 123.4567  # the head survived
+    assert parsed["extras"] == {}, "extras must be shed before core"
+    assert 0 < len(parsed["queries"]) < 40, "core trimmed only as needed"
+    # and a line already under budget is untouched
+    small = {"metric": "m", "value": 1.0, "queries": {"a": 1.0}, "extras": {}}
+    assert json.loads(bench.compact_line(small)) == small
+
+
 def test_infer_round_env_override_and_artifact_scan(monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_BENCH_ROUND", "7")
     assert bench.infer_round() == 7
