@@ -458,6 +458,43 @@ def n_runs_for(spent: float, name: str | None = None) -> int:
     return 3 if spent <= 2 * BUDGET_S else 2
 
 
+def parse_proc_stat_cpu(text: str) -> tuple[int, int]:
+    """(steal_jiffies, total_jiffies) from a /proc/stat aggregate
+    ``cpu `` line. steal is field 8 (0-indexed 7 after the label) —
+    CPU time the hypervisor ran someone else while this guest was
+    runnable. Pure so test_bench_contract can pin the field position."""
+    for ln in text.splitlines():
+        if ln.startswith("cpu "):
+            fields = [int(x) for x in ln.split()[1:]]
+            steal = fields[7] if len(fields) > 7 else 0
+            return steal, sum(fields)
+    return 0, 0
+
+
+def read_host_cpu_counters() -> tuple[int, int] | None:
+    """Best-effort /proc/stat read; None on non-Linux or locked /proc
+    (the gauge is diagnostic — it must never cost the run)."""
+    try:
+        with open("/proc/stat") as f:
+            return parse_proc_stat_cpu(f.read())
+    except Exception:
+        return None
+
+
+def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None):
+    """Percent of host CPU capacity stolen by the hypervisor between
+    two counter snapshots, or None when unmeasurable. Round 12 found
+    same-HEAD bench totals split 124s vs 147s purely by day-part; a
+    32-way busy-loop probe measured 8.9% steal during the slow window.
+    Publishing the gauge per run turns that one-off diagnosis into a
+    permanent part of the artifact: a driver-vs-local delta that
+    arrives with elevated steal is environment, not code movement.
+    Pure for tests."""
+    if not before or not after or after[1] <= before[1]:
+        return None
+    return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
+
+
 def repeat_stats(timed_runs: dict[str, list[float]]) -> dict:
     """Error bars for the round canary, computed from the repeat
     executions the best-of-N loop already performs (VERDICT r10 ask
@@ -617,6 +654,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     timed_runs: dict[str, list[float]] = {}
     leaked_rdds: dict[str, int] = {}
+    cpu_counters_start = read_host_cpu_counters()
     loop_start = time.perf_counter()
     for name in names:
         fn = available[name].fn
@@ -728,6 +766,9 @@ def main() -> None:
         "extras_total": round(sum(extras.values()), 4),
         "extras_errors": extras_errors,
         "leaked_rdds": leaked_rdds,
+        # hypervisor steal over the whole measurement window (see
+        # steal_pct docstring) — null when /proc/stat is unreadable
+        "host_steal_pct": steal_pct(cpu_counters_start, read_host_cpu_counters()),
         "repeat_run_stats": repeat_stats(timed_runs),
     }
     with open(DETAIL_PATH, "w") as f:
@@ -750,6 +791,7 @@ def main() -> None:
         "total_mid": rstats["total_mid"],
         "total_worst": rstats["total_worst"],
         "rel_spread_p90": rstats["rel_spread_p90"],
+        "host_steal_pct": detail["host_steal_pct"],
         "queries": core_timings,
         "extras": extras,
         "detail": "BENCH_DETAIL.json",

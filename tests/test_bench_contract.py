@@ -47,6 +47,7 @@ def test_compact_line_fits_tail_capture_worst_case():
             "total_mid": 99999.9999,
             "total_worst": 99999.9999,
             "rel_spread_p90": 99.9999,
+            "host_steal_pct": 99.99,
             "queries": {n: 9999.9999 for n in bench.CORE},
             "extras": {
                 n: 9999.9999 for n in pool[: bench.EXTRAS_PER_ROUND]
@@ -183,3 +184,30 @@ def test_infer_round_env_override_and_artifact_scan(monkeypatch):
     # the repo root carries BENCH_r01..r11, so the round being benched
     # from this checkout is at least 12
     assert bench.infer_round() >= 12
+
+
+def test_steal_gauge_parses_proc_stat_and_degrades_to_none():
+    """The host-steal gauge (round 12: same-HEAD totals split 124s vs
+    147s purely by hypervisor contention) — pin the /proc/stat field
+    position and the never-cost-the-run degradation paths."""
+    # kernel-doc field order: user nice system idle iowait irq softirq
+    # steal guest guest_nice — steal is the 8th value
+    text = "cpu  100 0 50 800 10 0 5 35 0 0\ncpu0 25 0 12 200 2 0 1 8 0 0\n"
+    steal, total = bench.parse_proc_stat_cpu(text)
+    assert steal == 35
+    assert total == 1000
+    # pre-2.6.11 kernels have no steal field: gauge reads 0, not IndexError
+    assert bench.parse_proc_stat_cpu("cpu  1 2 3 4\n") == (0, 10)
+    # no aggregate cpu line at all (locked-down /proc): (0, 0)
+    assert bench.parse_proc_stat_cpu("intr 0 0\n") == (0, 0)
+
+    # percentage over a window: (135-35)/(2000-1000) = 10%
+    assert bench.steal_pct((35, 1000), (135, 2000)) == 10.0
+    # unmeasurable inputs -> None (the artifact records null)
+    assert bench.steal_pct(None, (135, 2000)) is None
+    assert bench.steal_pct((35, 1000), None) is None
+    assert bench.steal_pct((35, 1000), (35, 1000)) is None  # zero window
+
+    # and the live read on this Linux host returns a plausible pair
+    live = bench.read_host_cpu_counters()
+    assert live is None or (live[1] > 0 and 0 <= live[0] <= live[1])
