@@ -495,6 +495,41 @@ def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None):
     return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
 
 
+def jvm_gc_millis(spark):
+    """Cumulative stop-the-world GC time of the local JVM (driver ==
+    executor in local mode, so this is ALL GC the run pays), via the
+    management MXBeans. The companion gauge to host_steal_pct: round
+    12's same-HEAD total split (124s vs 147-150s) arrived with a 0.14%
+    in-run steal reading, which RULED OUT sustained hypervisor steal —
+    the slowdown signature was multi-second stalls on ~30 of 221
+    queries with the median query unchanged, which is what bursty full
+    GCs look like from the outside. Publishing the GC delta per run
+    decides that hypothesis with data instead of another post-mortem.
+    Best-effort: None when the MXBeans are unreachable."""
+    try:
+        beans = (
+            spark._jvm.java.lang.management.ManagementFactory
+            .getGarbageCollectorMXBeans()
+        )
+        total = 0
+        it = beans.iterator()
+        while it.hasNext():
+            t = it.next().getCollectionTime()
+            if t > 0:
+                total += t
+        return total
+    except Exception:
+        return None
+
+
+def gc_delta_sec(before, after):
+    """Seconds of stop-the-world GC between two jvm_gc_millis
+    snapshots, or None when either read failed. Pure for tests."""
+    if before is None or after is None or after < before:
+        return None
+    return round((after - before) / 1000.0, 2)
+
+
 def repeat_stats(timed_runs: dict[str, list[float]]) -> dict:
     """Error bars for the round canary, computed from the repeat
     executions the best-of-N loop already performs (VERDICT r10 ask
@@ -655,6 +690,7 @@ def main() -> None:
     timed_runs: dict[str, list[float]] = {}
     leaked_rdds: dict[str, int] = {}
     cpu_counters_start = read_host_cpu_counters()
+    gc_millis_start = jvm_gc_millis(spark)
     loop_start = time.perf_counter()
     for name in names:
         fn = available[name].fn
@@ -769,6 +805,8 @@ def main() -> None:
         # hypervisor steal over the whole measurement window (see
         # steal_pct docstring) — null when /proc/stat is unreadable
         "host_steal_pct": steal_pct(cpu_counters_start, read_host_cpu_counters()),
+        # stop-the-world GC paid by the whole run (see jvm_gc_millis)
+        "jvm_gc_sec": gc_delta_sec(gc_millis_start, jvm_gc_millis(spark)),
         "repeat_run_stats": repeat_stats(timed_runs),
     }
     with open(DETAIL_PATH, "w") as f:
@@ -792,6 +830,7 @@ def main() -> None:
         "total_worst": rstats["total_worst"],
         "rel_spread_p90": rstats["rel_spread_p90"],
         "host_steal_pct": detail["host_steal_pct"],
+        "jvm_gc_sec": detail["jvm_gc_sec"],
         "queries": core_timings,
         "extras": extras,
         "detail": "BENCH_DETAIL.json",

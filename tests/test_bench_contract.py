@@ -48,6 +48,7 @@ def test_compact_line_fits_tail_capture_worst_case():
             "total_worst": 99999.9999,
             "rel_spread_p90": 99.9999,
             "host_steal_pct": 99.99,
+            "jvm_gc_sec": 9999.99,
             "queries": {n: 9999.9999 for n in bench.CORE},
             "extras": {
                 n: 9999.9999 for n in pool[: bench.EXTRAS_PER_ROUND]
@@ -211,3 +212,14 @@ def test_steal_gauge_parses_proc_stat_and_degrades_to_none():
     # and the live read on this Linux host returns a plausible pair
     live = bench.read_host_cpu_counters()
     assert live is None or (live[1] > 0 and 0 <= live[0] <= live[1])
+
+
+def test_gc_gauge_delta_and_live_read(spark):
+    """gc_delta_sec degradation paths, and a live MXBean read on the
+    test session returns a plausible cumulative counter."""
+    assert bench.gc_delta_sec(1000, 3500) == 2.5
+    assert bench.gc_delta_sec(None, 3500) is None
+    assert bench.gc_delta_sec(1000, None) is None
+    assert bench.gc_delta_sec(3500, 1000) is None  # counter reset/rollover
+    live = bench.jvm_gc_millis(spark)
+    assert live is None or live >= 0
