@@ -484,12 +484,14 @@ def read_host_cpu_counters() -> tuple[int, int] | None:
 def steal_pct(before: tuple[int, int] | None, after: tuple[int, int] | None):
     """Percent of host CPU capacity stolen by the hypervisor between
     two counter snapshots, or None when unmeasurable. Round 12 found
-    same-HEAD bench totals split 124s vs 147s purely by day-part; a
-    32-way busy-loop probe measured 8.9% steal during the slow window.
-    Publishing the gauge per run turns that one-off diagnosis into a
-    permanent part of the artifact: a driver-vs-local delta that
-    arrives with elevated steal is environment, not code movement.
-    Pure for tests."""
+    same-HEAD bench totals split 124s vs 147-150s by day-part and
+    first suspected steal (a 32-way busy-loop probe read 8.9% — but
+    that was synthetic full-load, and this gauge's own in-run readings
+    came back 0.06-0.14% during both fast AND slow runs, ruling
+    sustained steal out). The gauge stays: it is exactly how that
+    hypothesis was settled with data, and a future driver-vs-local
+    delta that DOES arrive with elevated steal self-identifies as
+    environment, not code movement. Pure for tests."""
     if not before or not after or after[1] <= before[1]:
         return None
     return round(100.0 * (after[0] - before[0]) / (after[1] - before[1]), 2)
