@@ -25,9 +25,27 @@ every round's bench since r01, so cross-round per-query comparison
 survives registry growth) and, since round 12, a rotating `extras`
 map — EXTRAS_PER_ROUND non-headline queries per round, excluded from
 the headline total so it stays comparable. The full per-query map,
-per-family subtotals, and the slowest-10 list are written to
-BENCH_DETAIL.json next to this file instead. A byte guard trims the
-line (extras first) if it ever approaches the capture limit.
+per-family subtotals, the slowest-10 list, and (since round 13) each
+headline query's timed-run list are written to BENCH_DETAIL.json next
+to this file instead. A byte guard trims the line (extras first) if
+it ever approaches the capture limit.
+
+Canonical-snapshot refresh policy (round 13, VERDICT r12 ask #4): the
+committed BENCH_DETAIL.json is refreshed AT MOST ONCE per round, from
+the FIRST full run at the round's final HEAD, regardless of where
+that run lands in the host's ~124-150s band — repeated best-of-band
+refreshes are a selection pressure on the snapshot even when each is
+honestly labeled. The band/variance story lives in the per-round
+`repeat_run_stats` and the BENCH_DETAIL_r*_local.json band notes, not
+in re-rolled canonical snapshots.
+
+Sweep mode (round 13, VERDICT r12 ask #6): ``python bench.py --sweep``
+times every registered query OUTSIDE the headline list (warm +
+best-of-2, same per-run executor-state release) and writes
+BENCH_DETAIL_r{N}_nonheadline.json, making the "every registered
+query has a perf sample at bench SF" property reproducible on demand
+instead of a hand-run artifact. Sweep numbers are one-off samples —
+NOT comparable to headline totals and NOT regression-tracked.
 """
 
 from __future__ import annotations
@@ -462,12 +480,16 @@ def parse_proc_stat_cpu(text: str) -> tuple[int, int]:
     """(steal_jiffies, total_jiffies) from a /proc/stat aggregate
     ``cpu `` line. steal is field 8 (0-indexed 7 after the label) —
     CPU time the hypervisor ran someone else while this guest was
-    runnable. Pure so test_bench_contract can pin the field position."""
+    runnable. The total sums ONLY fields 0-7 (user..steal): the
+    kernel already folds ``guest``/``guest_nice`` (fields 8-9) into
+    ``user``/``nice``, so including them would double-count guest
+    time and understate steal% on hosts running nested VMs (ADVICE
+    r12). Pure so test_bench_contract can pin the field positions."""
     for ln in text.splitlines():
         if ln.startswith("cpu "):
             fields = [int(x) for x in ln.split()[1:]]
             steal = fields[7] if len(fields) > 7 else 0
-            return steal, sum(fields)
+            return steal, sum(fields[:8])
     return 0, 0
 
 
@@ -810,6 +832,14 @@ def main() -> None:
         # stop-the-world GC paid by the whole run (see jvm_gc_millis)
         "jvm_gc_sec": gc_delta_sec(gc_millis_start, jvm_gc_millis(spark)),
         "repeat_run_stats": repeat_stats(timed_runs),
+        # every timed (post-warmup) execution per query, in run order
+        # (VERDICT r12 ask #2): a driver-side outlier self-diagnoses
+        # from its repeat pattern — ALL runs slow = a stall window ate
+        # the query's whole warm+timed slot (environmental), ONE slow
+        # run with a normal best = single-sample jitter the best-of-N
+        # already filtered. r12's dedup_simhash 7.0s needed a judge
+        # re-run to adjudicate; this field makes that self-serve.
+        "timed_runs": timed_runs,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=False)
@@ -839,14 +869,18 @@ def main() -> None:
     }
     line = compact_line(line_obj)
 
-    # Exit contract: the metric line must be the LAST thing on stdout.
-    # Streaming queries leave StateStore maintenance threads and the
-    # session teardown emits WARN chatter; both have previously landed
-    # AFTER the metric line and cost rounds 5 and 7 their perf signal
-    # (the driver keeps only a ~2 KB stdout tail). So: stop every
-    # active stream, stop the session (all teardown noise prints now),
-    # THEN print the line, flush, and hard-exit before any interpreter
-    # shutdown hook can write another byte.
+    _print_line_and_exit(spark, line)
+
+
+def _print_line_and_exit(spark, line: str) -> None:
+    """Exit contract: the metric line must be the LAST thing on stdout.
+    Streaming queries leave StateStore maintenance threads and the
+    session teardown emits WARN chatter; both have previously landed
+    AFTER the metric line and cost rounds 5 and 7 their perf signal
+    (the driver keeps only a ~2 KB stdout tail). So: stop every
+    active stream, stop the session (all teardown noise prints now),
+    THEN print the line, flush, and hard-exit before any interpreter
+    shutdown hook can write another byte."""
     for q in spark.streams.active:
         try:
             q.stop()
@@ -866,5 +900,87 @@ def main() -> None:
     os._exit(0)
 
 
+SWEEP_NOTE = (
+    "one-off sweep of every registered query outside the HEADLINE "
+    "list at the bench SF, using bench.py's measurement loop (warm + "
+    "best-of-2, executor state released between runs); recorded so "
+    "every registered query has a perf sample without waiting five "
+    "rounds of the rotating extras slot. NOT comparable to headline "
+    "totals and NOT regression-tracked."
+)
+
+
+def sweep() -> None:
+    """``--sweep`` mode (VERDICT r12 ask #6): time the whole
+    non-headline pool and write BENCH_DETAIL_r{N}_nonheadline.json,
+    reproducing the hand-run r12 artifact on demand. A per-query
+    failure is RECORDED, never raised (same total-loss-avoidance
+    stance as the extras slot); the SPARK_GRAFT_BENCH_ONLY seam
+    narrows the pool for the subprocess test."""
+    from golang_etl_spark.registry import all_queries
+    from golang_etl_spark.session import get_spark
+
+    spark = get_spark(app_name="golang_etl_spark_bench_sweep")
+    silence_benign_bench_warns(spark)
+    available = all_queries()
+    pool = sorted(set(available) - set(HEADLINE))
+    if ONLY:
+        pool = [n for n in pool if n in ONLY]
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    leaked_rdds: dict[str, int] = {}
+    for name in pool:
+        try:
+            fn = available[name].fn
+            runs = []
+            for _ in range(3):
+                release_executor_state(spark)
+                t0 = time.perf_counter()
+                df = fn(spark, SF_DIR)
+                n = df.count()
+                runs.append(time.perf_counter() - t0)
+                assert n >= 0
+            timings[name] = round(min(runs[1:]), 4)
+        except Exception as exc:  # noqa: BLE001 — record, never raise
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
+        release_executor_state(spark)
+        n_leaked = leaked_rdd_count(spark)
+        if n_leaked:
+            leaked_rdds[name] = n_leaked
+
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1).rstrip(".")) if m else -1.0
+    detail = {
+        "metric": "nonheadline_query_wall_clock",
+        "note": SWEEP_NOTE,
+        "sf": sf,
+        "n_queries": len(timings),
+        "total": round(sum(timings.values()), 4),
+        "queries": timings,
+        "errors": errors,
+        "leaked_rdds": leaked_rdds,
+    }
+    path = os.environ.get("SPARK_GRAFT_BENCH_SWEEP_PATH") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_DETAIL_r{infer_round()}_nonheadline.json",
+    )
+    with open(path, "w") as f:
+        json.dump(detail, f, indent=1, sort_keys=False)
+        f.write("\n")
+    line = json.dumps(
+        {
+            "metric": "nonheadline_query_wall_clock",
+            "total": detail["total"],
+            "unit": "sec",
+            "sf": sf,
+            "n_queries": len(timings),
+            "n_errors": len(errors),
+            "detail": os.path.basename(path),
+        }
+    )
+    _print_line_and_exit(spark, line)
+
+
 if __name__ == "__main__":
-    main()
+    sweep() if "--sweep" in sys.argv[1:] else main()

@@ -192,11 +192,14 @@ def test_steal_gauge_parses_proc_stat_and_degrades_to_none():
     147s purely by hypervisor contention) — pin the /proc/stat field
     position and the never-cost-the-run degradation paths."""
     # kernel-doc field order: user nice system idle iowait irq softirq
-    # steal guest guest_nice — steal is the 8th value
-    text = "cpu  100 0 50 800 10 0 5 35 0 0\ncpu0 25 0 12 200 2 0 1 8 0 0\n"
+    # steal guest guest_nice — steal is the 8th value, and the total
+    # must sum ONLY user..steal: guest/guest_nice (here 40/5) are
+    # already folded into user/nice by the kernel, so counting them
+    # would double-count guest time and deflate steal% (ADVICE r12)
+    text = "cpu  100 0 50 800 10 0 5 35 40 5\ncpu0 25 0 12 200 2 0 1 8 0 0\n"
     steal, total = bench.parse_proc_stat_cpu(text)
     assert steal == 35
-    assert total == 1000
+    assert total == 1000  # guest fields excluded from the denominator
     # pre-2.6.11 kernels have no steal field: gauge reads 0, not IndexError
     assert bench.parse_proc_stat_cpu("cpu  1 2 3 4\n") == (0, 10)
     # no aggregate cpu line at all (locked-down /proc): (0, 0)
