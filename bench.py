@@ -27,8 +27,20 @@ map — EXTRAS_PER_ROUND non-headline queries per round, excluded from
 the headline total so it stays comparable. The full per-query map,
 per-family subtotals, the slowest-10 list, and (since round 13) each
 headline query's timed-run list are written to BENCH_DETAIL.json next
-to this file instead. A byte guard trims the line (extras first) if
+to this file instead — since round 14 the rotating extras and the
+sweep artifact carry their run lists too (VERDICT r13 ask #2), so a
+non-headline outlier self-diagnoses the same way a headline one
+does. A byte guard trims the line (extras first) if
 it ever approaches the capture limit.
+
+NOTE on working-tree state after a driver round (VERDICT r13 ask #3):
+the driver's own bench run writes DETAIL_PATH unconditionally, and
+the driver does not set SPARK_GRAFT_BENCH_DETAIL_PATH — so after
+every driver round the committed BENCH_DETAIL.json snapshot sits
+modified in the working tree, holding exactly the run BENCH_r{N}.json
+summarizes. That dirtiness is EXPECTED, not an unsaved code change;
+local runs that should not touch the snapshot can point
+SPARK_GRAFT_BENCH_DETAIL_PATH elsewhere.
 
 Canonical-snapshot refresh policy (round 13, VERDICT r12 ask #4): the
 committed BENCH_DETAIL.json is refreshed AT MOST ONCE per round, from
@@ -649,6 +661,23 @@ def leaked_rdd_count(spark) -> int:
     return spark.sparkContext._jsc.getPersistentRDDs().size()
 
 
+def safe_boundary_release(spark, name, leaked_rdds, errors) -> None:
+    """Query-boundary executor-state release for the record-never-raise
+    zones (the extras slot and --sweep): a failed query can leave the
+    session/Py4J bridge broken, in which case the boundary release
+    itself raises — and an unguarded boundary call would abort the
+    whole loop with no artifact and no metric line (ADVICE r13). The
+    failure is recorded under ``<name>#boundary`` in the errors map;
+    the loop moves on and the line still prints."""
+    try:
+        release_executor_state(spark)
+        n_leaked = leaked_rdd_count(spark)
+        if n_leaked:
+            leaked_rdds[name] = n_leaked
+    except Exception as exc:  # noqa: BLE001 — record, never raise
+        errors[f"{name}#boundary"] = f"{type(exc).__name__}: {exc}"[:200]
+
+
 def purge_temp_artifacts() -> None:
     """The exit contract below ends with os._exit(0), which skips
     atexit — so the cleanup the streaming sinks and the layout store
@@ -749,6 +778,7 @@ def main() -> None:
     # under the ONLY test seam and in genuine budget overrun: the
     # headline numbers and the metric line always come first.
     extras: dict[str, float] = {}
+    extras_timed_runs: dict[str, list[float]] = {}
     extras_errors: dict[str, str] = {}
     round_no = infer_round()
     if not ONLY:
@@ -772,12 +802,10 @@ def main() -> None:
                     runs.append(time.perf_counter() - t0)
                     assert n >= 0
                 extras[name] = round(min(runs[1:]), 4)
+                extras_timed_runs[name] = [round(r, 4) for r in runs[1:]]
             except Exception as exc:  # noqa: BLE001 — see comment above
                 extras_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-            release_executor_state(spark)
-            n_leaked = leaked_rdd_count(spark)
-            if n_leaked:
-                leaked_rdds[name] = n_leaked
+            safe_boundary_release(spark, name, leaked_rdds, extras_errors)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -824,6 +852,11 @@ def main() -> None:
         "slowest": slowest,
         "extras": extras,
         "extras_total": round(sum(extras.values()), 4),
+        # run lists for the rotating extras too (VERDICT r13 ask #2):
+        # a non-headline outlier self-diagnoses from its repeat
+        # pattern the same way a headline one does, instead of
+        # needing a judge-side re-run to adjudicate.
+        "extras_timed_runs": extras_timed_runs,
         "extras_errors": extras_errors,
         "leaked_rdds": leaked_rdds,
         # hypervisor steal over the whole measurement window (see
@@ -920,14 +953,26 @@ def sweep() -> None:
     from golang_etl_spark.registry import all_queries
     from golang_etl_spark.session import get_spark
 
-    spark = get_spark(app_name="golang_etl_spark_bench_sweep")
-    silence_benign_bench_warns(spark)
     available = all_queries()
     pool = sorted(set(available) - set(HEADLINE))
     if ONLY:
         pool = [n for n in pool if n in ONLY]
+        if not pool:
+            # ONLY names only headline queries or misspellings: writing
+            # an empty artifact (n_queries 0, total 0, exit 0) would let
+            # a typo masquerade as a successful sweep (ADVICE r13).
+            sys.stderr.write(
+                "bench --sweep: SPARK_GRAFT_BENCH_ONLY matched no "
+                "non-headline query (headline-only names or a typo?); "
+                "refusing to write an empty sweep artifact\n"
+            )
+            sys.exit(2)
+
+    spark = get_spark(app_name="golang_etl_spark_bench_sweep")
+    silence_benign_bench_warns(spark)
 
     timings: dict[str, float] = {}
+    timed_runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     leaked_rdds: dict[str, int] = {}
     for name in pool:
@@ -942,12 +987,10 @@ def sweep() -> None:
                 runs.append(time.perf_counter() - t0)
                 assert n >= 0
             timings[name] = round(min(runs[1:]), 4)
+            timed_runs[name] = [round(r, 4) for r in runs[1:]]
         except Exception as exc:  # noqa: BLE001 — record, never raise
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
-        release_executor_state(spark)
-        n_leaked = leaked_rdd_count(spark)
-        if n_leaked:
-            leaked_rdds[name] = n_leaked
+        safe_boundary_release(spark, name, leaked_rdds, errors)
 
     m = re.search(r"sf([\d.]+)", SF_DIR)
     sf = float(m.group(1).rstrip(".")) if m else -1.0
@@ -958,6 +1001,9 @@ def sweep() -> None:
         "n_queries": len(timings),
         "total": round(sum(timings.values()), 4),
         "queries": timings,
+        # per-query timed (post-warmup) executions, same convention as
+        # the headline artifact (VERDICT r13 ask #2)
+        "timed_runs": timed_runs,
         "errors": errors,
         "leaked_rdds": leaked_rdds,
     }

@@ -99,6 +99,7 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     # canary fields are still published
     assert detail["extras"] == {}
     assert detail["extras_total"] == 0
+    assert detail["extras_timed_runs"] == {}
     assert detail["extras_errors"] == {}
     assert detail["round"] >= 12
     rstats = detail["repeat_run_stats"]
@@ -165,6 +166,65 @@ def test_bench_sweep_subprocess_writes_nonheadline_artifact(tmp_path):
     assert detail["total"] == round(sum(detail["queries"].values()), 4)
     # sweep names must genuinely be outside the headline list
     assert not set(detail["queries"]) & set(bench.HEADLINE)
+    # sweep run lists (VERDICT r13 ask #2): same self-diagnosis
+    # convention as the headline artifact — every swept query
+    # publishes its post-warmup executions and the recorded number is
+    # the best of exactly that list
+    assert set(detail["timed_runs"]) == set(detail["queries"])
+    for name, runs in detail["timed_runs"].items():
+        assert runs and all(r > 0 for r in runs)
+        assert min(runs) == detail["queries"][name]
+
+
+def test_bench_sweep_empty_pool_refuses_to_write(tmp_path):
+    """ADVICE r13: SPARK_GRAFT_BENCH_ONLY naming only headline queries
+    (or misspellings) used to produce an empty sweep artifact with exit
+    0 — a typo masquerading as a successful sweep. The guard must now
+    refuse loudly, before a session ever starts, and write nothing."""
+    sweep_path = tmp_path / "nonheadline.json"
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    # one headline name + one typo: both filtered out of the pool
+    env["SPARK_GRAFT_BENCH_ONLY"] = "agg_pricing_summary,no_such_query"
+    env["SPARK_GRAFT_BENCH_SWEEP_PATH"] = str(sweep_path)
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--sweep"],
+        cwd=REPO_ROOT,
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=300,
+    )
+    assert proc.returncode == 2
+    assert "matched no non-headline query" in proc.stderr
+    assert not sweep_path.exists()
+
+
+def test_safe_boundary_release_records_broken_bridge():
+    """ADVICE r13: the extras/sweep boundary release must never abort
+    the loop — a broken session records a <name>#boundary error and
+    the metric line still prints."""
+
+    class _BrokenSpark:
+        class catalog:  # noqa: N801 — mimics SparkSession.catalog
+            @staticmethod
+            def clearCache():
+                raise RuntimeError("py4j bridge down")
+
+    errors: dict = {}
+    leaked: dict = {}
+    bench.safe_boundary_release(_BrokenSpark(), "q1", leaked, errors)
+    assert list(errors) == ["q1#boundary"]
+    assert "py4j bridge down" in errors["q1#boundary"]
+    assert leaked == {}
+
+
+def test_safe_boundary_release_healthy_session_is_silent(spark):
+    errors: dict = {}
+    leaked: dict = {}
+    bench.safe_boundary_release(spark, "q1", leaked, errors)
+    assert errors == {}
+    assert leaked == {}
 
 
 def test_release_executor_state_frees_persist_and_localcheckpoint(spark):
