@@ -898,7 +898,9 @@ def main() -> None:
         "jvm_gc_sec": detail["jvm_gc_sec"],
         "queries": core_timings,
         "extras": extras,
-        "detail": "BENCH_DETAIL.json",
+        # actual artifact basename — honors SPARK_GRAFT_BENCH_DETAIL_PATH
+        # (the sweep line already reports its real path the same way)
+        "detail": os.path.basename(DETAIL_PATH),
     }
     line = compact_line(line_obj)
 

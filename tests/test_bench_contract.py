@@ -5,6 +5,7 @@ filter through `if n in ...`), and a fatter CORE map could re-overflow
 the driver's ~2 KB tail capture (the round-5 failure mode)."""
 
 import json
+import re
 import sys
 from pathlib import Path
 
@@ -229,6 +230,39 @@ def test_committed_bench_detail_carries_timed_runs():
     detail = json.loads(
         (Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
     )
+    assert set(detail["timed_runs"]) == set(detail["queries"])
+    for name, runs in detail["timed_runs"].items():
+        assert runs and all(r > 0 for r in runs), name
+        assert min(runs) == detail["queries"][name], name
+
+
+def test_committed_bench_detail_carries_extras_timed_runs():
+    """Round-14 symmetry pin (VERDICT r13 ask #2): the rotating extras
+    in the canonical snapshot publish their run lists exactly like the
+    headline queries do, so an extras-slot outlier self-diagnoses from
+    its repeat pattern instead of needing a judge-side re-run. Each
+    recorded extras number must be the best of exactly that list."""
+    detail = json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
+    )
+    assert set(detail["extras_timed_runs"]) == set(detail["extras"])
+    for name, runs in detail["extras_timed_runs"].items():
+        assert runs and all(r > 0 for r in runs), name
+        assert min(runs) == detail["extras"][name], name
+
+
+def test_latest_committed_sweep_artifact_carries_timed_runs():
+    """The newest committed BENCH_DETAIL_r{N}_nonheadline.json must
+    carry per-query run lists (VERDICT r13 ask #2). Only the latest is
+    pinned: older sweep artifacts predate the field and are historical
+    records of their rounds, deliberately not regenerated."""
+    root = Path(bench.__file__).resolve().parent
+    sweeps = {}
+    for p in root.glob("BENCH_DETAIL_r*_nonheadline.json"):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_nonheadline\.json", p.name)
+        sweeps[int(m.group(1))] = p
+    assert sweeps, "no committed sweep artifact"
+    detail = json.loads(sweeps[max(sweeps)].read_text())
     assert set(detail["timed_runs"]) == set(detail["queries"])
     for name, runs in detail["timed_runs"].items():
         assert runs and all(r > 0 for r in runs), name

@@ -83,7 +83,9 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     assert "replaced a previously registered function" not in proc.stderr
     assert "locally checkpointed" not in proc.stderr
     assert "not supported in streaming DataFrames" not in proc.stderr
-    # the full artifact went to the overridden detail path
+    # the full artifact went to the overridden detail path, and the
+    # metric line names that actual artifact, not a hardcoded default
+    assert obj["detail"] == detail_path.name
     detail = json.loads(detail_path.read_text())
     assert set(detail["queries"]) == {
         "agg_pricing_summary",
