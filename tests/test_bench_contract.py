@@ -260,6 +260,10 @@ def test_latest_committed_sweep_artifact_carries_timed_runs():
     sweeps = {}
     for p in root.glob("BENCH_DETAIL_r*_nonheadline.json"):
         m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_nonheadline\.json", p.name)
+        # the glob is wider than the convention (it would also match
+        # e.g. BENCH_DETAIL_r14b_nonheadline.json); fail loudly with
+        # the filename rather than crash on m.group(1) (ADVICE r14)
+        assert m, f"sweep artifact name breaks r<N> convention: {p.name}"
         sweeps[int(m.group(1))] = p
     assert sweeps, "no committed sweep artifact"
     detail = json.loads(sweeps[max(sweeps)].read_text())
