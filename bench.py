@@ -45,7 +45,8 @@ SPARK_GRAFT_BENCH_DETAIL_PATH elsewhere.
 Canonical-snapshot refresh policy (round 13, VERDICT r12 ask #4): the
 committed BENCH_DETAIL.json is refreshed AT MOST ONCE per round, from
 the FIRST full run at the round's final HEAD, regardless of where
-that run lands in the host's ~124-150s band — repeated best-of-band
+that run lands in the host's same-code band (~111-241s cumulatively as
+of r15; see BENCH_DETAIL_r*_local.json) — repeated best-of-band
 refreshes are a selection pressure on the snapshot even when each is
 honestly labeled. The band/variance story lives in the per-round
 `repeat_run_stats` and the BENCH_DETAIL_r*_local.json band notes, not
