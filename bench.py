@@ -59,6 +59,20 @@ BENCH_DETAIL_r{N}_nonheadline.json, making the "every registered
 query has a perf sample at bench SF" property reproducible on demand
 instead of a hand-run artifact. Sweep numbers are one-off samples —
 NOT comparable to headline totals and NOT regression-tracked.
+
+Per-run timestamps (round 16, VERDICT r15 ask #2): r15's
+similarity_pq_fixed read [75.9, 21.2, 19.4] in the driver run vs ~2s
+local on byte-identical code — ALL timed runs slow, so best-of-N
+could not filter it, and the steal/GC gauges are per-run-total, so
+the stall could not be PLACED within the ~200s run. Every artifact
+(headline, extras, sweep) now carries `timed_run_spans`: per query,
+the [start, stop] offsets of each timed (post-warmup) execution on
+the loop's monotonic clock, index-aligned with `timed_runs`, plus a
+`run_t0_unix` wall-clock anchor for the whole loop — so a future
+all-runs-slow outlier can be aligned against the run timeline,
+neighboring queries, and externally-timestamped host logs. Cheap
+(two perf_counter reads the loop already takes) and detail-artifact
+only: the driver-visible line is unchanged.
 """
 
 from __future__ import annotations
@@ -742,13 +756,19 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     timed_runs: dict[str, list[float]] = {}
+    timed_run_spans: dict[str, list[list[float]]] = {}
     leaked_rdds: dict[str, int] = {}
     cpu_counters_start = read_host_cpu_counters()
     gc_millis_start = jvm_gc_millis(spark)
     loop_start = time.perf_counter()
+    # wall-clock anchor for the monotonic span offsets below (VERDICT
+    # r15 ask #2): offset s on the loop clock == run_t0_unix + s in
+    # any externally-timestamped host log.
+    run_t0_unix = round(time.time(), 3)
     for name in names:
         fn = available[name].fn
         runs = []
+        spans = []
         # run 1 warms (JIT/codegen); best of the rest filters this
         # host's multi-second scheduler jitter at local[32]. Executor
         # state is released before every run: several operators
@@ -761,10 +781,13 @@ def main() -> None:
             t0 = time.perf_counter()
             df = fn(spark, SF_DIR)
             n = df.count()
-            runs.append(time.perf_counter() - t0)
+            t1 = time.perf_counter()
+            runs.append(t1 - t0)
+            spans.append([round(t0 - loop_start, 4), round(t1 - loop_start, 4)])
             assert n >= 0
         timings[name] = round(min(runs[1:]), 4)
         timed_runs[name] = [round(r, 4) for r in runs[1:]]
+        timed_run_spans[name] = spans[1:]
         # query boundary: leave the JVM exactly as the next query
         # expects it — empty SQL cache, empty persistent-RDD map.
         # A leak is recorded, not raised: the line must still print.
@@ -780,6 +803,7 @@ def main() -> None:
     # headline numbers and the metric line always come first.
     extras: dict[str, float] = {}
     extras_timed_runs: dict[str, list[float]] = {}
+    extras_timed_run_spans: dict[str, list[list[float]]] = {}
     extras_errors: dict[str, str] = {}
     round_no = infer_round()
     if not ONLY:
@@ -795,15 +819,21 @@ def main() -> None:
             try:
                 fn = available[name].fn
                 runs = []
+                spans = []
                 for _ in range(3):
                     release_executor_state(spark)
                     t0 = time.perf_counter()
                     df = fn(spark, SF_DIR)
                     n = df.count()
-                    runs.append(time.perf_counter() - t0)
+                    t1 = time.perf_counter()
+                    runs.append(t1 - t0)
+                    spans.append(
+                        [round(t0 - loop_start, 4), round(t1 - loop_start, 4)]
+                    )
                     assert n >= 0
                 extras[name] = round(min(runs[1:]), 4)
                 extras_timed_runs[name] = [round(r, 4) for r in runs[1:]]
+                extras_timed_run_spans[name] = spans[1:]
             except Exception as exc:  # noqa: BLE001 — see comment above
                 extras_errors[name] = f"{type(exc).__name__}: {exc}"[:200]
             safe_boundary_release(spark, name, leaked_rdds, extras_errors)
@@ -858,6 +888,7 @@ def main() -> None:
         # pattern the same way a headline one does, instead of
         # needing a judge-side re-run to adjudicate.
         "extras_timed_runs": extras_timed_runs,
+        "extras_timed_run_spans": extras_timed_run_spans,
         "extras_errors": extras_errors,
         "leaked_rdds": leaked_rdds,
         # hypervisor steal over the whole measurement window (see
@@ -874,6 +905,13 @@ def main() -> None:
         # already filtered. r12's dedup_simhash 7.0s needed a judge
         # re-run to adjudicate; this field makes that self-serve.
         "timed_runs": timed_runs,
+        # [start, stop] loop-clock offsets per timed run, index-aligned
+        # with timed_runs, anchored by run_t0_unix (VERDICT r15 ask #2):
+        # places an all-runs-slow stall window like r15's
+        # similarity_pq_fixed ON the run timeline so it can be lined up
+        # against neighboring queries and host-side timestamps.
+        "run_t0_unix": run_t0_unix,
+        "timed_run_spans": timed_run_spans,
     }
     with open(DETAIL_PATH, "w") as f:
         json.dump(detail, f, indent=1, sort_keys=False)
@@ -976,21 +1014,30 @@ def sweep() -> None:
 
     timings: dict[str, float] = {}
     timed_runs: dict[str, list[float]] = {}
+    timed_run_spans: dict[str, list[list[float]]] = {}
     errors: dict[str, str] = {}
     leaked_rdds: dict[str, int] = {}
+    loop_start = time.perf_counter()
+    run_t0_unix = round(time.time(), 3)  # wall anchor for the spans
     for name in pool:
         try:
             fn = available[name].fn
             runs = []
+            spans = []
             for _ in range(3):
                 release_executor_state(spark)
                 t0 = time.perf_counter()
                 df = fn(spark, SF_DIR)
                 n = df.count()
-                runs.append(time.perf_counter() - t0)
+                t1 = time.perf_counter()
+                runs.append(t1 - t0)
+                spans.append(
+                    [round(t0 - loop_start, 4), round(t1 - loop_start, 4)]
+                )
                 assert n >= 0
             timings[name] = round(min(runs[1:]), 4)
             timed_runs[name] = [round(r, 4) for r in runs[1:]]
+            timed_run_spans[name] = spans[1:]
         except Exception as exc:  # noqa: BLE001 — record, never raise
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
         safe_boundary_release(spark, name, leaked_rdds, errors)
@@ -1007,6 +1054,10 @@ def sweep() -> None:
         # per-query timed (post-warmup) executions, same convention as
         # the headline artifact (VERDICT r13 ask #2)
         "timed_runs": timed_runs,
+        # per-run [start, stop] loop-clock offsets + wall anchor, same
+        # convention as the headline artifact (VERDICT r15 ask #2)
+        "run_t0_unix": run_t0_unix,
+        "timed_run_spans": timed_run_spans,
         "errors": errors,
         "leaked_rdds": leaked_rdds,
     }
