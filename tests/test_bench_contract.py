@@ -273,6 +273,57 @@ def test_latest_committed_sweep_artifact_carries_timed_runs():
         assert min(runs) == detail["queries"][name], name
 
 
+def _assert_spans_match_runs(detail, spans_key, runs_key):
+    """Shared span-contract checks (VERDICT r15 ask #2): spans are
+    index-aligned with the run lists, each [start, stop] is ordered and
+    non-negative on the loop clock, each span's width equals the
+    recorded duration within rounding (same perf_counter reads), and a
+    query's spans never overlap (the loop is sequential)."""
+    assert detail["run_t0_unix"] > 0
+    assert set(detail[spans_key]) == set(detail[runs_key])
+    for name, spans in detail[spans_key].items():
+        runs = detail[runs_key][name]
+        assert len(spans) == len(runs), name
+        for (start, stop), dur in zip(spans, runs):
+            assert 0 <= start < stop, name
+            assert abs((stop - start) - dur) <= 0.001, name
+        for (_, stop), (nxt, _) in zip(spans, spans[1:]):
+            assert nxt >= stop, name
+
+
+def test_committed_bench_detail_carries_timed_run_spans():
+    """Round-16 pin (VERDICT r15 ask #2): r15's similarity_pq_fixed was
+    slow in ALL THREE driver timed runs (best 19.4s vs ~2s local, same
+    code) — best-of-N can't filter an all-runs-slow stall, and the
+    steal/GC gauges are per-run-total, so the stall could not be PLACED
+    within the run. The canonical snapshot must now carry per-timed-run
+    [start, stop] offsets on the loop's monotonic clock (headline AND
+    rotating extras) plus the run_t0_unix wall anchor, so a future loud
+    window aligns against the run timeline and host-side timestamps."""
+    detail = json.loads(
+        (Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
+    )
+    _assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
+    _assert_spans_match_runs(
+        detail, "extras_timed_run_spans", "extras_timed_runs"
+    )
+
+
+def test_latest_committed_sweep_artifact_carries_timed_run_spans():
+    """Same span convention for the newest committed sweep artifact
+    (VERDICT r15 ask #2); older sweeps predate the field and are
+    historical records of their rounds, deliberately not regenerated."""
+    root = Path(bench.__file__).resolve().parent
+    sweeps = {}
+    for p in root.glob("BENCH_DETAIL_r*_nonheadline.json"):
+        m = re.fullmatch(r"BENCH_DETAIL_r(\d+)_nonheadline\.json", p.name)
+        assert m, f"sweep artifact name breaks r<N> convention: {p.name}"
+        sweeps[int(m.group(1))] = p
+    assert sweeps, "no committed sweep artifact"
+    detail = json.loads(sweeps[max(sweeps)].read_text())
+    _assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
+
+
 def test_committed_bench_artifacts_end_with_newline():
     """Builder-authored bench artifacts (BENCH_DETAIL*.json) follow
     the trailing-newline convention bench.py itself writes (ADVICE
