@@ -503,6 +503,17 @@ def n_runs_for(spent: float, name: str | None = None) -> int:
     return 3 if spent <= 2 * BUDGET_S else 2
 
 
+def span_of(loop_start: float, t0: float, t1: float) -> list[float]:
+    """[start, stop] loop-clock offsets for one timed run. stop is
+    derived from the rounded start plus the measured duration — not
+    rounded independently — so `start < stop` holds by construction
+    even for a run shorter than the 1e-4 rounding quantum (ADVICE
+    r16); the max() floor overstates such a run's span by at most one
+    quantum, inside the span contract's 1e-3 width tolerance."""
+    start = round(t0 - loop_start, 4)
+    return [start, round(start + max(t1 - t0, 1e-4), 4)]
+
+
 def parse_proc_stat_cpu(text: str) -> tuple[int, int]:
     """(steal_jiffies, total_jiffies) from a /proc/stat aggregate
     ``cpu `` line. steal is field 8 (0-indexed 7 after the label) —
@@ -783,7 +794,7 @@ def main() -> None:
             n = df.count()
             t1 = time.perf_counter()
             runs.append(t1 - t0)
-            spans.append([round(t0 - loop_start, 4), round(t1 - loop_start, 4)])
+            spans.append(span_of(loop_start, t0, t1))
             assert n >= 0
         timings[name] = round(min(runs[1:]), 4)
         timed_runs[name] = [round(r, 4) for r in runs[1:]]
@@ -827,9 +838,7 @@ def main() -> None:
                     n = df.count()
                     t1 = time.perf_counter()
                     runs.append(t1 - t0)
-                    spans.append(
-                        [round(t0 - loop_start, 4), round(t1 - loop_start, 4)]
-                    )
+                    spans.append(span_of(loop_start, t0, t1))
                     assert n >= 0
                 extras[name] = round(min(runs[1:]), 4)
                 extras_timed_runs[name] = [round(r, 4) for r in runs[1:]]
@@ -1031,9 +1040,7 @@ def sweep() -> None:
                 n = df.count()
                 t1 = time.perf_counter()
                 runs.append(t1 - t0)
-                spans.append(
-                    [round(t0 - loop_start, 4), round(t1 - loop_start, 4)]
-                )
+                spans.append(span_of(loop_start, t0, t1))
                 assert n >= 0
             timings[name] = round(min(runs[1:]), 4)
             timed_runs[name] = [round(r, 4) for r in runs[1:]]

@@ -13,6 +13,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402
 
 from golang_etl_spark.registry import all_queries  # noqa: E402
+from tests.span_contract import assert_spans_match_runs  # noqa: E402
 
 
 def test_headline_names_all_resolve():
@@ -273,22 +274,25 @@ def test_latest_committed_sweep_artifact_carries_timed_runs():
         assert min(runs) == detail["queries"][name], name
 
 
-def _assert_spans_match_runs(detail, spans_key, runs_key):
-    """Shared span-contract checks (VERDICT r15 ask #2): spans are
-    index-aligned with the run lists, each [start, stop] is ordered and
-    non-negative on the loop clock, each span's width equals the
-    recorded duration within rounding (same perf_counter reads), and a
-    query's spans never overlap (the loop is sequential)."""
-    assert detail["run_t0_unix"] > 0
-    assert set(detail[spans_key]) == set(detail[runs_key])
-    for name, spans in detail[spans_key].items():
-        runs = detail[runs_key][name]
-        assert len(spans) == len(runs), name
-        for (start, stop), dur in zip(spans, runs):
-            assert 0 <= start < stop, name
-            assert abs((stop - start) - dur) <= 0.001, name
-        for (_, stop), (nxt, _) in zip(spans, spans[1:]):
-            assert nxt >= stop, name
+def test_span_of_is_strictly_ordered_even_below_the_rounding_quantum():
+    """ADVICE r16: span endpoints used to be rounded to 4 decimals
+    independently of the duration, so a run shorter than ~0.05ms could
+    round to start == stop and trip the contract's `start < stop`.
+    span_of now derives stop from the rounded start plus the measured
+    duration with a one-quantum floor — strict ordering by
+    construction, width within the contract's 1e-3 tolerance."""
+    # sub-quantum duration: the old independent rounding collapses this
+    start, stop = bench.span_of(0.0, 5.00001, 5.00002)
+    assert start < stop
+    assert stop - start <= 0.001 + 1e-12
+    # zero-duration degenerate input still yields an ordered span
+    start, stop = bench.span_of(0.0, 7.25, 7.25)
+    assert start < stop
+    # normal durations keep width == duration within rounding
+    start, stop = bench.span_of(1.0, 3.0, 4.5)
+    assert (start, stop) == (2.0, 3.5)
+    # and the offsets stay anchored to the loop clock
+    assert bench.span_of(0.0, 0.0, 0.5) == [0.0, 0.5]
 
 
 def test_committed_bench_detail_carries_timed_run_spans():
@@ -303,10 +307,8 @@ def test_committed_bench_detail_carries_timed_run_spans():
     detail = json.loads(
         (Path(bench.__file__).resolve().parent / "BENCH_DETAIL.json").read_text()
     )
-    _assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
-    _assert_spans_match_runs(
-        detail, "extras_timed_run_spans", "extras_timed_runs"
-    )
+    assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
+    assert_spans_match_runs(detail, "extras_timed_run_spans", "extras_timed_runs")
 
 
 def test_latest_committed_sweep_artifact_carries_timed_run_spans():
@@ -321,7 +323,7 @@ def test_latest_committed_sweep_artifact_carries_timed_run_spans():
         sweeps[int(m.group(1))] = p
     assert sweeps, "no committed sweep artifact"
     detail = json.loads(sweeps[max(sweeps)].read_text())
-    _assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
+    assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
 
 
 def test_committed_bench_artifacts_end_with_newline():

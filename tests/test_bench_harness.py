@@ -31,6 +31,8 @@ sys.path.insert(0, str(REPO_ROOT))
 
 import bench  # noqa: E402
 
+from tests.span_contract import assert_spans_match_runs  # noqa: E402
+
 
 def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
     detail_path = tmp_path / "detail.json"
@@ -119,20 +121,11 @@ def test_bench_subprocess_last_stdout_line_is_the_metric(tmp_path):
         assert min(runs) == detail["queries"][name]
     # per-run [start, stop] loop-clock spans + wall anchor (VERDICT r15
     # ask #2): index-aligned with timed_runs, each span's width equal to
-    # the recorded duration (same perf_counter reads, independent
-    # rounding), so an all-runs-slow outlier is placeable ON the run
-    # timeline instead of only visible as a slow best-of-N.
-    assert detail["run_t0_unix"] > 0
-    assert set(detail["timed_run_spans"]) == set(detail["timed_runs"])
-    for name, spans in detail["timed_run_spans"].items():
-        runs = detail["timed_runs"][name]
-        assert len(spans) == len(runs)
-        for (start, stop), dur in zip(spans, runs):
-            assert 0 <= start < stop
-            assert abs((stop - start) - dur) <= 0.001
-        # sequential loop: spans are ordered and non-overlapping
-        for (_, stop), (nxt, _) in zip(spans, spans[1:]):
-            assert nxt >= stop
+    # the recorded duration, so an all-runs-slow outlier is placeable ON
+    # the run timeline instead of only visible as a slow best-of-N.
+    # Shared contract helper (ADVICE r16): one definition for all
+    # artifact types, including the non-overlap ordering check.
+    assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
     assert detail["extras_timed_run_spans"] == {}  # ONLY seam: no extras
     # every parquet-filled spark_graft_* temp root (streaming sinks +
     # layout store) was reaped before exit. The uid-keyed symlink
@@ -194,15 +187,9 @@ def test_bench_sweep_subprocess_writes_nonheadline_artifact(tmp_path):
         assert runs and all(r > 0 for r in runs)
         assert min(runs) == detail["queries"][name]
     # sweep spans follow the same convention as the headline artifact
-    # (VERDICT r15 ask #2): index-aligned, width == duration, ordered
-    assert detail["run_t0_unix"] > 0
-    assert set(detail["timed_run_spans"]) == set(detail["timed_runs"])
-    for name, spans in detail["timed_run_spans"].items():
-        runs = detail["timed_runs"][name]
-        assert len(spans) == len(runs)
-        for (start, stop), dur in zip(spans, runs):
-            assert 0 <= start < stop
-            assert abs((stop - start) - dur) <= 0.001
+    # (VERDICT r15 ask #2), via the shared helper (ADVICE r16) — this
+    # copy previously omitted the non-overlap ordering check
+    assert_spans_match_runs(detail, "timed_run_spans", "timed_runs")
 
 
 def test_bench_sweep_empty_pool_refuses_to_write(tmp_path):
