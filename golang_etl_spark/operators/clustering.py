@@ -215,7 +215,9 @@ def _cc_label_propagation(edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        .localCheckpoint()
+        # eager=False: round 1's changed-count action materializes the
+        # seed labels inside its own job (one fewer job; r17)
+        .localCheckpoint(eager=False)
     )
     converged = False
     for i in range(MAX_CC_ITERS):
@@ -970,13 +972,20 @@ def kcore_peel(
     # without the cut, the lineage fans out ~3x per round; measured
     # 1.1s -> 43s by round 4 unchecked). Same truncation discipline as
     # the CC pointer-jumping loop (_cc_label_propagation above).
-    prev = edges.localCheckpoint()
+    # eager=False (r17): this loop runs NO action of its own, so an
+    # eager checkpoint per round paid rounds+1 extra materialization
+    # jobs before the caller's first action. The lazy form truncates
+    # the logical plan identically (the frame is RDD-backed
+    # immediately) but materializes each round's blocks inside the one
+    # job that consumes them — persist semantics, so the 3 consumers
+    # still compute each round once.
+    prev = edges.localCheckpoint(eager=False)
     survivors = None
     for _ in range(rounds):
         survivors = degrees(prev).filter(F.col("deg") >= k).select("vertex")
         prev = (
             prev.join(survivors, prev.u == survivors.vertex, "left_semi")
             .join(survivors, F.col("v") == survivors.vertex, "left_semi")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     return survivors, degrees(prev)

@@ -1444,7 +1444,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, never the corpus square."""
     docs = load_table(spark, sf_dir, "documents")
     # referenced 3x (document frequencies, the ranked prefix build,
-    # and the verification arrays) — persist once, tokenize once
+    # and the verification arrays) — persist once, tokenize once.
+    # No .distinct(): array_distinct already dedups tokens WITHIN each
+    # doc, so the exploded (doc_id, token) pairs are unique by
+    # construction — the former frame-wide distinct re-shuffled the
+    # entire posting set through an extra Exchange+HashAggregate to
+    # remove nothing (r17, guide §2.4: a distinct on already-unique
+    # data is an accidental full shuffle). Postings now materialize
+    # map-side straight from the scan.
     toks = docs.select(
         "doc_id",
         F.explode(
@@ -1452,7 +1459,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.expr("transform(split(trim(text), '\\\\s+'), x -> lower(x))")
             )
         ).alias("token"),
-    ).distinct().persist()
+    ).persist()
     freq = toks.groupBy("token").agg(F.count("*").alias("df"))
     w = Window.partitionBy("doc_id").orderBy("df", "token")
     # |d| rides the SAME doc_id window pass that ranks the tokens

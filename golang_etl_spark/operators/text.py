@@ -1726,7 +1726,11 @@ def train_bpe_merges(
             "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
             "freq",
         )
-        .localCheckpoint()
+        # eager=False: lineage truncates identically, but the vocab
+        # (and each round's fold below) materializes inside the round's
+        # own argmax job instead of a separate checkpoint job — halves
+        # the loop's job count (r17)
+        .localCheckpoint(eager=False)
     )
     rules = []
     for rank in range(1, k + 1):
@@ -1748,7 +1752,7 @@ def train_bpe_merges(
         rules.append((rank, a, b, a + b, cnt))
         vocab = vocab.selectExpr(
             f"{_bpe_merge_fold(a, b)} AS syms", "freq"
-        ).localCheckpoint()
+        ).localCheckpoint(eager=False)
     return spark.createDataFrame(
         rules,
         "merge_rank INT, left STRING, right STRING, merged STRING, "
@@ -1811,12 +1815,17 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(w)), i -> substring(w, i, 1)) AS syms",
             "freq",
         )
+        # deliberately EAGER (unlike the trainer's loop checkpoints):
+        # the before-stats leg and the k-fold after-leg consume vocab
+        # CONCURRENTLY in the one assembled job below, and a lazy
+        # checkpoint's first-touch materialization could run the full
+        # tokenize+shuffle once per leg
         .localCheckpoint()
     )
     before = vocab.selectExpr(
-        "CAST(sum(size(syms) * freq) AS BIGINT) AS t",
+        "CAST(sum(size(syms) * freq) AS BIGINT) AS tokens_before",
         "CAST(sum(freq) AS BIGINT) AS n_words",
-    ).first()
+    )
     # The apply loop chains folds WITHOUT per-rule checkpoints: unlike
     # training (whose per-round argmax is an action), every fold here
     # is a narrow op, so all k rules pipeline into ONE stage over the
@@ -1826,12 +1835,20 @@ def text_bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{_bpe_merge_fold(r['left'], r['right'])} AS syms", "freq"
         )
     after = vocab.selectExpr(
-        "CAST(sum(size(syms) * freq) AS BIGINT) AS t"
-    ).first()
-    row = spark.createDataFrame(
-        [(len(rules), before["n_words"], before["t"], after["t"])],
-        "n_rules INT, n_words BIGINT, tokens_before BIGINT, "
-        "tokens_after BIGINT",
+        "CAST(sum(size(syms) * freq) AS BIGINT) AS tokens_after"
+    )
+    # before/after stats assemble as one-row broadcast cross joins
+    # (both legs re-read the checkpointed vocab) instead of two
+    # driver-blocking .first() jobs + a createDataFrame: same values,
+    # one job instead of three, legs overlap (r17; guide §2.6/§5).
+    row = (
+        before.crossJoin(F.broadcast(after))
+        .select(
+            F.lit(len(rules)).cast("int").alias("n_rules"),
+            "n_words",
+            "tokens_before",
+            "tokens_after",
+        )
     )
     # ratios rounded with F.round (HALF_UP), the engine-matched
     # convention the oracle's ROUND(...) replays — see docstring
@@ -2006,20 +2023,26 @@ def text_perplexity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "p.w1", "p.w2").persist()
     c12 = doc_pairs.groupBy("w1", "w2").agg(F.count("*").alias("n12"))
     c1 = doc_pairs.groupBy("w1").agg(F.count("*").alias("n1"))
-    vocab = (
-        docs.select(F.explode(F.expr(w)).alias("tok"))
-        .agg(F.countDistinct("tok").alias("vocab"))
-        .first()["vocab"]
+    # vocab attaches as a broadcast one-row cross join (the sanctioned
+    # scalar-attach pattern) instead of a blocking .first(): the value
+    # and arithmetic are identical (BIGINT count cast to double by the
+    # division), but the smoothing constant no longer costs a separate
+    # driver-synchronous job BEFORE the scoring job — all stages plan
+    # into one job and the vocab leg overlaps the LM-count legs on
+    # idle cores (r17; guide §2.6 overlap + §5 driver).
+    vocab = docs.select(F.explode(F.expr(w)).alias("tok")).agg(
+        F.countDistinct("tok").cast("double").alias("vocab")
     )
     scored = (
         doc_pairs.join(F.broadcast(c12), ["w1", "w2"])
         .join(F.broadcast(c1), "w1")
+        .crossJoin(F.broadcast(vocab))
         .select(
             "doc_id",
             (
                 -F.log(
                     (F.col("n12") + F.lit(1.0))
-                    / (F.col("n1") + F.lit(float(vocab)))
+                    / (F.col("n1") + F.col("vocab"))
                 )
             ).alias("nll_term"),
         )

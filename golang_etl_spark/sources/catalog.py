@@ -64,7 +64,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
-def register_views(spark: SparkSession, sf_dir: str) -> None:
-    """Register every fixture table as a temp view for spark.sql()."""
-    for name in TABLES:
+def register_views(
+    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] | None = None
+) -> None:
+    """Register fixture tables as temp views for spark.sql().
+
+    ``tables`` narrows registration to the views a query actually
+    references. Each ``spark.read.parquet`` is an EAGER footer read +
+    file-index build on the driver, so registering all 10 tables costs
+    ~10 driver round-trips per query invocation; the ~30 SQL
+    passthrough queries each touch 1-6 tables (guide §1.2: don't
+    compute things you throw away — here, driver-side). Default stays
+    all-tables for callers that want the full catalog (tests, ad-hoc
+    sessions)."""
+    for name in tables if tables is not None else TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def referenced_tables(sql: str) -> tuple[str, ...]:
+    """The fixture tables a SQL text references, by word-boundary
+    match. Over-matching (a table name in a comment or alias) only
+    registers an unused view — harmless; a miss is impossible for a
+    real reference since any FROM/JOIN mention IS a word match."""
+    import re
+
+    return tuple(
+        name for name in TABLES if re.search(rf"\b{name}\b", sql)
+    )

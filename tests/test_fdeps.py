@@ -38,13 +38,16 @@ def test_fdeps_known_answer(spark, tmp_path):
     assert rf["fd_holds"] == 1
 
 
-def test_fdeps_one_scan_per_table(spark, sf_dir):
+def test_fdeps_split_legs_are_expand_free(spark, sf_dir):
     plan = (
         profile_functional_deps(spark, sf_dir)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    # candidates fuse per table: exactly two scans for four candidates
-    assert plan.count("FileScan") == 2
-    # and only candidate columns are read from orders
-    read = plan.split("ReadSchema")[1][:200]
-    assert "o_totalprice" not in read
+    # r17: one Expand-free leg per candidate (the old fused per-table
+    # multi-distinct paid a ~5x Expand replication of the scan before
+    # its first exchange) — four pruned 2-column scans, zero Expand
+    assert plan.count("FileScan") == 4
+    assert "Expand" not in plan
+    # column pruning still reaches each scan: no non-candidate column
+    for read in plan.split("ReadSchema")[1:]:
+        assert "o_totalprice" not in read[:200]

@@ -171,11 +171,22 @@ def test_gapfill_single_event_scan(spark, sf_dir):
     )
 
 
-def test_profile_single_scan(spark, sf_dir):
-    # 36 aggregates over 6 columns must compile to ONE table pass
-    # (count-distinct expand included), not per-column scans
+def test_profile_exact_shape(spark, sf_dir):
+    # r17: the exact profile dropped the fused multi-distinct (whose
+    # Expand rewrite replicated the input 7x and whose string-buffered
+    # aggregate forced a double SortAggregate sort of the expanded
+    # stream) for ONE narrow stats pass + one single-distinct leg per
+    # column. Gate the new shape: no Expand anywhere, exactly
+    # len(cols)+1 column-pruned scans, and the distinct legs each read
+    # ONE column (pruning reaches the parquet scan).
     plan = _plan(spark, sf_dir, "profile_orders")
-    assert plan.count("FileScan parquet") == 1
+    assert "Expand" not in plan
+    assert plan.count("FileScan parquet") == 7
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    single_col = [s for s in schemas if len(s.split(",")) == 1]
+    assert len(single_col) >= 6, schemas
 
 
 def test_cluster_cc_truncates_lineage(spark, sf_dir):
@@ -378,14 +389,16 @@ def test_runtime_bloom_filter_available_at_scale(spark, sf_dir):
 
 
 def test_approx_profile_has_no_expand(spark, sf_dir):
-    """The HLL profile exists to avoid the exact profile's Expand
-    (one input replica per distinct column — ~10x at 6 columns). The
-    approx plan must be Expand-free; the exact twin must show the
-    Expand, proving the gate measures what it claims."""
+    """The HLL profile exists to avoid exact multi-distinct cost — and
+    it must stay ONE pass (mergeable sketch buffers fused with every
+    other aggregate, single scan). The exact twin is Expand-free too
+    since r17, but via a different shape (split single-distinct legs,
+    gated by test_profile_exact_shape); this gate pins that the approx
+    side never regresses to Expand AND keeps its single-scan fusion,
+    which the exact side deliberately gave up."""
     approx = _plan(spark, sf_dir, "profile_orders_approx")
     assert "Expand" not in approx
-    exact = _plan(spark, sf_dir, "profile_orders")
-    assert "Expand" in exact
+    assert approx.count("FileScan parquet") == 1
 
 
 def test_bounded_profile_prunes_scan_to_its_two_columns(spark, sf_dir):
