@@ -972,20 +972,22 @@ def kcore_peel(
     # without the cut, the lineage fans out ~3x per round; measured
     # 1.1s -> 43s by round 4 unchecked). Same truncation discipline as
     # the CC pointer-jumping loop (_cc_label_propagation above).
-    # eager=False (r17): this loop runs NO action of its own, so an
-    # eager checkpoint per round paid rounds+1 extra materialization
-    # jobs before the caller's first action. The lazy form truncates
-    # the logical plan identically (the frame is RDD-backed
-    # immediately) but materializes each round's blocks inside the one
-    # job that consumes them — persist semantics, so the 3 consumers
-    # still compute each round once.
-    prev = edges.localCheckpoint(eager=False)
+    # Deliberately EAGER (r17 evaluated eager=False here and kept
+    # eager): each round's frame has FOUR consumers (two unionAll legs
+    # of the degree pass + two semi-join builds), and a lazy
+    # checkpoint's first-touch materialization lets concurrent
+    # consumer tasks race and duplicate the round's compute — A/B at
+    # sf0.1 showed no wall-clock win to offset that risk (eager
+    # 4.54s vs lazy 4.86s best-of-3 on the same session). Contrast
+    # the BPE trainer's loop, where consumption is strictly
+    # sequential and the lazy form is a clean job-count win.
+    prev = edges.localCheckpoint()
     survivors = None
     for _ in range(rounds):
         survivors = degrees(prev).filter(F.col("deg") >= k).select("vertex")
         prev = (
             prev.join(survivors, prev.u == survivors.vertex, "left_semi")
             .join(survivors, F.col("v") == survivors.vertex, "left_semi")
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
     return survivors, degrees(prev)

@@ -285,24 +285,39 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (shared-shingle counts), so candidate volume stays O(near-dups),
     never O(n²)."""
     posting, _bands, cand = minhash_candidates(spark, sf_dir)
-    pa = posting.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("n").alias("n_a"),
-        "shingle",
+    # Verification via per-doc shingle ARRAYS (r17, the documented
+    # PPJoin trade from dedup_jaccard_prefix): carry each candidate
+    # doc's sorted shingle array to the pair and intersect JVM-side.
+    # The former exploded-postings verify shipped one row per (pair,
+    # shingle) through a (doc_id_b, shingle)-keyed exchange and paid a
+    # counting aggregation; this ships one row per (pair, side) and
+    # drops that exchange. The array build itself is exchange-free:
+    # the persisted posting is already hash-partitioned on doc_id, so
+    # groupBy(doc_id) reuses the partitioning. Same exact Jaccard —
+    # postings are distinct per doc, so |array_intersect| == the old
+    # shared count.
+    arrs = posting.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("shingle")).alias("sh")
     )
-    pb = posting.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("n").alias("n_b"),
-        "shingle",
-    )
-    shared = (
-        cand.join(pa, "doc_id_a")
-        .join(pb, ["doc_id_b", "shingle"])
-        .groupBy("doc_id_a", "doc_id_b", "n_a", "n_b")
-        .agg(F.count("*").alias("shared"))
+    inter = (
+        cand.join(
+            arrs.selectExpr("doc_id AS doc_id_a", "sh AS sh_a"), "doc_id_a"
+        )
+        .join(
+            arrs.selectExpr("doc_id AS doc_id_b", "sh AS sh_b"), "doc_id_b"
+        )
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            # postings are distinct per doc, so the collected array IS
+            # the shingle set: |sh| == the posting's n column
+            F.size("sh_a").alias("n_a"),
+            F.size("sh_b").alias("n_b"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("shared"),
+        )
     )
     jac = F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared"))
-    return shared.filter(jac >= JACCARD_MIN).select(
+    return inter.filter(jac >= JACCARD_MIN).select(
         "doc_id_a", "doc_id_b", F.round(jac, 6).alias("jaccard")
     )
 
