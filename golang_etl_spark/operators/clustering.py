@@ -733,8 +733,13 @@ def pagerank_fixed_ranks(
     )
     contrib_deg = F.broadcast(deg)
     for _ in range(iters):
+        # rank vector is vertex-cardinality (orders of magnitude below
+        # the edge list) — broadcast explicitly like the LPA kernel's
+        # label vector, instead of waiting for AQE to discover it per
+        # iteration (r17; on a billion-vertex graph pre-partition
+        # edges AND ranks on the vertex instead)
         ranks = (
-            edges.join(ranks, edges.u == ranks.vertex)
+            edges.join(F.broadcast(ranks), edges.u == ranks.vertex)
             .join(contrib_deg, "u")
             .groupBy(F.col("v").alias("dst"))
             .agg(

@@ -520,13 +520,14 @@ for _name, _sql, _doc in (
 # seed brand, identical WITH RECURSIVE text on both engines. The
 # depth < 3 guard bounds the unrolling (cycle-safe under UNION ALL);
 # MIN(depth) collapses the path multiset to shortest-hop distance.
-_RECURSIVE_BFS = """
-WITH RECURSIVE ob AS (
-  -- bounded order range: Spark's recursive-CTE loop (UnionLoop)
-  -- re-evaluates the non-recursive prelude on every iteration, so the
-  -- graph-construction subtree must be iteration-cheap; the pushed
-  -- l_orderkey predicate keeps it a fixed-size slice at any SF (the
-  -- DataFrame PageRank kernel shows the materialize-once alternative)
+# Shared SQL fragments: the Spark query and the DuckDB oracle compose
+# from the SAME strings (lockstep by construction), differing only in
+# WHERE the edge list lives — the oracle inlines it as a CTE, the
+# Spark side materializes it ONCE and lets the recursion read the
+# materialized view (see sql_recursive_bfs below).
+_BFS_EDGE_CTES = """ob AS (
+  -- bounded order range keeps the prelude a fixed-size slice at any
+  -- SF (the full-graph formulation is the DataFrame PageRank kernel)
   SELECT DISTINCT l.l_orderkey, p.p_brand
   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
   WHERE l.l_orderkey < 60000
@@ -537,15 +538,19 @@ und AS (
     ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
   GROUP BY a.p_brand, b.p_brand
   HAVING COUNT(*) >= 60
-),
-edges AS (
-  SELECT u, v FROM und UNION ALL SELECT v, u FROM und
-),
-walk(brand, depth) AS (
+)"""
+
+_BFS_EDGE_SELECT = "SELECT u, v FROM und UNION ALL SELECT v, u FROM und"
+
+
+def _bfs_walk_sql(edges_rel: str) -> str:
+    """The recursive walk over an edge relation named ``edges_rel``."""
+    return f"""
+WITH RECURSIVE walk(brand, depth) AS (
   SELECT CAST('Brand#11' AS STRING) AS brand, 0 AS depth
   UNION ALL
   SELECT e.v AS brand, w.depth + 1 AS depth
-  FROM walk w JOIN edges e ON e.u = w.brand
+  FROM walk w JOIN {edges_rel} e ON e.u = w.brand
   WHERE w.depth < 3
 )
 SELECT brand AS p_brand, CAST(MIN(depth) AS BIGINT) AS hops
@@ -553,6 +558,16 @@ FROM walk
 GROUP BY brand
 ORDER BY hops, p_brand
 """
+
+
+_RECURSIVE_BFS = (
+    "WITH RECURSIVE "
+    + _BFS_EDGE_CTES
+    + ",\nedges AS (\n  "
+    + _BFS_EDGE_SELECT
+    + "\n),\n"
+    + _bfs_walk_sql("edges").split("WITH RECURSIVE ", 1)[1]
+)
 
 # Per-segment top-2 customers by account balance through a correlated
 # LATERAL subquery — the "top-N per row of the outer table" idiom that
@@ -570,17 +585,36 @@ LATERAL (
 ORDER BY s.c_mktsegment, t.c_acctbal DESC, t.c_custkey
 """
 
+@register(
+    "sql_recursive_bfs",
+    oracle=_RECURSIVE_BFS,
+    tags=("sql", "analytic", "subquery"),
+)
+def sql_recursive_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE breadth-first hop distance over the brand
+    co-purchase graph (Spark 4 recursive CTE; depth-guarded,
+    cycle-safe). Scale: each recursion step is one equi-join of the
+    frontier against the edge list — the engine materializes per-step
+    results, so state is frontier-sized, not path-sized.
+
+    r17 (guide §2.4/§1.2): Spark's UnionLoop re-evaluates everything
+    under the recursive member PER ITERATION, so with the edge list
+    inlined as a plain CTE every hop re-ran the whole
+    distinct+self-join graph build (~4x at depth 3; measured 4.2s at
+    sf0.1). The loop-invariant edge list now materializes ONCE
+    (localCheckpoint) and the recursion joins the materialized view;
+    the oracle composes the SAME fragments with the edge list inlined
+    — DuckDB materializes CTEs, so the two formulations are
+    equivalent by construction and the hash gate pins it."""
+    register_views(spark, sf_dir, referenced_tables(_BFS_EDGE_CTES))
+    edges = spark.sql(
+        "WITH " + _BFS_EDGE_CTES + "\n" + _BFS_EDGE_SELECT
+    ).localCheckpoint()
+    edges.createOrReplaceTempView("bfs_edges_materialized")
+    return spark.sql(_bfs_walk_sql("bfs_edges_materialized"))
+
+
 for _name, _sql, _doc, _tags in (
-    (
-        "sql_recursive_bfs",
-        _RECURSIVE_BFS,
-        "WITH RECURSIVE breadth-first hop distance over the brand "
-        "co-purchase graph (Spark 4 recursive CTE; depth-guarded, "
-        "cycle-safe). Scale: each recursion step is one equi-join of "
-        "the frontier against the edge list — the engine materializes "
-        "per-step results, so state is frontier-sized, not path-sized.",
-        ("sql", "analytic", "subquery"),
-    ),
     (
         "sql_lateral_topk",
         _LATERAL_TOPK,
