@@ -64,6 +64,16 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256MB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime SMJ -> shuffled-hash conversion (guide §3.1): AQE
+        # rewrites a sort-merge join to shuffled-hash when the ACTUAL
+        # per-partition build side measures under this bound, skipping
+        # both sides' sorts with a hard memory cap the static planner
+        # (which sees only estimates) can't promise. Default is 0
+        # (off); 64 MB matches the broadcast threshold below.
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+            str(64 * 1024 * 1024),
+        )
         # deterministic timestamps vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas-UDF / toPandas boundary
