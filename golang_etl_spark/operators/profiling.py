@@ -5,14 +5,16 @@ of a training-data pipeline.
 No reference counterpart (SURVEY.md §2.5) — LLM-pipeline extension.
 
 Scale notes (100 TB stance):
-- the table profile is ONE full-scan aggregation producing a single
-  row of partial-aggregable stats (counts, min/max, distincts) that is
-  then unpivoted driver-free with ``stack``: no per-column scans, no
-  collect. ``count(DISTINCT)`` expands to one extra shuffle per
-  distinct column (Spark's expand-based rewrite); at 100 TB you swap
-  those for ``approx_count_distinct`` — which is exactly what
-  ``profile_orders_approx`` below does (35x faster at sf0.1, no
-  Expand); the exact variant stays as its oracle-checked twin.
+- the APPROX table profile is ONE full-scan aggregation producing a
+  single row of partial-aggregable stats (counts, min/max, mergeable
+  HLL distincts) that is then unpivoted driver-free with ``stack`` —
+  the 100 TB formulation. The EXACT twin deliberately splits instead
+  (r17, see _profile): one narrow stats pass + one Expand-free
+  single-distinct leg per column, because fusing N exact distincts
+  triggers Spark's Expand rewrite (N+1 input replicas) AND, with
+  string min/max in the same buffer, a SortAggregate sort of the
+  expanded stream. Columnar pruning keeps the split's total scan
+  bytes ~2x one scan; no collect either way.
 - numeric min/max are emitted as doubles and timestamps as epoch
   seconds, never stringified: string rendering of floats/timestamps is
   engine-specific and would fail the value-hash while the data agrees.
