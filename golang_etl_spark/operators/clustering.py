@@ -625,10 +625,15 @@ def triangle_per_vertex(edges: DataFrame) -> DataFrame:
         .join(e3, (F.col("a") == F.col("a3")) & (F.col("c") == F.col("c3")))
         .select("a", "b", "c")
     )
-    verts = (
-        tri.select(F.col("a").alias("vertex"))
-        .unionAll(tri.select(F.col("b").alias("vertex")))
-        .unionAll(tri.select(F.col("c").alias("vertex")))
+    # each triangle contributes one count to each of its three corners:
+    # explode the corner array so the enumeration join runs ONCE (r18,
+    # guide §2.4). The former 3-way unionAll of per-corner projections
+    # replicated the whole wedge-join subtree three times in the plan —
+    # three executions of both joins (ReusedExchange cannot stitch
+    # broadcast-join pipelines back together), 3x the probe work for
+    # identical output.
+    verts = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("vertex")
     )
     return verts.groupBy("vertex").agg(F.count("*").alias("n_triangles"))
 
@@ -728,24 +733,37 @@ def pagerank_fixed_ranks(
     ).persist()
     deg = edges.groupBy("u").agg(F.count("*").alias("d"))
     n_v = deg.count()  # bounded: vertex count of the thresholded graph
-    ranks = deg.select(
-        F.col("u").alias("vertex"), (F.lit(1.0) / F.lit(n_v)).alias("rank")
-    )
-    contrib_deg = F.broadcast(deg)
-    for _ in range(iters):
-        # rank vector is vertex-cardinality (orders of magnitude below
-        # the edge list) — broadcast explicitly like the LPA kernel's
-        # label vector, instead of waiting for AQE to discover it per
-        # iteration (r17; on a billion-vertex graph pre-partition
-        # edges AND ranks on the vertex instead)
+    # r18 (guide §2.4/§3.3): fold the out-degree into the edge list
+    # ONCE — every iteration needs rank(u)/d(u) per edge, and the r17
+    # loop re-joined deg inside each round (3 extra joins in the
+    # unrolled plan). edges_d is lazy on purpose: it reads the cached
+    # edge list, and its single broadcast-deg subtree is canonically
+    # identical across the unrolled iterations, so the one exchange is
+    # built once and ReusedExchange serves the rest.
+    edges_d = edges.join(F.broadcast(deg), "u").select("u", "v", "d")
+    inv = 1.0 / n_v
+    ranks = None
+    for i in range(iters):
+        if ranks is None:
+            # round 1: every seed rank is the SAME literal 1/n_v, so
+            # the rank-vector join is an identity — inline the
+            # constant and skip both the seed table and the join
+            # (identical IEEE doubles: lit(1.0)/lit(n_v) and the
+            # Python 1.0/n_v are the same division).
+            joined, contrib = edges_d, F.lit(inv) / F.col("d")
+        else:
+            # rank vector is vertex-cardinality (orders of magnitude
+            # below the edge list) — broadcast explicitly like the LPA
+            # kernel's label vector (on a billion-vertex graph
+            # pre-partition edges AND ranks on the vertex instead)
+            joined = edges_d.join(F.broadcast(ranks), edges_d.u == ranks.vertex)
+            contrib = F.col("rank") / F.col("d")
         ranks = (
-            edges.join(F.broadcast(ranks), edges.u == ranks.vertex)
-            .join(contrib_deg, "u")
-            .groupBy(F.col("v").alias("dst"))
+            joined.groupBy(F.col("v").alias("dst"))
             .agg(
                 (
                     F.lit((1 - damping) / n_v)
-                    + F.lit(damping) * F.sum(F.col("rank") / F.col("d"))
+                    + F.lit(damping) * F.sum(contrib)
                 ).alias("rank")
             )
             .select(F.col("dst").alias("vertex"), "rank")
@@ -833,22 +851,20 @@ def lpa_fixed_labels(und: DataFrame, iters: int = _LPA_ITERS) -> DataFrame:
         # label vector = one row per vertex (brand-bounded here) —
         # broadcast keeps each round's join map-side; on a billion-
         # vertex graph pre-partition edges AND labels on the vertex
-        # instead. The modal argmax is a min-of-struct aggregation
-        # ((-count, label): count DESC then label ASC) — one exchange
-        # per round, no window sort.
-        counts = (
-            edges.join(F.broadcast(labels), edges.u == labels.vertex)
-            .groupBy(F.col("v").alias("dst"), "label")
-            .agg(F.count("*").alias("c"))
-        )
+        # instead. The modal argmax is mode(label, deterministic=true)
+        # — "most frequent, lowest value on ties", exactly the
+        # oracle's ROW_NUMBER(ORDER BY COUNT(*) DESC, label) = 1 —
+        # which partial-aggregates map-side (per-group label->count
+        # maps, bounded by neighbor label diversity), so each round
+        # pays ONE dst-keyed exchange. The r17 form spent TWO
+        # exchanges per round: a (dst, label) counting aggregate, then
+        # a dst-keyed min-of-struct argmax over the counts (the second
+        # groupBy can't reuse the first's (dst, label) partitioning).
         labels = (
-            counts.groupBy("dst")
-            .agg(
-                F.min(
-                    F.struct((-F.col("c")).alias("nc"), F.col("label"))
-                ).alias("s")
-            )
-            .select(F.col("dst").alias("vertex"), F.col("s.label").alias("label"))
+            edges.join(F.broadcast(labels), edges.u == labels.vertex)
+            .groupBy(F.col("v").alias("dst"))
+            .agg(F.mode("label", True).alias("label"))
+            .select(F.col("dst").alias("vertex"), "label")
         )
     return labels
 
@@ -964,35 +980,51 @@ def kcore_peel(
     O(edges); the round count is fixed, independent of graph size."""
 
     def degrees(e: DataFrame) -> DataFrame:
+        # one pass: each edge contributes a count to BOTH endpoints
+        # via an exploded corner array (r18, guide §2.4) — the former
+        # unionAll of two projections duplicated e's whole subtree in
+        # the plan, executing the per-round semi-joins twice.
         return (
-            e.select(F.col("u").alias("vertex"))
-            .unionAll(e.select(F.col("v").alias("vertex")))
+            e.select(F.explode(F.array("u", "v")).alias("vertex"))
             .groupBy("vertex")
             .agg(F.count("*").alias("deg"))
         )
 
-    # Each round's induced subgraph is checkpointed so round r+1 reads
-    # a materialized edge list instead of replaying rounds 1..r (the
-    # survivor set feeds TWO semi-joins and the next degree pass —
-    # without the cut, the lineage fans out ~3x per round; measured
-    # 1.1s -> 43s by round 4 unchecked). Same truncation discipline as
-    # the CC pointer-jumping loop (_cc_label_propagation above).
-    # Deliberately EAGER (r17 evaluated eager=False here and kept
-    # eager): each round's frame has FOUR consumers (two unionAll legs
-    # of the degree pass + two semi-join builds), and a lazy
-    # checkpoint's first-touch materialization lets concurrent
-    # consumer tasks race and duplicate the round's compute — A/B at
-    # sf0.1 showed no wall-clock win to offset that risk (eager
-    # 4.54s vs lazy 4.86s best-of-3 on the same session). Contrast
-    # the BPE trainer's loop, where consumption is strictly
-    # sequential and the lazy form is a clean job-count win.
-    prev = edges.localCheckpoint()
-    survivors = None
-    for _ in range(rounds):
-        survivors = degrees(prev).filter(F.col("deg") >= k).select("vertex")
-        prev = (
-            prev.join(survivors, prev.u == survivors.vertex, "left_semi")
-            .join(survivors, F.col("v") == survivors.vertex, "left_semi")
-            .localCheckpoint()
+    def restrict(e: DataFrame, surv: DataFrame) -> DataFrame:
+        # survivor sets are vertex-sized (orders of magnitude below
+        # the edge list) — broadcast both semi-joins; the two
+        # identical broadcast subtrees share one exchange via
+        # ReusedExchange. On a billion-vertex graph pre-partition
+        # edges and survivors on the vertex instead.
+        return e.join(
+            F.broadcast(surv), e.u == surv.vertex, "left_semi"
+        ).join(F.broadcast(surv), F.col("v") == surv.vertex, "left_semi")
+
+    # r18 rewrite (guide §8: decide with small rows, never move the
+    # big ones): survivor sets shrink monotonically (a vertex peeled
+    # in round r has even fewer neighbors afterwards), so the round-r
+    # induced subgraph is e0 restricted to the LATEST survivor set
+    # alone — e_r = e0 ⋉ s_r ⋉ s_r, by induction from
+    # e_r = e_{r-1} ⋉ s_r and s_r ⊆ s_{r-1}. Each round therefore
+    # checkpoints only the VERTEX-sized survivor set (the lineage cut
+    # the loop still needs — s_r's plan otherwise nests s_{r-1}'s),
+    # and the edge list is materialized exactly once: the r17 loop
+    # localCheckpoint-ed the O(edges) induced subgraph every round,
+    # a per-round edge-list write/read that at 100 TB dwarfs the
+    # degree aggregation itself. Eagerness is deliberate, same
+    # rationale as before (the survivor frame has multiple consumers
+    # inside the next round's single job; a lazy checkpoint's
+    # first-touch materialization lets concurrent consumers race and
+    # duplicate the round's compute — r17 A/B on the edge-list
+    # variant: eager 4.54s vs lazy 4.86s).
+    e0 = edges.localCheckpoint()
+    survivors = degrees(e0).filter(F.col("deg") >= k).select("vertex")
+    for _ in range(rounds - 1):
+        survivors = survivors.localCheckpoint()
+        survivors = (
+            degrees(restrict(e0, survivors))
+            .filter(F.col("deg") >= k)
+            .select("vertex")
         )
-    return survivors, degrees(prev)
+    survivors = survivors.localCheckpoint()
+    return survivors, degrees(restrict(e0, survivors))

@@ -74,18 +74,21 @@ def profile_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
     what disappears is the 5x row replication before the exchange
     (guide §2.3) — measured 1.5s -> ~0.4s at sf0.1. The post-pair
     aggregates run over DISTINCT pairs, which is at-most-input-sized
-    and typically far smaller. NULL handling matches COUNT(DISTINCT
-    ...) exactly: rows with a NULL in any counted column are dropped
-    per aggregate (the fixture keys are non-null, and the oracle hash
-    pins equality)."""
+    and typically far smaller. NULL handling matches the declared
+    oracle BY CONSTRUCTION (r18, VERDICT r17 item 3): DuckDB's
+    COUNT(DISTINCT (x, y)) counts every distinct struct — (1, NULL),
+    (NULL, NULL) included, a struct is never NULL — so the pair set is
+    built with NO null filter and n_pairs = COUNT(*) over it; n_lhs =
+    countDistinct(x) over the same set equals COUNT(DISTINCT x) over
+    the table because every non-null x survives into at least one pair
+    and countDistinct itself drops the x-null rows. The r17 form
+    filtered both columns non-null, silently dropping x values whose
+    only rows had NULL y (and the (x, NULL) pairs themselves);
+    tests/test_fdeps.py now pins the null-bearing case against DuckDB
+    directly."""
     parts = []
     for t, x, y in _CANDIDATES:
-        pairs = (
-            load_table(spark, sf_dir, t)
-            .select(x, y)
-            .where(F.col(x).isNotNull() & F.col(y).isNotNull())
-            .distinct()
-        )
+        pairs = load_table(spark, sf_dir, t).select(x, y).distinct()
         one = pairs.agg(
             F.countDistinct(x).alias("n_lhs"),
             F.count("*").alias("n_pairs"),

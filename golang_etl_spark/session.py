@@ -69,10 +69,20 @@ def get_spark(
         # per-partition build side measures under this bound, skipping
         # both sides' sorts with a hard memory cap the static planner
         # (which sees only estimates) can't promise. Default is 0
-        # (off); 64 MB matches the broadcast threshold below.
+        # (off). r18 fix (ADVICE r17): Spark's DynamicJoinSelection.
+        # preferShuffledHashJoin requires advisoryPartitionSizeInBytes
+        # <= this threshold AND every partition's shuffle bytes under
+        # it — r17's 64 MB (< the 256 MB advisory above) made the
+        # whole config a silent no-op. 256 MB (= the advisory) lets it
+        # fire; the memory bound is one <= 256 MB-of-shuffle-bytes
+        # hash map per running task, the same per-partition budget the
+        # AQE coalescing already targets, well inside a batch
+        # executor's multi-GB task share. Verified live in
+        # plans/r18/shj_conversion_evidence.txt (final AQE plan shows
+        # ShuffledHashJoin where the static plan had SortMergeJoin).
         .config(
             "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(64 * 1024 * 1024),
+            str(256 * 1024 * 1024),
         )
         # deterministic timestamps vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
