@@ -468,8 +468,18 @@ def _brand_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame
     lockstep with the SQL twin CTEs (_PR_EDGE_CTE)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # explicit repartition on the basket key (r18, the dedup
+    # _pin_partitions rationale): the HOF pair expansion downstream is
+    # heavy per ROW, not per byte, and the basket aggregate's output
+    # is small enough that size-first AQE coalescing collapses it to
+    # ~1 post-shuffle task, serializing the explode (interleaved A/B
+    # at sf0.1: 2.74s -> 1.40s for the co-occurrence twin). The
+    # repartition REPLACES the groupBy's own exchange (same key, so
+    # the aggregate reuses the partitioning — exchange count
+    # unchanged) and REPARTITION_BY_NUM is exempt from coalescing.
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("brands"))
     )
@@ -512,10 +522,15 @@ def _part_edges(spark: SparkSession, sf_dir: str, min_orders: int) -> DataFrame:
     edge-CTE source both _TRI_ORACLE and _KCORE_ORACLE build on."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     # no distinct() pre-pass: collect_set dedups partkeys within each
-    # order during the (partial-aggregating) basket build, so a
-    # separate distinct would just add a second full shuffle of the
-    # fact table for nothing
-    baskets = li.groupBy("l_orderkey").agg(
+    # order during the basket build, so a separate distinct would just
+    # add a second full shuffle of the fact table for nothing. The
+    # explicit repartition pins the downstream HOF pair expansion at
+    # full parallelism — same rationale as _brand_edges above (the
+    # basket output is byte-light but row-heavy, so size-first AQE
+    # coalescing would serialize the explode).
+    baskets = li.repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey"
+    ).groupBy("l_orderkey").agg(
         F.collect_set("l_partkey").alias("parts")
     )
     return (

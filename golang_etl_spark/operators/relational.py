@@ -866,8 +866,17 @@ def agg_brand_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrdered. No self-join, no pair matrix."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    # explicit repartition on the basket key (r18): the HOF pair
+    # expansion below is heavy per ROW, light in bytes, and size-first
+    # AQE coalescing otherwise collapses the basket aggregate's output
+    # to ~1 post-shuffle task, serializing the explode (interleaved
+    # A/B at sf0.1: 2.74s -> 1.40s). Same key as the groupBy, so the
+    # aggregate reuses the partitioning — no extra exchange; explicit
+    # counts are exempt from coalescing (the dedup._pin_partitions
+    # pattern).
     baskets = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .groupBy("l_orderkey")
         .agg(F.collect_set("p_brand").alias("brands"))
     )

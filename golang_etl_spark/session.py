@@ -64,26 +64,20 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256MB")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Runtime SMJ -> shuffled-hash conversion (guide §3.1): AQE
-        # rewrites a sort-merge join to shuffled-hash when the ACTUAL
-        # per-partition build side measures under this bound, skipping
-        # both sides' sorts with a hard memory cap the static planner
-        # (which sees only estimates) can't promise. Default is 0
-        # (off). r18 fix (ADVICE r17): Spark's DynamicJoinSelection.
-        # preferShuffledHashJoin requires advisoryPartitionSizeInBytes
-        # <= this threshold AND every partition's shuffle bytes under
-        # it — r17's 64 MB (< the 256 MB advisory above) made the
-        # whole config a silent no-op. 256 MB (= the advisory) lets it
-        # fire; the memory bound is one <= 256 MB-of-shuffle-bytes
-        # hash map per running task, the same per-partition budget the
-        # AQE coalescing already targets, well inside a batch
-        # executor's multi-GB task share. Verified live in
-        # plans/r18/shj_conversion_evidence.txt (final AQE plan shows
-        # ShuffledHashJoin where the static plan had SortMergeJoin).
-        .config(
-            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-            str(256 * 1024 * 1024),
-        )
+        # AQE SMJ -> shuffled-hash conversion: left at the Spark
+        # default (0 = off). r17 set 64 MB claiming a runtime
+        # conversion win, but DynamicJoinSelection.preferShuffledHash-
+        # Join requires advisoryPartitionSizeInBytes <= this threshold
+        # — with the 256 MB advisory above, 64 MB could NEVER fire
+        # (verified against the Spark 4.1.2 bytecode; ADVICE r17).
+        # r18 then A/B-ed the only value that CAN fire (256 MB = the
+        # advisory) interleaved in one session and it was a consistent
+        # ~10% LOSS on the join-heavy dedup paths (dedup_keep_longest
+        # 2.61/2.14s vs 2.44/1.92s; dedup_fuzzy_keep_one 1.94/1.77s vs
+        # 1.94/1.55s) with no measured winner elsewhere — the sorts it
+        # skips are tiny at these key cardinalities while the hint
+        # suppresses later broadcast re-planning. Measured and
+        # rejected; see OPTIMIZATION_r18.md.
         # deterministic timestamps vs the DuckDB oracle
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow for every pandas-UDF / toPandas boundary

@@ -948,6 +948,10 @@ def streaming_stream_stream_left_outer(
     # finality filter over the materialized sink (batch): keep only
     # clicks whose outer verdict was settle-able before the stream
     # drained. The cutoff comes from the same fixture the stream read.
+    # Attached as a broadcast one-row cross join (r18, guide §5 — the
+    # r17 text_perplexity pattern): the former .collect() forced a
+    # separate blocking job for one scalar; now the cutoff rides the
+    # final aggregation job.
     from golang_etl_spark.sources.catalog import load_table
 
     lim = (
@@ -958,10 +962,10 @@ def streaming_stream_stream_left_outer(
         .agg(
             (F.min("mx") - F.expr("INTERVAL 71 MINUTES")).alias("lim")
         )
-        .collect()[0]["lim"]
     )
     return (
-        tbl.filter(F.col("click_ts") <= F.lit(lim))
+        tbl.crossJoin(F.broadcast(lim))
+        .filter(F.col("click_ts") <= F.col("lim"))
         .groupBy("user_id")
         .agg(
             F.count("*").alias("n_rows"),
