@@ -215,9 +215,16 @@ def _cc_label_propagation(edges: DataFrame) -> DataFrame:
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
-        # eager=False: round 1's changed-count action materializes the
-        # seed labels inside its own job (one fewer job; r17)
-        .localCheckpoint(eager=False)
+        # EAGER (r18, ADVICE r17): round 1's single job touches the
+        # seed frame from multiple consumers (the neighbor-min join
+        # plus the jump legs), so a lazy checkpoint's concurrent
+        # first-touch duplicates the distinct — the same rationale
+        # that kept the k-core round checkpoints eager. A/B on a
+        # depth-2000 chain (distributed path forced), interleaved:
+        # lazy {6.58, 5.64, 4.75}s vs eager {5.94, 4.93, 4.73}s —
+        # eager won every pair; the r17 one-fewer-job reasoning
+        # never materialized as wall time.
+        .localCheckpoint()
     )
     converged = False
     for i in range(MAX_CC_ITERS):

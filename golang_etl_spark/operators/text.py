@@ -530,9 +530,16 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf, term df) -> term-keyed equi-join -> per-doc window top-k.
     The df table is term-cardinality (vocabulary) sized; the document
     count N rides in via a broadcast cross join of a 1-row aggregate,
-    never a driver collect."""
+    never a driver collect. The explicit repartition (r18) pins the
+    tokenize + explode + tf partial-aggregation at full parallelism —
+    the single-row-group fixture scan is one task, so that whole
+    pipeline otherwise ran serially before the first exchange
+    (interleaved A/B, warm steady state: 1.09-1.14 s -> 0.94-1.05 s).
+    At cluster scale this is a cheap same-key rebalance."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.selectExpr(
+    toks = docs.repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    ).selectExpr(
         "doc_id", f"explode({_words_expr_spark()}) AS term"
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
@@ -1110,8 +1117,19 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~= token count), the count/distinct-doc rollup partial-aggregates
     on the gram key, and the final top-20 is a TakeOrdered. One
     exchange on the gram key; hot grams ARE the signal, and AQE
-    skew-join is irrelevant because there is no join."""
-    docs = load_table(spark, sf_dir, "documents")
+    skew-join is irrelevant because there is no join.
+
+    The explicit repartition (r18) pins the tokenize + gram expansion
+    at full parallelism: the fixture parquet is one row group, so the
+    scan is a single task and the whole HOF pipeline (5-gram slices x
+    tokens per doc) otherwise runs serially before its first exchange
+    (interleaved A/B at sf0.1: 1.42/1.77/2.60 s -> 0.94/1.02/1.41 s).
+    At cluster scale the input arrives in many splits and this is a
+    cheap rebalance (guide §2.5's few-distinct-keys caveat does not
+    bite: doc_id is high-cardinality)."""
+    docs = load_table(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = docs.select(
         "doc_id", F.expr(_words_expr_spark()).alias("t")
     ).filter(F.size("t") >= BOILERPLATE_N)
